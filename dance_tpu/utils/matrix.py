@@ -1,0 +1,110 @@
+"""Dense matrix utilities, JAX-jitted (parity: dance/utils/matrix.py).
+
+The reference implements these with numpy + numba CPU loops; here the hot paths
+are jitted jnp so they run on the VPU/MXU and fuse under XLA. Host numpy in,
+host numpy out — callers at the model boundary use the jnp variants directly.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from dance_tpu.settings import logger
+from dance_tpu.typing import NormMode
+
+
+def normalize(mat, *, mode: NormMode = "normalize", axis: int = 0, eps: float = -1.0):
+    """Normalize a 2-d matrix (parity: dance/utils/matrix.py:8).
+
+    mode:
+        - ``normalize``: divide by the axis sum.
+        - ``standardize``: zero-mean, unit-std along axis.
+        - ``minmax``: rescale to [0, 1] along axis.
+        - ``l2``: divide by the axis L2 norm.
+    eps:
+        Clamp the divisor to at least ``eps`` (ignored when negative).
+    """
+    if sp.issparse(mat):
+        mat = np.asarray(mat.todense())
+    was_np = isinstance(mat, np.ndarray)
+    out = _normalize_jit(jnp.asarray(mat, dtype=jnp.float32), mode, axis, eps)
+    return np.asarray(out) if was_np else out
+
+
+@partial(jax.jit, static_argnames=("mode", "axis"))
+def _normalize_jit(mat, mode, axis, eps):
+    if mode == "normalize":
+        denom = mat.sum(axis=axis, keepdims=True)
+    elif mode == "standardize":
+        denom = mat.std(axis=axis, keepdims=True)
+        mat = mat - mat.mean(axis=axis, keepdims=True)
+    elif mode == "minmax":
+        mn = mat.min(axis=axis, keepdims=True)
+        mat = mat - mn
+        denom = mat.max(axis=axis, keepdims=True)
+    elif mode == "l2":
+        denom = jnp.sqrt((mat ** 2).sum(axis=axis, keepdims=True))
+    else:
+        raise ValueError(f"Unknown normalization mode {mode!r}")
+    denom = jnp.where(denom == 0, 1.0, denom)
+    denom = jnp.where(eps > 0, jnp.maximum(denom, eps), denom)
+    return mat / denom
+
+
+def dist_to_rbf(dist, denom: float = 1.0):
+    """Convert a distance matrix to an RBF affinity (parity: matrix.py:70)."""
+    dist = jnp.asarray(dist, dtype=jnp.float32)
+    sigma2 = jnp.maximum((dist ** 2).mean() * denom, 1e-12)
+    return np.asarray(jnp.exp(-(dist ** 2) / sigma2))
+
+
+@jax.jit
+def _euclidean_pdist(x, y):
+    # (a-b)^2 = a^2 + b^2 - 2ab on the MXU; full f32 precision — these distances
+    # feed kNN graph construction where TPU default (bf16-accumulated) matmul
+    # precision visibly perturbs neighbor ranking.
+    xx = (x ** 2).sum(1)[:, None]
+    yy = (y ** 2).sum(1)[None, :]
+    xy = jnp.dot(x, y.T, precision=jax.lax.Precision.HIGHEST)
+    return jnp.sqrt(jnp.maximum(xx + yy - 2 * xy, 0.0))
+
+
+@jax.jit
+def _pearson_pdist(x, y):
+    xc = x - x.mean(1, keepdims=True)
+    yc = y - y.mean(1, keepdims=True)
+    xn = xc / jnp.maximum(jnp.linalg.norm(xc, axis=1, keepdims=True), 1e-12)
+    yn = yc / jnp.maximum(jnp.linalg.norm(yc, axis=1, keepdims=True), 1e-12)
+    return 1.0 - jnp.dot(xn, yn.T, precision=jax.lax.Precision.HIGHEST)
+
+
+def _rankdata(x):
+    # average-tie ranks along axis 1 via double argsort (adequate for spearman)
+    order = jnp.argsort(x, axis=1)
+    ranks = jnp.argsort(order, axis=1).astype(jnp.float32)
+    return ranks
+
+
+@jax.jit
+def _spearman_pdist(x, y):
+    return _pearson_pdist(_rankdata(x), _rankdata(y))
+
+
+_PDIST = {"euclidean": _euclidean_pdist, "pearson": _pearson_pdist, "spearman": _spearman_pdist,
+          0: _euclidean_pdist, 1: _pearson_pdist, 2: _spearman_pdist}
+
+
+def pairwise_distance(x, y=None, dist_func="euclidean"):
+    """Pairwise distance matrix (parity: dance/utils/matrix.py:165).
+
+    ``dist_func`` accepts names or the reference's integer codes
+    (0=euclidean, 1=pearson, 2=spearman).
+    """
+    if dist_func not in _PDIST:
+        raise ValueError(f"Unknown dist_func {dist_func!r}, options: euclidean|pearson|spearman")
+    x = jnp.asarray(x, dtype=jnp.float32)
+    y = x if y is None else jnp.asarray(y, dtype=jnp.float32)
+    return np.asarray(_PDIST[dist_func](x, y))

@@ -1,0 +1,158 @@
+"""Registry-backed scoring functions (parity: dance/utils/metrics.py:16-190).
+
+Metrics run host-side on numpy (inputs may arrive as jax/torch arrays and are
+cast down). The bipartite-matching evaluation replaces the reference's
+networkx matching with ``scipy.optimize.linear_sum_assignment`` — identical
+optimum, much faster.
+"""
+
+import numpy as np
+import scipy.optimize
+from sklearn.cluster import KMeans
+from sklearn.metrics import (adjusted_rand_score, mean_absolute_percentage_error,
+                             mean_squared_error, normalized_mutual_info_score,
+                             silhouette_score)
+
+from dance_tpu.registry import REGISTERED_METRIC_FUNCS, register_metric_func
+from dance_tpu.settings import logger
+from dance_tpu.typing import Any, Mapping, Optional, Union
+from dance_tpu.utils.wrappers import torch_to_numpy
+
+
+def resolve_score_func(score_func: Optional[Union[str, Mapping[Any, float]]]):
+    """Resolve a metric by registry name or pass a callable through."""
+    if score_func is None:
+        raise ValueError("Scoring function not specified")
+    if isinstance(score_func, str):
+        if score_func not in REGISTERED_METRIC_FUNCS:
+            raise KeyError(f"Unknown scoring function {score_func!r}; "
+                           f"options: {sorted(REGISTERED_METRIC_FUNCS)}")
+        return REGISTERED_METRIC_FUNCS[score_func]
+    return score_func
+
+
+@register_metric_func()
+@torch_to_numpy
+def acc(true, pred) -> float:
+    """Accuracy, multi-positive aware (parity: metrics.py:33).
+
+    ``true`` is either a (n, k) one/multi-hot matrix — a prediction counts as
+    correct when it hits any positive — or a (n,) integer label vector.
+    """
+    true, pred = np.asarray(true), np.asarray(pred).ravel()
+    if true.ndim == 2:
+        return float(true[np.arange(pred.shape[0]), pred].mean())
+    return float((true.ravel() == pred).mean())
+
+
+@register_metric_func()
+@torch_to_numpy
+def ari(true, pred) -> float:
+    return float(adjusted_rand_score(np.asarray(true).ravel(), np.asarray(pred).ravel()))
+
+
+@register_metric_func()
+@torch_to_numpy
+def nmi(true, pred) -> float:
+    return float(normalized_mutual_info_score(np.asarray(true).ravel(),
+                                              np.asarray(pred).ravel(), average_method="max"))
+
+
+@register_metric_func()
+@torch_to_numpy
+def mse(true, pred) -> float:
+    return float(mean_squared_error(np.asarray(true), np.asarray(pred)))
+
+
+@register_metric_func()
+@torch_to_numpy
+def rmse(true, pred) -> float:
+    return float(np.sqrt(mean_squared_error(np.asarray(true), np.asarray(pred))))
+
+
+@register_metric_func()
+@torch_to_numpy
+def mape(true, pred) -> float:
+    return float(mean_absolute_percentage_error(np.asarray(true), np.asarray(pred)))
+
+
+def get_bipartite_matching_adjacency_matrix(raw_logits, threshold_quantile: float = 0.995):
+    """Sparse-then-assign bipartite matching for modality matching eval.
+
+    Parity: dance/utils/metrics.py:95 (mk3). Entries below both their row and
+    column ``threshold_quantile`` are zeroed, then a minimum-weight full
+    matching on the negated scores yields a permutation-like 0/1 matrix.
+    """
+    weights = np.array(raw_logits, dtype=np.float64, copy=True)
+    q_row = np.quantile(weights, threshold_quantile, axis=0, keepdims=True)
+    q_col = np.quantile(weights, threshold_quantile, axis=1, keepdims=True)
+    weights[(weights < q_row) & (weights < q_col)] = 0
+    row_ind, col_ind = scipy.optimize.linear_sum_assignment(-weights)
+    out = np.zeros_like(weights)
+    out[row_ind, col_ind] = 1
+    return out
+
+
+def batch_separated_bipartite_matching(batch1, batch2, emb1, emb2, threshold_quantile=0.995):
+    """Per-batch bipartite matching between two modality embeddings.
+
+    Parity: dance/utils/metrics.py:118. Softmax-symmetrized dot-product logits
+    per shared batch label, matched independently within each batch.
+    """
+    from dance_tpu.utils.wrappers import as_numpy
+
+    batch1, batch2 = np.asarray(batch1), np.asarray(batch2)
+    emb1, emb2 = as_numpy(emb1), as_numpy(emb2)
+    matrix = np.zeros((batch1.shape[0], batch2.shape[0]))
+    for b in np.unique(batch1):
+        i0 = np.nonzero(batch1 == b)[0]
+        j0 = np.nonzero(batch2 == b)[0]
+        logits = emb1[i0] @ emb2[j0].T
+        logits = _softmax(logits, axis=-1) + _softmax(logits, axis=0)
+        matrix[np.ix_(i0, j0)] = get_bipartite_matching_adjacency_matrix(
+            logits, threshold_quantile=threshold_quantile)
+    return matrix
+
+
+def _softmax(x, axis):
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def labeled_clustering_evaluate(emb, true_labels, n_clusters: int = 10, random_state: int = 200):
+    """KMeans over an embedding scored by NMI/ARI against known labels.
+
+    Parity: dance/utils/metrics.py:138 (takes arrays instead of AnnData).
+    """
+    emb = np.asarray(emb)
+    true_labels = np.asarray(true_labels).ravel()
+    pred = KMeans(n_clusters=n_clusters, n_init=5, random_state=random_state).fit_predict(emb)
+    scores = {"dance_nmi": round(float(normalized_mutual_info_score(
+        true_labels, pred, average_method="max")), 3),
+              "dance_ari": round(float(adjusted_rand_score(true_labels, pred)), 3)}
+    logger.info("NMI: %s ARI: %s", scores["dance_nmi"], scores["dance_ari"])
+    return scores
+
+
+def integration_openproblems_evaluate(emb, cell_type, batch=None):
+    """Joint-embedding quality suite (parity: dance/utils/metrics.py:151).
+
+    The reference delegates to scIB (silhouette/NMI/cell-cycle/trajectory).
+    scIB is unavailable here; this computes the embedding-intrinsic subset
+    (label/batch silhouette, KMeans-NMI) which covers the metrics that depend
+    only on (embedding, labels, batch) and averages them the same way.
+    """
+    emb = np.asarray(emb)
+    cell_type = np.asarray(cell_type).ravel()
+    score = {}
+    score["asw_label"] = float((silhouette_score(emb, cell_type) + 1) / 2)
+    if batch is not None:
+        batch = np.asarray(batch).ravel()
+        if len(np.unique(batch)) > 1:
+            score["asw_batch"] = float(1 - abs(silhouette_score(emb, batch)))
+    k = len(np.unique(cell_type))
+    pred = KMeans(n_clusters=k, n_init=5, random_state=0).fit_predict(emb)
+    score["nmi"] = float(normalized_mutual_info_score(cell_type, pred, average_method="max"))
+    score["final_scores"] = sum(score.values()) / len(score)
+    return score
