@@ -253,6 +253,11 @@ class BaseData:
                 logger.warning("Split indexing for %r not implemented; returning full",
                                channel_type)
 
+        if return_type in ("torch", "jax") and np.asarray(feature).dtype.kind in "OUS":
+            raise TypeError(
+                f"Channel {channel!r} holds non-numeric data "
+                f"(dtype={np.asarray(feature).dtype}); encode labels numerically "
+                f"(e.g. one-hot obsm) before requesting return_type={return_type!r}")
         if return_type == "torch":
             import torch
             return torch.from_numpy(np.ascontiguousarray(feature))
@@ -344,6 +349,9 @@ class BaseData:
             raise ValueError(f"Mask length {mask.shape[0]} != num cells {self.shape[0]}")
         self._subset_cells(np.nonzero(mask)[0])
         return self
+
+    # reference name for the same operation (dance/data/base.py:694)
+    filter_by_mask = filter_cells
 
 
 class Data(BaseData):

@@ -45,10 +45,11 @@ class AlignedMapping(dict):
             self[k] = v
 
     def __setitem__(self, key, val):
-        if self._axis is not None and hasattr(val, "shape") and len(val):
+        shape = getattr(val, "shape", None)
+        if self._axis is not None and shape and len(shape) and shape[0]:
             expect = self._parent.shape[self._axis]
-            if val.shape[0] != expect:
-                raise ValueError(f"Value for {key!r} has leading dim {val.shape[0]}, "
+            if shape[0] != expect:
+                raise ValueError(f"Value for {key!r} has leading dim {shape[0]}, "
                                  f"expected {expect}")
         super().__setitem__(key, val)
 
@@ -205,6 +206,24 @@ class AnnData:
             shape=(len(oi), len(vi)))
         out.raw = self.raw
         return out
+
+    def _inplace_subset_obs(self, index):
+        """Subset cells in place; ``index`` is a mask, int index, or name list."""
+        sub = self[index]
+        self._X = sub.X
+        self.obs = sub.obs
+        for attr in ("obsm", "obsp", "layers"):
+            getattr(self, attr).clear()
+            getattr(self, attr).update(getattr(sub, attr))
+
+    def _inplace_subset_var(self, index):
+        """Subset genes in place; ``index`` is a mask, int index, or name list."""
+        sub = self[:, index]
+        self._X = sub.X
+        self.var = sub.var
+        for attr in ("varm", "varp", "layers"):
+            getattr(self, attr).clear()
+            getattr(self, attr).update(getattr(sub, attr))
 
     def __repr__(self):
         lines = [f"AnnData object with n_obs x n_vars = {self.n_obs} x {self.n_vars}"]

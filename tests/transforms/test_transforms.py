@@ -1,0 +1,216 @@
+"""Transform catalog tests: numeric parity vs sklearn + registry contract."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from dance_tpu.data import AnnData, Data
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(0)
+    X = rng.poisson(2.0, size=(60, 30)).astype(np.float32)
+    X[X < 1] = 0
+    adata = AnnData(X=X, obs={"cell_type": rng.choice(list("abc"), 60),
+                              "batch": rng.choice([0, 1], 60)})
+    return Data(adata, train_size=40)
+
+
+def test_registry_scopes():
+    import dance_tpu.transforms  # noqa: F401 — triggers registration
+    from dance_tpu.registry import REGISTRY
+    keys = set(REGISTRY.children("preprocessor", non_leaf_node=False))
+    for expected in [
+            "preprocessor.misc.Compose", "preprocessor.misc.SetConfig",
+            "preprocessor.normalize.NormalizeTotal", "preprocessor.normalize.Log1P",
+            "preprocessor.normalize.ScTransform",
+            "preprocessor.filter.cell.FilterCellsScanpy",
+            "preprocessor.filter.gene.FilterGenesTopK",
+            "preprocessor.filter.gene.HighlyVariableGenesRawCount",
+            "preprocessor.feature.cell.WeightedFeaturePCA",
+            "preprocessor.feature.cell.CellPCA", "preprocessor.feature.gene.GeneStats",
+            "preprocessor.graph.cell.CellFeatureGraph",
+            "preprocessor.graph.cell.NeighborGraph",
+            "preprocessor.graph.spatial.SpaGCNGraph",
+            "preprocessor.graph.reference.DSTGraph",
+            "preprocessor.split.entry.CellwiseMaskData",
+            "preprocessor.pseudobulk.PseudoMixture",
+            "preprocessor.interface.AnnDataTransform",
+    ]:
+        assert expected in keys, f"missing {expected}"
+
+
+def test_normalize_total_log1p(data):
+    from dance_tpu.transforms import NormalizeTotalLog1P
+    before = data.data.X.copy()
+    NormalizeTotalLog1P(target_sum=1e4, max_fraction=1.0)(data)
+    after = data.data.X
+    expected = np.log1p(before / before.sum(1, keepdims=True) * 1e4)
+    np.testing.assert_allclose(after, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_filter_cells_genes_parity(data):
+    from dance_tpu.transforms import FilterCellsScanpy, FilterGenesScanpy
+    X = data.data.X.copy()
+    keep_genes = (X > 0).sum(0) >= 5
+    FilterGenesScanpy(min_cells=5)(data)
+    assert data.shape[1] == keep_genes.sum()
+    keep_cells = data.data.X.sum(1) >= 10
+    FilterCellsScanpy(min_counts=10)(data)
+    assert data.shape[0] == keep_cells.sum()
+    # split reindexed
+    assert max(data.train_idx, default=0) < data.shape[0]
+
+
+def test_filter_genes_topk(data):
+    from dance_tpu.transforms import FilterGenesTopK
+    X = data.data.X.copy()
+    cv = np.nan_to_num(X.std(0) / X.mean(0))
+    top10 = set(np.asarray(data.data.var_names)[np.argsort(cv)[-10:]])
+    FilterGenesTopK(num_genes=10, mode="cv")(data)
+    assert set(data.data.var_names) == top10
+
+
+def test_filter_genes_match(data):
+    from dance_tpu.transforms import FilterGenesMatch
+    data.data.var_names = [f"MT-{i}" if i < 5 else f"g{i}" for i in range(30)]
+    FilterGenesMatch(prefixes=["MT-"])(data)
+    assert data.shape[1] == 25
+
+
+def test_hvg_seurat(data):
+    from dance_tpu.transforms import (HighlyVariableGenesLogarithmizedByTopGenes,
+                                      NormalizeTotalLog1P)
+    NormalizeTotalLog1P(max_fraction=1.0)(data)
+    HighlyVariableGenesLogarithmizedByTopGenes(n_top_genes=15)(data)
+    assert data.shape[1] == 15
+
+
+def test_hvg_seurat_v3(data):
+    from dance_tpu.transforms import HighlyVariableGenesRawCount
+    HighlyVariableGenesRawCount(n_top_genes=12)(data)
+    assert data.shape[1] == 12
+
+
+def test_weighted_feature_pca(data):
+    from dance_tpu.transforms import WeightedFeaturePCA
+    WeightedFeaturePCA(n_components=8, split_name="train")(data)
+    assert data.data.obsm["WeightedFeaturePCA"].shape == (60, 8)
+    assert data.data.varm["WeightedFeaturePCA"].shape == (30, 8)
+
+
+def test_cell_pca_parity(data):
+    from sklearn.decomposition import PCA
+
+    from dance_tpu.transforms import CellPCA
+    X = np.asarray(data.data.X, dtype=np.float32)
+    CellPCA(n_components=5)(data)
+    ref = PCA(n_components=5, svd_solver="full").fit_transform(X)
+    np.testing.assert_allclose(np.abs(data.data.obsm["CellPCA"]), np.abs(ref), rtol=1e-2,
+                               atol=1e-2)
+
+
+def test_sctransform(data):
+    from dance_tpu.transforms import ScTransform
+    ScTransform(min_cells=1)(data)
+    X = data.data.X
+    assert np.isfinite(X).all()
+    assert abs(float(np.mean(X))) < 1.0  # residuals roughly centered
+
+
+def test_gene_stats(data):
+    from dance_tpu.transforms import GeneStats
+    GeneStats(split_name=None)(data)
+    df = data.data.varm["GeneStats"]
+    assert "mu" in df.columns and "alpha" in df.columns
+    np.testing.assert_allclose(df["mean_all"], data.data.X.mean(0), rtol=1e-5)
+
+
+def test_mask_data(data):
+    from dance_tpu.transforms import CellwiseMaskData, MaskData
+    data.set_config(feature_channel=None, feature_channel_type="X",
+                    label_channel=None, label_channel_type="X")
+    CellwiseMaskData(mask_rate=0.2, seed=0)(data)
+    tm = data.data.layers["train_mask"]
+    vm = data.data.layers["valid_mask"]
+    assert not (tm & vm).any()
+    X = np.asarray(data.data.X)
+    assert (X[~tm] > 0).all()  # only positive entries masked
+    MaskData(mask_rate=0.1, seed=0)(data)
+    assert data.data.layers["train_mask"].mean() > 0.8
+
+
+def test_compose_setconfig(data):
+    from dance_tpu.transforms import Compose, Log1P, NormalizeTotal, SetConfig
+    pipe = Compose(
+        NormalizeTotal(target_sum=100, max_fraction=1.0),
+        Log1P(),
+        SetConfig({"feature_channel": None, "feature_channel_type": "X",
+                   "label_channel": "cell_type", "label_channel_type": "obs"}),
+    )
+    assert len(pipe.hexdigest()) == 32
+    pipe(data)
+    x, y = data.get_train_data()
+    assert x.shape == (40, 30)
+    assert y.shape == (40,)
+
+
+def test_save_update_raw(data):
+    from dance_tpu.transforms import Log1P, SaveRaw, UpdateRaw
+    orig = np.asarray(data.data.X).copy()
+    SaveRaw()(data)
+    Log1P()(data)
+    assert not np.allclose(data.data.X, orig)
+    UpdateRaw()(data)
+    np.testing.assert_allclose(data.data.X, orig)
+
+
+def test_cell_feature_graph(data):
+    from dance_tpu.graph import Graph
+    from dance_tpu.transforms.graph import PCACellFeatureGraph
+    data.set_config(feature_channel=None, feature_channel_type="X",
+                    label_channel="cell_type", label_channel_type="obs")
+    PCACellFeatureGraph(n_components=8, split_name="train")(data)
+    g = data.data.uns["PCACellFeatureGraph"]
+    assert isinstance(g, Graph)
+    assert g.num_nodes == 60 + 30
+    assert g.ndata["features"].shape == (90, 8)
+    dg = g.to_device()
+    assert dg.adj.shape == (90, 90)
+
+
+def test_neighbor_graph(data):
+    from dance_tpu.transforms import CellPCA
+    from dance_tpu.transforms.graph import NeighborGraph
+    CellPCA(n_components=5)(data)
+    NeighborGraph(n_neighbors=4)(data)
+    adj = data.data.obsp["NeighborGraph"]
+    assert adj.shape == (60, 60)
+    assert adj.nnz > 0
+
+
+def test_pseudo_mixture(data):
+    from dance_tpu.transforms import PseudoMixture
+    data.data.obs["cellType"] = data.data.obs["cell_type"]
+    data.set_split_idx("ref", list(range(40)))
+    PseudoMixture(n_pseudo=20, ct_key="cellType", in_split_name="ref")(data)
+    assert len(data.get_split_idx("pseudo")) == 20
+    assert data.shape[0] == 80
+    portions = data.data.obsm.get("cell_type_portion")
+
+
+def test_cell_topic_profile(data):
+    from dance_tpu.transforms import CellTopicProfile
+    data.data.obs["cellType"] = data.data.obs["cell_type"]
+    CellTopicProfile(ct_key="cellType", method="mean")(data)
+    prof = data.data.varm["CellTopicProfile"]
+    assert prof.shape == (30, 3)
+
+
+def test_anndata_transform_string(data):
+    from dance_tpu.transforms import AnnDataTransform
+    t = AnnDataTransform("sc.pp.log1p")
+    before = np.asarray(data.data.X).copy()
+    t(data)
+    np.testing.assert_allclose(data.data.X, np.log1p(before), rtol=1e-5)
