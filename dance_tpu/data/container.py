@@ -20,6 +20,13 @@ import scipy.sparse as sp
 ArrayLike = Union[np.ndarray, sp.spmatrix]
 
 
+def _take_rows(v, idx):
+    """Row-subset any aligned value (DataFrame rows via iloc, else fancy index)."""
+    if isinstance(v, pd.DataFrame):
+        return v.iloc[idx]
+    return v[idx]
+
+
 def _as_df(x, n: int, prefix: str) -> pd.DataFrame:
     if x is None:
         return pd.DataFrame(index=pd.Index([f"{prefix}{i}" for i in range(n)]))
@@ -46,12 +53,18 @@ class AlignedMapping(dict):
 
     def __setitem__(self, key, val):
         shape = getattr(val, "shape", None)
-        if self._axis is not None and shape and len(shape) and shape[0]:
-            expect = self._parent.shape[self._axis]
+        axis = getattr(self, "_axis", None)
+        parent = getattr(self, "_parent", None)
+        if axis is not None and parent is not None and shape and len(shape) and shape[0]:
+            expect = parent.shape[axis]
             if shape[0] != expect:
                 raise ValueError(f"Value for {key!r} has leading dim {shape[0]}, "
                                  f"expected {expect}")
         super().__setitem__(key, val)
+
+    def __reduce__(self):
+        # copy/pickle as a plain dict — the parent link is rebuilt by AnnData
+        return (dict, (), None, None, iter(dict(self).items()))
 
 
 class Raw:
@@ -172,6 +185,23 @@ class AnnData:
         out.raw = self.raw
         return out
 
+    def __deepcopy__(self, memo):
+        out = self.copy()
+        memo[id(self)] = out
+        return out
+
+    def __getstate__(self):
+        return {"X": self._X, "obs": self.obs, "var": self.var,
+                "obsm": dict(self.obsm), "varm": dict(self.varm),
+                "obsp": dict(self.obsp), "varp": dict(self.varp),
+                "layers": dict(self.layers), "uns": self.uns, "raw": self.raw}
+
+    def __setstate__(self, state):
+        self.__init__(X=state["X"], obs=state["obs"], var=state["var"],
+                      obsm=state["obsm"], varm=state["varm"], obsp=state["obsp"],
+                      varp=state["varp"], layers=state["layers"], uns=state["uns"],
+                      raw=state["raw"])
+
     def _norm_idx(self, idx, axis: int):
         names = self.obs_names if axis == 0 else self.var_names
         n = self.shape[axis]
@@ -196,11 +226,11 @@ class AnnData:
             X = self._X[oi][:, vi]
         out = AnnData(
             X=X, obs=self.obs.iloc[oi], var=self.var.iloc[vi],
-            obsm={k: v[oi] for k, v in self.obsm.items()},
-            varm={k: v[vi] for k, v in self.varm.items()},
+            obsm={k: _take_rows(v, oi) for k, v in self.obsm.items()},
+            varm={k: _take_rows(v, vi) for k, v in self.varm.items()},
             obsp={k: v[oi][:, oi] for k, v in self.obsp.items()},
             varp={k: v[vi][:, vi] for k, v in self.varp.items()},
-            layers={k: v[oi][:, vi] if v.shape == self.shape else v[oi]
+            layers={k: v[oi][:, vi] if v.shape == self.shape else _take_rows(v, oi)
                     for k, v in self.layers.items()},
             uns=_copy.deepcopy(self.uns),
             shape=(len(oi), len(vi)))

@@ -1,0 +1,141 @@
+"""ACTINN cell-type annotation, TPU-native.
+
+Parity target: dance/modules/single_modality/cell_type_annotation/actinn.py
+(MLP + L2-regularized NLL, Adam with exponential LR decay every 1000 steps,
+shuffled minibatches). The torch per-batch Python loop becomes a single jitted
+``lax.scan`` over fixed-shape shuffled batches — one device dispatch per epoch,
+compute stays on the MXU in (optionally) bf16.
+
+Reference paper: Ma & Pellegrini, Bioinformatics 36.2 (2020).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dance_tpu.modules.base import BaseClassificationMethod
+from dance_tpu.nn.mlp import VanillaMLP
+from dance_tpu.transforms import (AnnDataTransform, Compose, FilterGenesPercentile,
+                                  SetConfig)
+from dance_tpu.typing import LogLevel, Optional, Tuple
+from dance_tpu.utils.wrappers import as_numpy
+
+
+class ACTINN(BaseClassificationMethod):
+    """ACTINN classifier (parity: actinn.py:22).
+
+    Parameters
+    ----------
+    hidden_dims
+        Hidden layer dimensions.
+    lambd
+        L2 regularization weight on Dense kernels.
+    device
+        Unused placement hint kept for API parity (JAX places automatically).
+    """
+
+    _DISPLAY_ATTRS = ("hidden_dims", "lambd")
+
+    def __init__(self, *, hidden_dims: Tuple[int, ...] = (100, 50, 25),
+                 lambd: float = 0.01, device: str = "auto",
+                 random_seed: Optional[int] = None, dtype=jnp.float32):
+        self.hidden_dims = tuple(hidden_dims)
+        self.lambd = lambd
+        self.device = device
+        self.random_seed = random_seed
+        self.dtype = dtype
+        self.model: Optional[VanillaMLP] = None
+        self.params = None
+
+    @staticmethod
+    def preprocessing_pipeline(normalize: bool = True, filter_genes: bool = True,
+                               log_level: LogLevel = "INFO"):
+        transforms = []
+        if normalize:
+            transforms.append(AnnDataTransform("sc.pp.normalize_total", target_sum=1e4))
+            transforms.append(AnnDataTransform("sc.pp.log1p", base=2))
+        if filter_genes:
+            transforms.append(AnnDataTransform("sc.pp.filter_genes", min_cells=1))
+            transforms.append(FilterGenesPercentile(min_val=1, max_val=99, mode="sum"))
+            transforms.append(FilterGenesPercentile(min_val=1, max_val=99, mode="cv"))
+        transforms.append(SetConfig({"label_channel": "cell_type"}))
+        return Compose(*transforms, log_level=log_level)
+
+    # --- jitted internals -------------------------------------------------
+
+    def _loss_fn(self, params, x, y, mask):
+        logits = self.model.apply({"params": params}, x)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -(jnp.take_along_axis(logp, y[:, None], axis=1).squeeze(1) * mask)
+        loss = nll.sum() / jnp.maximum(mask.sum(), 1.0)
+        l2 = sum((k ** 2).sum() for k in jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map_with_path(
+                lambda p, v: v if str(p[-1].key) == "kernel" else jnp.zeros(()), params)))
+        return loss + self.lambd * l2
+
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def _train_epoch(self, params, opt_state, x, y, key, batch_size: int):
+        n = x.shape[0]
+        n_batches = n // batch_size  # drop remainder like a shuffled loader
+        perm = jax.random.permutation(key, n)[:n_batches * batch_size]
+        xb = x[perm].reshape(n_batches, batch_size, -1)
+        yb = y[perm].reshape(n_batches, batch_size)
+        mask = jnp.ones((n_batches, batch_size), self.dtype)
+
+        def step(carry, batch):
+            params, opt_state = carry
+            bx, by, bm = batch
+            loss, grads = jax.value_and_grad(self._loss_fn)(params, bx, by, bm)
+            updates, opt_state = self._tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state),
+                                                   (xb, yb, mask))
+        return params, opt_state, losses.mean()
+
+    # --- public API -------------------------------------------------------
+
+    def fit(self, x_train, y_train, *, batch_size: int = 128, lr: float = 0.01,
+            num_epochs: int = 50, print_cost: bool = False, seed: Optional[int] = None):
+        """Fit on (cells × genes) features and one-hot (cells × types) labels."""
+        x = jnp.asarray(as_numpy(x_train), dtype=self.dtype)
+        y_onehot = as_numpy(y_train)
+        y = jnp.asarray(np.argmax(y_onehot, axis=1) if y_onehot.ndim == 2
+                        else y_onehot.astype(np.int32), dtype=jnp.int32)
+        output_dim = int(y_onehot.shape[1]) if y_onehot.ndim == 2 else int(y.max()) + 1
+
+        seed = self.random_seed if seed is None else seed
+        key = jax.random.key(0 if seed is None else seed)
+        key, init_key = jax.random.split(key)
+
+        self.model = VanillaMLP(output_dim=output_dim, hidden_dims=self.hidden_dims,
+                                dtype=self.dtype)
+        params = self.model.init(init_key, x[:1])["params"]
+        # exponential decay every 1000 global steps, gamma=0.95 (parity: actinn.py:157)
+        schedule = optax.exponential_decay(lr, transition_steps=1000, decay_rate=0.95,
+                                           staircase=True)
+        self._tx = optax.adam(schedule)
+        opt_state = self._tx.init(params)
+
+        for epoch in range(num_epochs):
+            key, ek = jax.random.split(key)
+            params, opt_state, loss = self._train_epoch(params, opt_state, x, y, ek,
+                                                        min(batch_size, x.shape[0]))
+            if print_cost and epoch % 10 == 0:
+                print(f"Epoch: {epoch:>4d} Loss: {float(loss):6.4f}")
+        self.params = params
+        return self
+
+    def predict_proba(self, x):
+        x = jnp.asarray(as_numpy(x), dtype=self.dtype)
+        logits = self.model.apply({"params": self.params}, x)
+        return np.asarray(jax.nn.softmax(logits.astype(jnp.float32), axis=-1))
+
+    def predict(self, x):
+        x = jnp.asarray(as_numpy(x), dtype=self.dtype)
+        logits = self.model.apply({"params": self.params}, x)
+        return np.asarray(jnp.argmax(logits, axis=-1))

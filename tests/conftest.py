@@ -14,6 +14,20 @@ import pytest
 
 
 @pytest.fixture
+def cpu_mesh8():
+    """8-device mesh, or skip when the environment pins a single device.
+
+    The axon sitecustomize initializes the JAX backend at interpreter startup,
+    which defeats xla_force_host_platform_device_count; use ./run_tests.sh to
+    run the suite on a genuine 8-device CPU mesh."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (run via ./run_tests.sh for the CPU mesh)")
+    from dance_tpu.parallel.mesh import get_mesh
+    return get_mesh(shape=(4, 2), axis_names=("dp", "tp"))
+
+
+@pytest.fixture
 def assert_ary_isclose():
     def assert_(x, y, rtol=1e-5, atol=1e-8):
         x, y = np.asarray(x), np.asarray(y)

@@ -1,0 +1,59 @@
+"""End-to-end tests for the cell-type annotation family on synthetic data."""
+
+import numpy as np
+import pytest
+
+from dance_tpu.datasets.synthetic import annotation_data
+
+
+@pytest.fixture(scope="module")
+def data():
+    return annotation_data(n_cells=300, n_genes=100, n_types=3, seed=0)
+
+
+def test_actinn_e2e(data):
+    from dance_tpu.modules.single_modality.cell_type_annotation import ACTINN
+    d = data.copy()
+    model = ACTINN(hidden_dims=(32, 16), lambd=0.01, random_seed=0)
+    model.preprocess(d)
+    x_train, y_train = d.get_train_data(return_type="numpy")
+    model.fit(x_train, y_train, num_epochs=20, batch_size=64, lr=0.01, seed=0)
+    x_test, y_test = d.get_test_data(return_type="numpy")
+    acc = model.score(x_test, y_test)
+    assert acc > 0.85, f"ACTINN acc too low: {acc}"
+
+
+def test_svm_e2e(data):
+    from dance_tpu.modules.single_modality.cell_type_annotation import SVM
+    d = data.copy()
+    model = SVM(None, random_state=0)
+    model.preprocess(d, n_components=20)
+    x_train, y_train = d.get_train_data(return_type="numpy")
+    model.fit(x_train, y_train.argmax(1))
+    x_test, y_test = d.get_test_data(return_type="numpy")
+    acc = model.score(x_test, y_test)
+    assert acc > 0.85, f"SVM acc too low: {acc}"
+
+
+def test_celltypist_e2e(data):
+    from dance_tpu.modules.single_modality.cell_type_annotation import Celltypist
+    d = data.copy()
+    model = Celltypist(majority_voting=False)
+    model.preprocess(d)
+    x_train, y_train = d.get_train_data(return_type="numpy")
+    model.fit(x_train, y_train.argmax(1), max_iter=200)
+    x_test, y_test = d.get_test_data(return_type="numpy")
+    acc = model.score(x_test, y_test)
+    assert acc > 0.85, f"Celltypist acc too low: {acc}"
+
+
+def test_singlecellnet_e2e(data):
+    from dance_tpu.modules.single_modality.cell_type_annotation import SingleCellNet
+    d = data.copy()
+    model = SingleCellNet(num_trees=50)
+    model.preprocess(d, num_top_genes=8, num_top_gene_pairs=15)
+    x_train, y_train = d.get_train_data(return_type="numpy")
+    model.fit(x_train, y_train.argmax(1))
+    x_test, y_test = d.get_test_data(return_type="numpy")
+    acc = model.score(x_test, y_test)
+    assert acc > 0.7, f"SingleCellNet acc too low: {acc}"
