@@ -1,0 +1,153 @@
+"""Graph neural layers over CSR adjacency (parity: dance/models/nn/gnn.py + the
+DGL/PyG conv layers embedded across the model zoo).
+
+All layers are flax modules taking ``(adj: CSRMatrix, h)``; message passing
+lowers to the segment ops in :mod:`dance_tpu.ops.segment`.
+"""
+
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dance_tpu.ops.segment import (aggregate, edge_softmax, gather_src, in_degrees,
+                                   out_degrees, spmm)
+from dance_tpu.ops.sparse import CSRMatrix
+
+
+class GCNConv(nn.Module):
+    """Kipf-Welling GCN layer: expects a (sym-)normalized adjacency."""
+
+    out_dim: int
+    use_bias: bool = True
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, adj: CSRMatrix, h):
+        h = nn.Dense(self.out_dim, use_bias=self.use_bias,
+                     kernel_init=nn.initializers.glorot_uniform())(h)
+        out = spmm(adj, h)
+        return self.activation(out) if self.activation else out
+
+
+class WeightedGraphConv(nn.Module):
+    """dgl GraphConv with edge weights (parity: graphsc.py:414).
+
+    norm='both' scales by out-deg^-1/2 before and in-deg^-1/2 after."""
+
+    out_dim: int
+    norm: str = "both"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, adj: CSRMatrix, h, agg: str = "sum"):
+        if self.norm == "both":
+            od = jnp.maximum(out_degrees(adj), 1.0)
+            h = h * jax.lax.rsqrt(od)[:, None]
+        h = nn.Dense(self.out_dim, use_bias=False,
+                     kernel_init=nn.initializers.glorot_uniform())(h)
+        out = spmm(adj, h, op=agg)
+        if self.norm == "both":
+            idg = jnp.maximum(in_degrees(adj), 1.0)
+            out = out * jax.lax.rsqrt(idg)[:, None]
+        elif self.norm == "right":
+            idg = jnp.maximum(in_degrees(adj), 1.0)
+            out = out / idg[:, None]
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        return out
+
+
+class SAGEConv(nn.Module):
+    """GraphSAGE with mean aggregation."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, adj: CSRMatrix, h):
+        neigh = spmm(adj, h, op="mean")
+        return (nn.Dense(self.out_dim)(h) + nn.Dense(self.out_dim, use_bias=False)(neigh))
+
+
+class AdaptiveSAGE(nn.Module):
+    """scDeepSort's adaptive SAGE layer (parity: models/nn/gnn.py:8-96).
+
+    A shared vector ``alpha`` of length n_genes+2 holds per-gene interaction
+    strengths (beta) plus gene/cell self-loop strengths. Each edge's message is
+    ``h_src * alpha[edge_type_index] * edge_weight``, mean-aggregated, then
+    dropout → Dense → activation → norm. The per-edge index follows the
+    reference rules on the gene-id node labels (``cell_id`` ndata, where >=0
+    marks gene nodes).
+    """
+
+    out_dim: int
+    dropout: float = 0.1
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, adj: CSRMatrix, h, gene_id, alpha, *, training: bool = False):
+        # per-edge alpha index (parity: gnn.py:62-83)
+        n_genes = alpha.shape[0] - 2
+        src_id = jnp.take(gene_id, adj.indices)
+        dst_id = jnp.take(gene_id, adj.row_ids())
+        idx = jnp.full(adj.nnz, n_genes + 1, dtype=jnp.int32)  # default: cell self
+        idx = jnp.where((src_id >= 0) & (dst_id < 0), src_id, idx)   # gene -> cell
+        idx = jnp.where((dst_id >= 0) & (src_id < 0), dst_id, idx)   # cell -> gene
+        idx = jnp.where((dst_id >= 0) & (src_id >= 0), n_genes, idx)  # gene self
+        msgs = gather_src(adj, h) * jnp.take(alpha, idx)[:, None] * adj.data[:, None]
+        z = aggregate(adj, msgs, op="mean")
+        z = nn.Dropout(self.dropout, deterministic=not training)(z)
+        z = nn.Dense(self.out_dim, kernel_init=nn.initializers.xavier_uniform())(z)
+        z = nn.relu(z)
+        if self.use_norm:
+            z = nn.LayerNorm()(z)
+        return z
+
+
+class GATConv(nn.Module):
+    """Graph attention conv with edge softmax (parity: STAGATE's custom GATConv)."""
+
+    out_dim: int
+    num_heads: int = 1
+    negative_slope: float = 0.2
+    concat: bool = True
+
+    @nn.compact
+    def __call__(self, adj: CSRMatrix, h, *, return_attention: bool = False):
+        H, D = self.num_heads, self.out_dim
+        feat = nn.Dense(H * D, use_bias=False,
+                        kernel_init=nn.initializers.glorot_uniform())(h)
+        feat = feat.reshape(-1, H, D)
+        attn_l = self.param("attn_l", nn.initializers.glorot_uniform(), (1, H, D))
+        attn_r = self.param("attn_r", nn.initializers.glorot_uniform(), (1, H, D))
+        el = (feat * attn_l).sum(-1)  # (n, H)
+        er = (feat * attn_r).sum(-1)
+        rows = adj.row_ids()
+        logits = nn.leaky_relu(jnp.take(el, adj.indices, axis=0)
+                               + jnp.take(er, rows, axis=0), self.negative_slope)
+        att = edge_softmax(adj, logits)  # (nnz, H)
+        msgs = jnp.take(feat, adj.indices, axis=0) * att[:, :, None]
+        out = aggregate(adj, msgs.reshape(adj.nnz, H * D), op="sum").reshape(-1, H, D)
+        out = out.reshape(-1, H * D) if self.concat else out.mean(1)
+        return (out, att) if return_attention else out
+
+
+class TAGConv(nn.Module):
+    """Topology-adaptive GCN: sum_k W_k (A^k X) (parity: scTAG's TAG conv)."""
+
+    out_dim: int
+    k: int = 2
+
+    @nn.compact
+    def __call__(self, adj: CSRMatrix, h):
+        out = nn.Dense(self.out_dim)(h)
+        hk = h
+        for _ in range(self.k):
+            hk = spmm(adj, hk)
+            out = out + nn.Dense(self.out_dim, use_bias=False)(hk)
+        return out
+
+
+__all__ = ["AdaptiveSAGE", "GATConv", "GCNConv", "SAGEConv", "TAGConv",
+           "WeightedGraphConv"]

@@ -1,0 +1,74 @@
+"""Segment ops over CSR graphs: the message-passing primitive layer.
+
+Replaces DGL's C++ SpMM/SDDMM update_all kernels (SURVEY.md §2.8). All ops are
+formulated as gather + segment_sum/segment_max over the per-edge row-id array,
+which XLA lowers to efficient sorted-scatter code on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from dance_tpu.ops.sparse import CSRMatrix
+
+
+def gather_src(adj: CSRMatrix, h: jax.Array) -> jax.Array:
+    """Per-edge source features: h[src] for each edge (row = dst layout)."""
+    return jnp.take(h, adj.indices, axis=0)
+
+
+def aggregate(adj: CSRMatrix, messages: jax.Array, op: str = "sum") -> jax.Array:
+    """Aggregate per-edge messages to destination nodes."""
+    rows = adj.row_ids()
+    n = adj.shape[0]
+    if op == "sum":
+        return jax.ops.segment_sum(messages, rows, num_segments=n)
+    if op == "mean":
+        s = jax.ops.segment_sum(messages, rows, num_segments=n)
+        deg = jax.ops.segment_sum(jnp.ones_like(rows, dtype=messages.dtype), rows,
+                                  num_segments=n)
+        return s / jnp.maximum(deg, 1.0)[:, None]
+    if op == "max":
+        return jax.ops.segment_max(messages, rows, num_segments=n)
+    raise ValueError(f"Unknown aggregation {op!r}")
+
+
+def spmm(adj: CSRMatrix, h: jax.Array, *, weighted: bool = True,
+         op: str = "sum") -> jax.Array:
+    """A @ H with optional edge weights — the core message-passing op."""
+    msgs = gather_src(adj, h)
+    if weighted:
+        msgs = msgs * adj.data[:, None]
+    return aggregate(adj, msgs, op=op)
+
+
+def edge_softmax(adj: CSRMatrix, logits: jax.Array) -> jax.Array:
+    """Softmax of per-edge logits over each destination's incoming edges.
+
+    Replaces DGL's edge_softmax (GAT attention normalization)."""
+    rows = adj.row_ids()
+    n = adj.shape[0]
+    maxes = jax.ops.segment_max(logits, rows, num_segments=n)
+    maxes = jnp.where(jnp.isfinite(maxes), maxes, 0.0)
+    exp = jnp.exp(logits - jnp.take(maxes, rows, axis=0))
+    denom = jax.ops.segment_sum(exp, rows, num_segments=n)
+    return exp / jnp.maximum(jnp.take(denom, rows, axis=0), 1e-12)
+
+
+def sddmm_dot(adj: CSRMatrix, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Per-edge dot products a[dst]·b[src] (sampled dense-dense matmul)."""
+    rows = adj.row_ids()
+    return jnp.sum(jnp.take(a, rows, axis=0) * jnp.take(b, adj.indices, axis=0), axis=-1)
+
+
+def in_degrees(adj: CSRMatrix) -> jax.Array:
+    return (adj.indptr[1:] - adj.indptr[:-1]).astype(jnp.float32)
+
+
+def out_degrees(adj: CSRMatrix) -> jax.Array:
+    n = adj.shape[1]
+    return jax.ops.segment_sum(jnp.ones_like(adj.indices, dtype=jnp.float32),
+                               adj.indices, num_segments=n)
+
+
+__all__ = ["aggregate", "edge_softmax", "gather_src", "in_degrees", "out_degrees",
+           "sddmm_dot", "spmm"]
