@@ -367,8 +367,10 @@ class Data(BaseData):
             ctypes = [ctypes] * len(channels)
         if mods is None or not isinstance(mods, list):
             mods = [mods] * len(channels)
+        # channel_type=None resolves to "obsm" (or X when channel is also None),
+        # matching reference get_feature defaults (dance/data/base.py:415-421)
         out = [self.get_feature(split_name=split_name, return_type=return_type, channel=c,
-                                channel_type=ct or "X", mod=m, **kwargs)
+                                channel_type=ct, mod=m, **kwargs)
                for m, c, ct in zip(mods, channels, ctypes)]
         return out[0] if len(out) == 1 else out
 

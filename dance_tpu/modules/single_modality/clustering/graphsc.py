@@ -1,0 +1,182 @@
+"""graph-sc: graph-conv autoencoder on the cell-gene graph + KMeans/Leiden.
+
+Parity target: dance/modules/single_modality/clustering/graphsc.py (GCNAE with
+WeightedGraphConv encoder, inner-product adjacency decoder trained with
+pos-weighted BCE, clustering on cell embeddings). Full-graph jitted training
+replaces the DGL neighbor-sampling loader — the whole graph fits on chip, so
+sampling is pure overhead on TPU.
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dance_tpu.modules.base import BaseClusteringMethod
+from dance_tpu.nn.gnn import WeightedGraphConv
+from dance_tpu.ops.sparse import CSRMatrix
+from dance_tpu.settings import logger
+from dance_tpu.transforms import AnnDataTransform, Compose, SetConfig
+from dance_tpu.transforms.graph import PCACellFeatureGraph
+from dance_tpu.typing import Any, Literal, LogLevel
+
+
+class GCNAE(nn.Module):
+    """Graph conv encoder + inner-product decoder (parity: graphsc.py:274)."""
+
+    agg: str = "sum"
+    hidden_dim: int = 200
+    hidden_1: int = 300
+    hidden_2: int = 0
+    dropout: float = 0.1
+    n_layers: int = 1
+
+    @nn.compact
+    def __call__(self, adj: CSRMatrix, feats, *, training: bool = False):
+        h = nn.Dropout(self.dropout, deterministic=not training)(feats)
+        h = WeightedGraphConv(self.hidden_dim, norm="none")(adj, h, agg=self.agg)
+        h = nn.relu(h)
+        for _ in range(self.n_layers - 1):
+            h = WeightedGraphConv(self.hidden_dim, norm="none")(adj, h, agg=self.agg)
+            h = nn.relu(h)
+        if self.hidden_1:
+            h = nn.Dense(self.hidden_1)(h)
+        if self.hidden_2:
+            h = nn.relu(h)
+            h = nn.Dense(self.hidden_2)(h)
+        emb = h
+        adj_logits = nn.sigmoid(emb @ emb.T)
+        return adj_logits, emb
+
+
+class GraphSC(BaseClusteringMethod):
+    """graph-sc model (parity: graphsc.py:34)."""
+
+    def __init__(self, agg: str = "sum", activation: str = "relu", in_feats: int = 50,
+                 n_hidden: int = 1, hidden_dim: int = 200, hidden_1: int = 300,
+                 hidden_2: int = 0, dropout: float = 0.1, n_layers: int = 1,
+                 hidden_relu: bool = False, hidden_bn: bool = False,
+                 n_clusters: int = 10,
+                 cluster_method: Literal["kmeans", "leiden"] = "kmeans",
+                 num_workers: int = 1, device: str = "auto", seed: int = 0):
+        self.n_layers = n_layers
+        self.n_clusters = n_clusters
+        self.cluster_method = cluster_method
+        self.seed = seed
+        self.model = GCNAE(agg=agg, hidden_dim=hidden_dim, hidden_1=hidden_1,
+                           hidden_2=hidden_2, dropout=dropout, n_layers=n_layers)
+        self.params = None
+        self.z = None
+
+    @staticmethod
+    def preprocessing_pipeline(n_top_genes: int = 3000,
+                               normalize_weights: str = "log_per_cell",
+                               n_components: int = 50, normalize_edges: bool = False,
+                               log_level: LogLevel = "INFO"):
+        transforms = [
+            AnnDataTransform("sc.pp.filter_genes", min_counts=3),
+            AnnDataTransform("sc.pp.filter_cells", min_counts=1),
+            AnnDataTransform("sc.pp.normalize_total"),
+            AnnDataTransform("sc.pp.log1p"),
+            AnnDataTransform("sc.pp.highly_variable_genes", min_mean=0.0125, max_mean=4,
+                             flavor="cell_ranger", min_disp=0.5,
+                             n_top_genes=n_top_genes, subset=True),
+        ]
+        if normalize_weights == "log_per_cell":
+            transforms.extend([AnnDataTransform("sc.pp.log1p"),
+                               AnnDataTransform("sc.pp.normalize_total", target_sum=1)])
+        elif normalize_weights == "per_cell":
+            transforms.append(AnnDataTransform("sc.pp.normalize_total", target_sum=1))
+        elif normalize_weights != "none":
+            raise ValueError(f"Unknown normalization option {normalize_weights!r}")
+        transforms.extend([
+            PCACellFeatureGraph(n_components=n_components,
+                                normalize_edges=normalize_edges,
+                                feat_norm_mode="standardize",
+                                out="CellFeatureGraph"),
+            SetConfig({"feature_channel": "CellFeatureGraph",
+                       "feature_channel_type": "uns", "label_channel": "Group"}),
+        ])
+        return Compose(*transforms, log_level=log_level)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _train_step(self, params, opt_state, adj, feats, adj_target, cell_slice, key):
+        def loss_fn(params):
+            logits, emb = self.model.apply({"params": params}, adj, feats,
+                                           training=True, rngs={"dropout": key})
+            cell_logits = logits[cell_slice][:, cell_slice]
+            pos = adj_target.sum()
+            total = adj_target.shape[0] ** 2
+            pos_weight = (total - pos) / jnp.maximum(pos, 1.0)
+            norm = total / jnp.maximum((total - pos) * 2, 1.0)
+            eps = 1e-7
+            bce = -(pos_weight * adj_target * jnp.log(cell_logits + eps)
+                    + (1 - adj_target) * jnp.log(1 - cell_logits + eps)).mean()
+            return norm * bce
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = self._tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def fit(self, g, y: Optional[Any] = None, *, epochs: int = 100, lr: float = 1e-5,
+            batch_size: int = 128, show_epoch_ari: bool = False,
+            eval_epoch: bool = False):
+        """Train on a Graph built by CellFeatureBipartiteGraph."""
+        from dance_tpu.graph import Graph
+        assert isinstance(g, Graph), f"expected dance_tpu Graph, got {type(g)}"
+        n_genes = g.info["num_genes"]
+        n_cells = g.info["num_cells"]
+        dg = g.to_device()
+        feats = dg.ndata.get("features")
+        if feats is None:
+            # fall back to adjacency rows against gene nodes as features
+            feats = jnp.asarray(
+                np.asarray(g.adj[:, :n_genes].todense()), jnp.float32)
+        # reconstruction target: full (bipartite) adjacency as in the reference,
+        # where the sampled block adjacency spans both node types
+        cell_slice = jnp.arange(g.num_nodes)
+        adj_target = jnp.asarray(
+            np.asarray((g.adj > 0).todense(), dtype=np.float32))
+
+        key = jax.random.key(self.seed)
+        if self.params is None:
+            self.params = self.model.init({"params": key, "dropout": key}, dg.adj,
+                                          feats)["params"]
+        self._tx = optax.adam(lr)
+        opt_state = self._tx.init(self.params)
+
+        aris, zs = [], []
+        for epoch in range(epochs):
+            key, sk = jax.random.split(key)
+            self.params, opt_state, loss = self._train_step(
+                self.params, opt_state, dg.adj, feats, adj_target, cell_slice, sk)
+            if eval_epoch or epoch == epochs - 1:
+                _, emb = self.model.apply({"params": self.params}, dg.adj, feats)
+                self.z = np.asarray(emb[n_genes:])
+                if eval_epoch and y is not None:
+                    score = self.score(None, y)
+                    aris.append(score)
+                    zs.append(self.z)
+                    if show_epoch_ari:
+                        logger.info("epoch %4d, ARI %.4f", epoch, score)
+        if aris:
+            self.z = zs[int(np.argmax(aris))]
+        return self
+
+    def predict(self, x: Optional[Any] = None):
+        if self.cluster_method == "kmeans":
+            from dance_tpu.ops.cluster import kmeans
+            return np.asarray(kmeans(self.z, self.n_clusters, n_init=10, seed=5).labels)
+        if self.cluster_method == "leiden":
+            from dance_tpu.ops.cluster import leiden
+            from dance_tpu.ops.neighbors import knn_graph
+            adj = knn_graph(self.z, 15, mode="connectivity", include_self=False)
+            return leiden(adj, seed=self.seed)
+        raise ValueError(f"Unknown clustering {self.cluster_method!r}")
+
+    def get_latent(self):
+        return self.z

@@ -1,0 +1,197 @@
+"""scDeepCluster: ZINB autoencoder + DEC soft clustering, TPU-native.
+
+Parity target: dance/modules/single_modality/clustering/scdeepcluster.py
+(denoising ZINB-AE pretrain, KMeans-initialized cluster centers, alternating
+target-distribution updates and joint ZINB+KL minibatch training, ARI-based
+epoch selection). Both stages run as jitted lax.scan epochs; KMeans init uses
+the device KMeans from :mod:`dance_tpu.ops.cluster`.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dance_tpu.modules.base import BaseClusteringMethod, NNPretrain
+from dance_tpu.nn.zinb_ae import ZINBAutoencoder
+from dance_tpu.settings import logger
+from dance_tpu.transforms import AnnDataTransform, Compose, SaveRaw, SetConfig
+from dance_tpu.typing import LogLevel, Optional, Tuple
+from dance_tpu.utils.loss import cluster_kl_loss, soft_assign, target_distribution, zinb_nll
+from dance_tpu.utils.wrappers import as_numpy
+
+
+class ScDeepCluster(NNPretrain, BaseClusteringMethod):
+    """scDeepCluster model (parity: scdeepcluster.py:63)."""
+
+    _DISPLAY_ATTRS = ("z_dim", "sigma", "alpha", "gamma")
+
+    def __init__(self, input_dim: int, z_dim: int, encodeLayer=(256, 64),
+                 decodeLayer=(64, 256), activation: str = "relu", sigma: float = 1.0,
+                 alpha: float = 1.0, gamma: float = 1.0, device: str = "auto",
+                 pretrain_path: Optional[str] = None, seed: int = 0):
+        super().__init__()
+        self.input_dim = input_dim
+        self.z_dim = z_dim
+        self.sigma = sigma
+        self.alpha = alpha
+        self.gamma = gamma
+        self.pretrain_path = pretrain_path
+        self.seed = seed
+        self.model = ZINBAutoencoder(input_dim=input_dim, z_dim=z_dim,
+                                     encode_layers=tuple(encodeLayer),
+                                     decode_layers=tuple(decodeLayer), sigma=sigma)
+        self.params = None
+        self.mu = None  # cluster centers
+
+    @staticmethod
+    def preprocessing_pipeline(log_level: LogLevel = "INFO"):
+        return Compose(
+            AnnDataTransform("sc.pp.filter_genes", min_counts=1),
+            AnnDataTransform("sc.pp.filter_cells", min_counts=1),
+            SaveRaw(),
+            AnnDataTransform("sc.pp.normalize_total"),
+            AnnDataTransform("sc.pp.log1p"),
+            AnnDataTransform("sc.pp.scale"),
+            SetConfig({"feature_channel": [None, None, "n_counts"],
+                       "feature_channel_type": ["X", "raw_X", "obs"],
+                       "label_channel": "Group"}),
+            log_level=log_level,
+        )
+
+    # --- jitted stages ----------------------------------------------------
+
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def _pretrain_epoch(self, params, opt_state, x, x_raw, sf, key, batch_size: int):
+        n = x.shape[0]
+        nb = max(n // batch_size, 1)
+        perm = jax.random.permutation(key, n)[:nb * batch_size]
+        data = (x[perm].reshape(nb, batch_size, -1),
+                x_raw[perm].reshape(nb, batch_size, -1),
+                sf[perm].reshape(nb, batch_size),
+                jax.random.split(jax.random.fold_in(key, 1), nb))
+
+        def loss_fn(params, bx, braw, bsf, rng):
+            _, mean, disp, pi = self.model.apply({"params": params}, bx, noise_rng=rng)
+            return zinb_nll(braw, mean, disp, pi, scale_factor=bsf[:, None])
+
+        def step(carry, batch):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, *batch)
+            updates, opt_state = self._pt_tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), data)
+        return params, opt_state, losses.mean()
+
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def _cluster_epoch(self, params, mu, opt_state, x, x_raw, sf, p, batch_size: int):
+        n = x.shape[0]
+        nb = max(n // batch_size, 1)
+        m = nb * batch_size
+        data = (x[:m].reshape(nb, batch_size, -1), x_raw[:m].reshape(nb, batch_size, -1),
+                sf[:m].reshape(nb, batch_size), p[:m].reshape(nb, batch_size, -1))
+
+        def loss_fn(theta, bx, braw, bsf, bp):
+            params, mu = theta
+            z = self.model.apply({"params": params}, bx, method=self.model.encode)
+            mean, disp, pi = self.model.apply({"params": params}, z,
+                                              method=self.model.decode_heads)
+            q = soft_assign(z, mu, self.alpha)
+            return (self.gamma * cluster_kl_loss(bp, q)
+                    + zinb_nll(braw, mean, disp, pi, scale_factor=bsf[:, None]))
+
+        def step(carry, batch):
+            theta, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(theta, *batch)
+            updates, opt_state = self._cl_tx.update(grads, opt_state, theta)
+            return (optax.apply_updates(theta, updates), opt_state), loss
+
+        ((params, mu), opt_state), losses = jax.lax.scan(step, ((params, mu), opt_state),
+                                                         data)
+        return params, mu, opt_state, losses.mean()
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _encode(self, params, x):
+        return self.model.apply({"params": params}, x, method=self.model.encode)
+
+    # --- stages -----------------------------------------------------------
+
+    def pretrain(self, x, x_raw, n_counts, batch_size: int = 256, lr: float = 0.001,
+                 epochs: int = 400):
+        x = jnp.asarray(x, jnp.float32)
+        x_raw = jnp.asarray(x_raw, jnp.float32)
+        sf = jnp.asarray(n_counts / np.median(np.asarray(n_counts)), jnp.float32)
+        key = jax.random.key(self.seed)
+        if self.params is None:
+            self.params = self.model.init(jax.random.split(key)[0], x[:1])["params"]
+        self._pt_tx = optax.adam(lr)  # reference uses amsgrad-adam
+        opt_state = self._pt_tx.init(self.params)
+        bs = min(batch_size, x.shape[0])
+        for epoch in range(epochs):
+            key, ek = jax.random.split(key)
+            self.params, opt_state, loss = self._pretrain_epoch(
+                self.params, opt_state, x, x_raw, sf, ek, bs)
+            if epoch % 100 == 0:
+                logger.info("Pretrain epoch %3d, ZINB loss: %.6f", epoch + 1,
+                            float(loss))
+
+    def fit(self, inputs: Tuple, y=None, n_clusters: int = 10, init_centroid=None,
+            y_pred_init=None, lr: float = 1.0, batch_size: int = 256, epochs: int = 10,
+            update_interval: int = 1, tol: float = 1e-3, pt_batch_size: int = 256,
+            pt_lr: float = 0.001, pt_epochs: int = 400):
+        x, x_raw, n_counts = (as_numpy(i) for i in inputs)
+        self._pretrain(x, x_raw, n_counts, batch_size=pt_batch_size, lr=pt_lr,
+                       epochs=pt_epochs, force_pretrain=True)
+
+        x = jnp.asarray(x, jnp.float32)
+        x_raw = jnp.asarray(x_raw, jnp.float32)
+        sf = jnp.asarray(n_counts / np.median(n_counts), jnp.float32)
+
+        if init_centroid is None:
+            from dance_tpu.ops.cluster import kmeans
+            latent = self._encode(self.params, x)
+            res = kmeans(latent, n_clusters, n_init=20, seed=self.seed)
+            self.mu = jnp.asarray(res.centers)
+            self.y_pred = np.asarray(res.labels)
+        else:
+            self.mu = jnp.asarray(init_centroid, jnp.float32)
+            self.y_pred = np.asarray(y_pred_init)
+
+        try:
+            self._cl_tx = optax.adadelta(lr, rho=0.95)
+        except AttributeError:
+            self._cl_tx = optax.adam(1e-3)
+        opt_state = self._cl_tx.init((self.params, self.mu))
+
+        bs = min(batch_size, x.shape[0])
+        aris, snapshots = [], []
+        for epoch in range(epochs):
+            if epoch % update_interval == 0:
+                latent = self._encode(self.params, x)
+                q = soft_assign(latent, self.mu, self.alpha)
+                p = target_distribution(q)
+                self.q, self.z = np.asarray(q), np.asarray(latent)
+                self.y_pred = np.asarray(q.argmax(1))
+                snapshots.append((self.q, self.z, self.y_pred))
+                if y is not None:
+                    aris.append(self.score(None, y))
+            self.params, self.mu, opt_state, loss = self._cluster_epoch(
+                self.params, self.mu, opt_state, x, x_raw, sf, p, bs)
+            if epoch % 50 == 0:
+                logger.info("Epoch %3d: loss %.6f", epoch + 1, float(loss))
+        if aris:
+            best = int(np.argmax(aris))
+            self.q, self.z, self.y_pred = snapshots[best]
+        return self
+
+    def predict_proba(self, x=None) -> np.ndarray:
+        return np.asarray(self.q)
+
+    def predict(self, x=None) -> np.ndarray:
+        return np.asarray(self.q).argmax(1)
+
+    def get_latent(self):
+        return np.asarray(self.z)

@@ -1,0 +1,212 @@
+"""scTAG: TAG graph-conv ZINB autoencoder + DEC, TPU-native.
+
+Parity target: dance/modules/single_modality/clustering/sctag.py (two TAGConv
+encoders on the sym-normalized cell kNN graph, inner-product adjacency decoder
++ MLP ZINB decoder, pretrain with w_a·adj + w_x·ZINB (+ optional dist loss),
+then DEC stage adding w_c·KL).
+"""
+
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import scipy.sparse as sp
+
+from dance_tpu.modules.base import BaseClusteringMethod, NNPretrain
+from dance_tpu.nn.gnn import TAGConv
+from dance_tpu.nn.zinb_ae import disp_act, mean_act
+from dance_tpu.ops.sparse import CSRMatrix, csr_from_scipy
+from dance_tpu.settings import logger
+from dance_tpu.transforms import AnnDataTransform, CellPCA, Compose, SaveRaw, SetConfig
+from dance_tpu.transforms.graph import NeighborGraph
+from dance_tpu.typing import Any, LogLevel, Optional, Tuple
+from dance_tpu.utils.loss import (cluster_kl_loss, dist_loss, soft_assign,
+                                  target_distribution, zinb_nll)
+from dance_tpu.utils.wrappers import as_numpy
+
+
+class _ScTAGNet(nn.Module):
+    in_dim: int
+    hidden_dim: int
+    latent_dim: int
+    dec_dims: Tuple[int, ...]
+    k: int
+    dropout: float
+
+    def setup(self):
+        self.encoder1 = TAGConv(self.hidden_dim, k=self.k)
+        self.encoder2 = TAGConv(self.latent_dim, k=self.k)
+        self.dec_stack = [nn.Dense(d) for d in self.dec_dims]
+        self.dec_mean = nn.Dense(self.in_dim)
+        self.dec_disp = nn.Dense(self.in_dim)
+        self.dec_pi = nn.Dense(self.in_dim)
+
+    def encode(self, adj: CSRMatrix, x):
+        h = nn.relu(self.encoder1(adj, x))
+        return self.encoder2(adj, h)
+
+    def decode(self, z):
+        h = z
+        for layer in self.dec_stack:
+            h = nn.relu(layer(h))
+        return mean_act(self.dec_mean(h)), disp_act(self.dec_disp(h)), nn.sigmoid(
+            self.dec_pi(h))
+
+    def __call__(self, adj: CSRMatrix, x):
+        z = self.encode(adj, x)
+        adj_logits = nn.sigmoid(z @ z.T)
+        mean, disp, pi = self.decode(z)
+        return z, adj_logits, mean, disp, pi
+
+
+class ScTAG(NNPretrain, BaseClusteringMethod):
+    """scTAG model (parity: sctag.py:32)."""
+
+    _DISPLAY_ATTRS = ("n_clusters", "k", "hidden_dim", "latent_dim")
+
+    def __init__(self, n_clusters: int, k: int = 3, hidden_dim: int = 128,
+                 latent_dim: int = 15, dec_dim=None, dropout: float = 0.2,
+                 device: str = "auto", alpha: float = 1.0,
+                 pretrain_path: Optional[str] = None, seed: int = 0):
+        super().__init__()
+        self.n_clusters = n_clusters
+        self.k = k
+        self.hidden_dim = hidden_dim
+        self.latent_dim = latent_dim
+        self.dec_dim = tuple(dec_dim or (128, 256, 512))
+        self.dropout = dropout
+        self.alpha = alpha
+        self.pretrain_path = pretrain_path
+        self.seed = seed
+        self.params = None
+        self.mu = None
+        self.net = None
+
+    @staticmethod
+    def preprocessing_pipeline(n_top_genes: int = 3000, n_components: int = 50,
+                               n_neighbors: int = 15, log_level: LogLevel = "INFO"):
+        return Compose(
+            AnnDataTransform("sc.pp.filter_genes", min_counts=3),
+            AnnDataTransform("sc.pp.filter_cells", min_counts=1),
+            AnnDataTransform("sc.pp.normalize_per_cell"),
+            AnnDataTransform("sc.pp.log1p"),
+            AnnDataTransform("sc.pp.highly_variable_genes", min_mean=0.0125, max_mean=4,
+                             flavor="cell_ranger", min_disp=0.5,
+                             n_top_genes=n_top_genes, subset=True),
+            AnnDataTransform("sc.pp.filter_genes", min_counts=1),
+            AnnDataTransform("sc.pp.filter_cells", min_counts=1),
+            SaveRaw(),
+            AnnDataTransform("sc.pp.normalize_total"),
+            AnnDataTransform("sc.pp.log1p"),
+            AnnDataTransform("sc.pp.scale"),
+            CellPCA(n_components=n_components),
+            NeighborGraph(n_neighbors=n_neighbors, n_pcs=n_components),
+            SetConfig({"feature_channel": ["NeighborGraph", None, None, "n_counts"],
+                       "feature_channel_type": ["obsp", "X", "raw_X", "obs"],
+                       "label_channel": "Group"}),
+            log_level=log_level,
+        )
+
+    def init_model(self, adj, x):
+        adj = sp.csr_matrix(adj)
+        adj = adj + sp.eye(adj.shape[0], format="csr", dtype=np.float32)
+        deg = np.asarray(adj.sum(1)).ravel()
+        dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+        adj_n = sp.diags(dinv) @ adj @ sp.diags(dinv)
+        self.adj_n = csr_from_scipy(adj_n)
+        self.adj_dense = jnp.asarray((adj > 0).todense().astype(np.float32))
+        self.net = _ScTAGNet(in_dim=x.shape[1], hidden_dim=self.hidden_dim,
+                             latent_dim=self.latent_dim, dec_dims=self.dec_dim,
+                             k=self.k, dropout=self.dropout)
+        self.params = self.net.init(jax.random.key(self.seed), self.adj_n,
+                                    jnp.asarray(x[:, :], jnp.float32))["params"]
+
+    @partial(jax.jit, static_argnames=("self", "use_cluster"))
+    def _step(self, params, mu, opt_state, adj, x, x_raw, sf, adj_target, p,
+              w_a, w_x, w_c, w_d, use_cluster: bool):
+        def loss_fn(theta):
+            params, mu = theta
+            z, adj_logits, mean, disp, pi = self.net.apply({"params": params}, adj, x)
+            eps = 1e-7
+            a_loss = -(adj_target * jnp.log(adj_logits + eps)
+                       + (1 - adj_target) * jnp.log(1 - adj_logits + eps)).mean()
+            x_loss = zinb_nll(x_raw, mean, disp, pi, scale_factor=sf[:, None])
+            loss = w_a * a_loss + w_x * x_loss
+            loss = jnp.where(w_d > 0, loss + w_d * dist_loss(z), loss)
+            if use_cluster:
+                q = soft_assign(z, mu, self.alpha)
+                loss = loss + w_c * cluster_kl_loss(p, q)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)((params, mu))
+        updates, opt_state = self._tx.update(grads, opt_state, (params, mu))
+        (params, mu) = optax.apply_updates((params, mu), updates)
+        return params, mu, opt_state, loss
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _encode(self, params, adj, x):
+        return self.net.apply({"params": params}, adj, x, method=self.net.encode)
+
+    def pretrain(self, adj, x, x_raw, n_counts, *, epochs: int = 1000,
+                 info_step: int = 10, lr: float = 5e-4, w_a: float = 0.3,
+                 w_x: float = 1.0, w_d: float = 0.0, min_dist: float = 0.5,
+                 max_dist: float = 20.0, force_pretrain: bool = False):
+        if self.net is None:
+            self.init_model(adj, x)
+        x = jnp.asarray(x, jnp.float32)
+        x_raw = jnp.asarray(x_raw, jnp.float32)
+        sf = jnp.asarray(n_counts / np.median(np.asarray(n_counts)), jnp.float32)
+        self._tx = optax.adam(lr)
+        mu = jnp.zeros((self.n_clusters, self.latent_dim), jnp.float32)
+        opt_state = self._tx.init((self.params, mu))
+        p = jnp.zeros((x.shape[0], self.n_clusters), jnp.float32)
+        for epoch in range(epochs):
+            self.params, mu, opt_state, loss = self._step(
+                self.params, mu, opt_state, self.adj_n, x, x_raw, sf, self.adj_dense,
+                p, w_a, w_x, 0.0, w_d, False)
+            if epoch % max(info_step * 10, 1) == 0:
+                logger.info("Pretrain epoch %d, loss %.6f", epoch, float(loss))
+
+    def fit(self, inputs: Tuple, y=None, *, epochs: int = 300,
+            pretrain_epochs: int = 200, lr: float = 5e-4, w_a: float = 0.3,
+            w_x: float = 1.0, w_c: float = 1.5, w_d: float = 0.0, info_step: int = 1,
+            max_dist: float = 20.0, min_dist: float = 0.5,
+            force_pretrain: bool = False):
+        adj, x, x_raw, n_counts = (as_numpy(i) for i in inputs)
+        self._pretrain(adj, x, x_raw, n_counts, epochs=pretrain_epochs, lr=lr, w_a=w_a,
+                       w_x=w_x, w_d=w_d, force_pretrain=force_pretrain)
+        x = jnp.asarray(x, jnp.float32)
+        x_raw = jnp.asarray(x_raw, jnp.float32)
+        sf = jnp.asarray(n_counts / np.median(n_counts), jnp.float32)
+
+        from dance_tpu.ops.cluster import kmeans
+        latent = self._encode(self.params, self.adj_n, x)
+        res = kmeans(latent, self.n_clusters, n_init=20, seed=self.seed)
+        self.mu = jnp.asarray(res.centers)
+
+        self._tx = optax.adam(lr)
+        opt_state = self._tx.init((self.params, self.mu))
+        aris, snapshots = [], []
+        for epoch in range(epochs):
+            latent = self._encode(self.params, self.adj_n, x)
+            q = soft_assign(latent, self.mu, self.alpha)
+            p = target_distribution(q)
+            self.q, self.z = np.asarray(q), np.asarray(latent)
+            if y is not None:
+                aris.append(self.score(None, y))
+                snapshots.append(self.q)
+            self.params, self.mu, opt_state, loss = self._step(
+                self.params, self.mu, opt_state, self.adj_n, x, x_raw, sf,
+                self.adj_dense, p, w_a, w_x, w_c, w_d, True)
+        if aris:
+            self.q = snapshots[int(np.argmax(aris))]
+        return self
+
+    def predict_proba(self, x: Optional[Any] = None) -> np.ndarray:
+        return np.asarray(self.q)
+
+    def predict(self, x: Optional[Any] = None) -> np.ndarray:
+        return np.asarray(self.q).argmax(1)

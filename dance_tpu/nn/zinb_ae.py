@@ -1,0 +1,80 @@
+"""ZINB autoencoder backbone shared by the clustering family.
+
+Parity targets: dance/modules/single_modality/clustering/scdeepcluster.py:30-62
+(buildNetwork/MeanAct/DispAct) and the equivalent stacks in scDCC/scTAG/scDSC.
+The denoising-noise path (sigma) and the three ZINB heads match the reference.
+"""
+
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def mean_act(x):
+    """exp clamped to [1e-5, 1e6] (parity: MeanAct)."""
+    return jnp.clip(jnp.exp(x), 1e-5, 1e6)
+
+
+def disp_act(x):
+    """softplus clamped to [1e-4, 1e4] (parity: DispAct)."""
+    return jnp.clip(jax.nn.softplus(x), 1e-4, 1e4)
+
+
+class MLPStack(nn.Module):
+    dims: Tuple[int, ...]
+    activation: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x):
+        for d in self.dims:
+            x = nn.Dense(d)(x)
+            x = self.activation(x)
+        return x
+
+
+class ZINBAutoencoder(nn.Module):
+    """Encoder -> z -> decoder with ZINB (mean, disp, pi) heads.
+
+    ``sigma`` adds denoising Gaussian noise to the encoder input during the AE
+    forward (parity: scdeepcluster.py forwardAE); the clean embedding path
+    (``encode``) skips the noise.
+    """
+
+    input_dim: int
+    z_dim: int
+    encode_layers: Tuple[int, ...] = (256, 64)
+    decode_layers: Tuple[int, ...] = (64, 256)
+    sigma: float = 1.0
+    activation: Callable = nn.relu
+
+    def setup(self):
+        self.encoder = MLPStack(self.encode_layers, self.activation)
+        self.enc_mu = nn.Dense(self.z_dim)
+        self.decoder = MLPStack(self.decode_layers, self.activation)
+        self.dec_mean = nn.Dense(self.input_dim)
+        self.dec_disp = nn.Dense(self.input_dim)
+        self.dec_pi = nn.Dense(self.input_dim)
+
+    def encode(self, x):
+        return self.enc_mu(self.encoder(x))
+
+    def decode_heads(self, z):
+        h = self.decoder(z)
+        return mean_act(self.dec_mean(h)), disp_act(self.dec_disp(h)), nn.sigmoid(
+            self.dec_pi(h))
+
+    def __call__(self, x, noise_rng: Optional[jax.Array] = None):
+        """Denoising AE forward: returns (z_clean, mean, disp, pi)."""
+        if noise_rng is not None and self.sigma > 0:
+            x_noisy = x + self.sigma * jax.random.normal(noise_rng, x.shape, x.dtype)
+        else:
+            x_noisy = x
+        z_noisy = self.enc_mu(self.encoder(x_noisy))
+        mean, disp, pi = self.decode_heads(z_noisy)
+        z_clean = self.encode(x)
+        return z_clean, mean, disp, pi
+
+
+__all__ = ["MLPStack", "ZINBAutoencoder", "disp_act", "mean_act"]

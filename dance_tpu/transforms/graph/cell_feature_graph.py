@@ -52,8 +52,8 @@ class PCACellFeatureGraph(BaseTransform):
     def __init__(self, n_components: int = 400, split_name: Optional[str] = None, *,
                  normalize_edges: bool = True, feat_norm_mode: Optional[str] = None,
                  feat_norm_axis: int = 0, mod: Optional[str] = None,
-                 log_level: LogLevel = "WARNING"):
-        super().__init__(log_level=log_level)
+                 out: Optional[str] = None, log_level: LogLevel = "WARNING"):
+        super().__init__(out=out, log_level=log_level)
         self.n_components = n_components
         self.split_name = split_name
         self.normalize_edges = normalize_edges

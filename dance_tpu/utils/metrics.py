@@ -41,7 +41,12 @@ def acc(true, pred) -> float:
     """
     true, pred = np.asarray(true), np.asarray(pred).ravel()
     if true.ndim == 2:
-        return float(true[np.arange(pred.shape[0]), pred].mean())
+        # out-of-range predictions (e.g. SingleCellNet's extra "unknown" class)
+        # count as incorrect instead of crashing the indexing
+        valid = pred < true.shape[1]
+        hits = np.zeros(pred.shape[0], dtype=float)
+        hits[valid] = true[np.nonzero(valid)[0], pred[valid]]
+        return float(hits.mean())
     return float((true.ravel() == pred).mean())
 
 
