@@ -1,0 +1,162 @@
+"""scDeepSort: weighted cell-gene bipartite GraphSAGE annotation, TPU-native.
+
+Parity target: dance/modules/single_modality/cell_type_annotation/scdeepsort.py
+(AdaptiveSAGE stack with shared alpha/beta weights, best-val-epoch selection,
+unsure-rate thresholded prediction). The DGL NeighborSampler + worker-process
+loader becomes full-graph jitted training: the whole cell-gene graph lives on
+chip and each epoch is one fused forward/backward, which on TPU is strictly
+faster than sampling for graphs of this scale.
+"""
+
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dance_tpu.graph import Graph
+from dance_tpu.modules.base import BaseClassificationMethod
+from dance_tpu.nn.gnn import AdaptiveSAGE
+from dance_tpu.ops.sparse import CSRMatrix
+from dance_tpu.settings import logger
+from dance_tpu.transforms import Compose, SetConfig
+from dance_tpu.transforms.graph import PCACellFeatureGraph
+from dance_tpu.typing import LogLevel, Optional
+from dance_tpu.utils.wrappers import as_numpy
+
+
+class GNN(nn.Module):
+    """AdaptiveSAGE stack + linear head (parity: scdeepsort.py:26)."""
+
+    dim_out: int
+    dim_hid: int
+    n_layers: int
+    gene_num: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, adj: CSRMatrix, x, gene_id, *, training: bool = False):
+        alpha = self.param("alpha", nn.initializers.ones, (self.gene_num + 2,))
+        for _ in range(self.n_layers):
+            x = AdaptiveSAGE(self.dim_hid, dropout=self.dropout)(
+                adj, x, gene_id, alpha, training=training)
+        return nn.Dense(self.dim_out,
+                        kernel_init=nn.initializers.xavier_uniform())(x)
+
+
+class ScDeepSort(BaseClassificationMethod):
+    """scDeepSort model (parity: scdeepsort.py:91)."""
+
+    _DISPLAY_ATTRS = ("dense_dim", "hidden_dim", "n_layers", "species", "tissue")
+
+    def __init__(self, dim_in: int, dim_hid: int, num_layers: int, species: str = "",
+                 tissue: str = "", *, dropout: float = 0, batch_size: int = 500,
+                 device: str = "auto", seed: int = 0):
+        self.dense_dim = dim_in
+        self.hidden_dim = dim_hid
+        self.n_layers = num_layers
+        self.dropout = dropout
+        self.species = species
+        self.tissue = tissue
+        self.batch_size = batch_size
+        self.seed = seed
+        self.params = None
+        self.model: Optional[GNN] = None
+
+    @staticmethod
+    def preprocessing_pipeline(n_components: int = 400, log_level: LogLevel = "INFO"):
+        return Compose(
+            PCACellFeatureGraph(n_components=n_components, split_name="train"),
+            SetConfig({"label_channel": "cell_type"}),
+            log_level=log_level,
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _train_step(self, params, opt_state, adj, feats, gene_id, labels, mask, key):
+        def loss_fn(params):
+            logits = self.model.apply({"params": params}, adj, feats, gene_id,
+                                      training=True, rngs={"dropout": key})
+            losses = optax.softmax_cross_entropy_with_integer_labels(
+                logits, jnp.maximum(labels, 0))
+            return jnp.sum(losses * mask) / jnp.maximum(mask.sum(), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = self._tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _forward(self, params, adj, feats, gene_id):
+        return self.model.apply({"params": params}, adj, feats, gene_id)
+
+    def fit(self, graph: Graph, labels, epochs: int = 300, lr: float = 1e-3,
+            weight_decay: float = 0, val_ratio: float = 0.2):
+        labels = as_numpy(labels)
+        if labels.ndim == 2:
+            labels = labels.argmax(1)
+        dg = graph.to_device()
+        gene_id = dg.ndata["cell_id"]  # reference naming quirk: gene index labels
+        num_genes = int(graph.info["num_genes"])
+        num_cells = int(graph.info["num_cells"])
+        self.num_labels = int(labels.max()) + 1
+        self._graph_cache = (dg, gene_id)
+
+        rng = np.random.default_rng(self.seed)
+        perm = rng.permutation(num_cells) + num_genes
+        num_val = int(num_cells * val_ratio)
+        val_idx, train_idx = perm[:num_val], perm[num_val:]
+
+        full_labels = -np.ones(num_genes + num_cells, dtype=np.int32)
+        full_labels[num_genes:] = labels[:num_cells]
+        full_labels = jnp.asarray(full_labels)
+        train_mask = jnp.asarray(np.isin(np.arange(len(full_labels)), train_idx)
+                                 .astype(np.float32))
+
+        self.model = GNN(dim_out=self.num_labels, dim_hid=self.hidden_dim,
+                         n_layers=self.n_layers, gene_num=num_genes,
+                         dropout=self.dropout)
+        key = jax.random.key(self.seed)
+        feats = dg.ndata["features"]
+        self.params = self.model.init({"params": key, "dropout": key}, dg.adj, feats,
+                                      gene_id)["params"]
+        self._tx = (optax.adamw(lr, weight_decay=weight_decay) if weight_decay
+                    else optax.adam(lr))
+        opt_state = self._tx.init(self.params)
+
+        best_val, best_params = -1.0, self.params
+        y_np = np.asarray(full_labels)
+        for epoch in range(epochs):
+            key, sk = jax.random.split(key)
+            self.params, opt_state, loss = self._train_step(
+                self.params, opt_state, dg.adj, feats, gene_id, full_labels,
+                train_mask, sk)
+            if num_val:
+                logits = self._forward(self.params, dg.adj, feats, gene_id)
+                pred = np.asarray(logits.argmax(1))
+                val_acc = (pred[val_idx] == y_np[val_idx]).mean()
+                if val_acc >= best_val:
+                    best_val, best_params = val_acc, self.params
+                if epoch % 50 == 0:
+                    logger.info("Epoch %04d: loss %.4f, val acc %.4f", epoch,
+                                float(loss), val_acc)
+        self.params = best_params
+        return self
+
+    def predict_proba(self, graph: Graph):
+        dg = graph.to_device()
+        gene_id = dg.ndata["cell_id"]
+        logits = self._forward(self.params, dg.adj, dg.ndata["features"], gene_id)
+        num_genes = int(graph.info["num_genes"])
+        cell_logits = logits[num_genes:]
+        return np.asarray(jax.nn.softmax(cell_logits, axis=-1))
+
+    def predict(self, graph: Graph, unsure_rate: float = 2.0):
+        """Predict cell types; scores below unsure_rate/num_labels give -1
+        (parity: scdeepsort.py:330)."""
+        probs = self.predict_proba(graph)
+        pred = probs.argmax(1)
+        unsure = probs.max(1) < unsure_rate / self.num_labels
+        pred = pred.copy()
+        pred[unsure] = -1
+        return pred

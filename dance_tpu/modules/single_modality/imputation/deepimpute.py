@@ -1,0 +1,202 @@
+"""DeepImpute: per-gene-block MLP ensembles, vmapped on TPU.
+
+Parity target: dance/modules/single_modality/imputation/deepimpute.py (gene
+targets split into batches; each batch gets its own predictors-→targets MLP
+trained with weighted MSE). The reference trains each subnetwork in a Python
+loop; here every subnetwork's parameters live in one vmapped pytree and ALL
+ensembles train simultaneously in a single jitted step — the ensemble axis
+becomes a batch axis on the MXU.
+"""
+
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dance_tpu.modules.base import BaseRegressionMethod
+from dance_tpu.settings import logger
+from dance_tpu.transforms import (AnnDataTransform, CellwiseMaskData, Compose,
+                                  FilterCellsScanpy, FilterGenesScanpy, GeneHoldout,
+                                  SaveRaw, SetConfig)
+from dance_tpu.typing import LogLevel, Optional
+from dance_tpu.utils.wrappers import as_numpy
+
+
+class _SubNet(nn.Module):
+    out_dim: int
+    hidden_dim: int = 256
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        x = nn.Dense(self.hidden_dim)(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        return nn.softplus(nn.Dense(self.out_dim)(x))
+
+
+class DeepImpute(BaseRegressionMethod):
+    """DeepImpute model (parity: deepimpute.py:68)."""
+
+    _DISPLAY_ATTRS = ("sub_outputdim", "hidden_dim", "dropout")
+
+    def __init__(self, predictors, targets, dataset: str = "", sub_outputdim: int = 512,
+                 hidden_dim: int = 256, dropout: float = 0.2, seed: int = 1,
+                 gpu: int = -1):
+        self.predictors = list(predictors)
+        self.targets = list(targets)
+        self.sub_outputdim = sub_outputdim
+        self.hidden_dim = hidden_dim
+        self.dropout = dropout
+        self.seed = seed
+        self.params = None
+
+    @staticmethod
+    def preprocessing_pipeline(min_cells: float = 0.1, n_top: int = 5,
+                               sub_outputdim: int = 512, mask: bool = True,
+                               distr: str = "exp", mask_rate: float = 0.1,
+                               seed: int = 1, log_level: LogLevel = "INFO"):
+        transforms = [
+            FilterGenesScanpy(min_cells=min_cells),
+            FilterCellsScanpy(min_counts=1),
+            SaveRaw(),
+            AnnDataTransform("sc.pp.log1p"),
+            GeneHoldout(n_top=n_top, batch_size=sub_outputdim),
+        ]
+        if mask:
+            transforms.extend([
+                CellwiseMaskData(distr=distr, mask_rate=mask_rate, seed=seed,
+                                 add_test_mask=True),
+                SetConfig({"feature_channel": [None, None, "targets", "predictors",
+                                               "train_mask", "valid_mask", "test_mask"],
+                           "feature_channel_type": ["X", "raw_X", "uns", "uns",
+                                                    "layers", "layers", "layers"],
+                           "label_channel": [None, None],
+                           "label_channel_type": ["X", "raw_X"]}),
+            ])
+        else:
+            transforms.append(SetConfig({
+                "feature_channel": [None, None, "targets", "predictors"],
+                "feature_channel_type": ["X", "raw_X", "uns", "uns"],
+                "label_channel": [None, None],
+                "label_channel_type": ["X", "raw_X"]}))
+        return Compose(*transforms, log_level=log_level)
+
+    # --- padded ensemble layout -------------------------------------------
+
+    def _pad_layout(self):
+        """Pad predictor/target index lists to rectangular arrays + masks."""
+        p_max = max(len(p) for p in self.predictors)
+        t_max = max(len(t) for t in self.targets)
+        n_ens = len(self.targets)
+        pred_idx = np.zeros((n_ens, p_max), np.int32)
+        targ_idx = np.zeros((n_ens, t_max), np.int32)
+        targ_mask = np.zeros((n_ens, t_max), np.float32)
+        for i, (p, t) in enumerate(zip(self.predictors, self.targets)):
+            pred_idx[i, :len(p)] = p
+            targ_idx[i, :len(t)] = t
+            targ_mask[i, :len(t)] = 1
+        return (jnp.asarray(pred_idx), jnp.asarray(targ_idx), jnp.asarray(targ_mask),
+                p_max, t_max)
+
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def _train_epoch(self, params, opt_state, X, Y, loss_mask, key, batch_size: int):
+        pred_idx, targ_idx, targ_mask = self._idx
+        n = X.shape[0]
+        nb = max(n // batch_size, 1)
+        perm = jax.random.permutation(key, n)[:nb * batch_size]
+        Xb = X[perm].reshape(nb, batch_size, -1)
+        Yb = Y[perm].reshape(nb, batch_size, -1)
+        Mb = loss_mask[perm].reshape(nb, batch_size, -1)
+        keys = jax.random.split(jax.random.fold_in(key, 7), nb)
+
+        def loss_fn(params, bx, by, bm, rng):
+            def one(sub_params, p_idx, t_idx, t_mask, r):
+                x_in = bx[:, p_idx]
+                y_t = by[:, t_idx]
+                m_t = bm[:, t_idx] * t_mask[None, :]
+                y_hat = self.net.apply({"params": sub_params}, x_in, training=True,
+                                       rngs={"dropout": r})
+                w = y_t  # wMSE: weight by true expression (parity: deepimpute.py:158)
+                return jnp.sum(w * m_t * (y_t - y_hat) ** 2) / jnp.maximum(
+                    jnp.sum(m_t), 1.0)
+
+            sub_rngs = jax.random.split(r_all := rng, pred_idx.shape[0])
+            losses = jax.vmap(one)(params, pred_idx, targ_idx, targ_mask, sub_rngs)
+            return losses.mean()
+
+        def step(carry, batch):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, *batch)
+            updates, opt_state = self._tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state),
+                                                   (Xb, Yb, Mb, keys))
+        return params, opt_state, losses.mean()
+
+    def fit(self, X, Y, mask=None, batch_size: int = 64, lr: float = 1e-3,
+            n_epochs: int = 100, patience: int = 5, train_idx=None):
+        X = as_numpy(X).astype(np.float32)
+        Y = as_numpy(Y).astype(np.float32)
+        if train_idx is not None:
+            train_sel = np.asarray(train_idx)
+            X, Y = X[train_sel], Y[train_sel]
+            mask_arr = (as_numpy(mask)[train_sel].astype(np.float32)
+                        if mask is not None else np.ones_like(X))
+        else:
+            mask_arr = (as_numpy(mask).astype(np.float32) if mask is not None
+                        else np.ones_like(X))
+
+        pred_idx, targ_idx, targ_mask, p_max, t_max = self._pad_layout()
+        self._idx = (pred_idx, targ_idx, targ_mask)
+        self.net = _SubNet(out_dim=t_max, hidden_dim=self.hidden_dim,
+                           dropout=self.dropout)
+        key = jax.random.key(self.seed)
+
+        def init_one(r, p_idx):
+            return self.net.init({"params": r, "dropout": r},
+                                 jnp.zeros((1, p_max)))["params"]
+
+        keys = jax.random.split(key, pred_idx.shape[0])
+        self.params = jax.vmap(init_one)(keys, pred_idx)
+        self._tx = optax.adam(lr)
+        opt_state = self._tx.init(self.params)
+
+        Xj, Yj, Mj = jnp.asarray(X), jnp.asarray(Y), jnp.asarray(mask_arr)
+        bs = min(batch_size, X.shape[0])
+        best = np.inf
+        for epoch in range(n_epochs):
+            key, ek = jax.random.split(key)
+            self.params, opt_state, loss = self._train_epoch(
+                self.params, opt_state, Xj, Yj, Mj, ek, bs)
+            if epoch % 20 == 0:
+                logger.info("DeepImpute epoch %d, wMSE %.6f", epoch, float(loss))
+        return self
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _predict_all(self, params, X):
+        pred_idx, targ_idx, targ_mask = self._idx
+
+        def one(sub_params, p_idx):
+            return self.net.apply({"params": sub_params}, X[:, p_idx])
+
+        return jax.vmap(one)(params, pred_idx)  # (n_ens, n_cells, t_max)
+
+    def predict(self, X_test, mask=None, test_idx=None, predict_raw: bool = False):
+        X = as_numpy(X_test).astype(np.float32)
+        if test_idx is not None:
+            X = X[np.asarray(test_idx)]
+        if mask is not None:
+            m = as_numpy(mask)
+            if test_idx is not None:
+                m = m[np.asarray(test_idx)]
+            X = X * m
+        preds = np.asarray(self._predict_all(self.params, jnp.asarray(X)))
+        out = X.copy()
+        for i, t in enumerate(self.targets):
+            out[:, t] = preds[i, :, :len(t)]
+        return np.expm1(out) if predict_raw else out

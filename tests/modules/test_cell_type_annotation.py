@@ -57,3 +57,27 @@ def test_singlecellnet_e2e(data):
     x_test, y_test = d.get_test_data(return_type="numpy")
     acc = model.score(x_test, y_test)
     assert acc > 0.7, f"SingleCellNet acc too low: {acc}"
+
+
+def test_scdeepsort_e2e(data):
+    from dance_tpu.modules.single_modality.cell_type_annotation import ScDeepSort
+    d = data.copy()
+    model = ScDeepSort(dim_in=16, dim_hid=32, num_layers=1, species="mouse",
+                       tissue="Spleen", seed=0)
+    model.preprocess(d, n_components=16)
+    y_train = d.get_y("train")
+    graph = d.data.uns["PCACellFeatureGraph"]
+    n_genes = graph.info["num_genes"]
+    # train on the subgraph of genes + train cells (reference example flow)
+    train_idx = np.concatenate([np.arange(n_genes),
+                                n_genes + np.asarray(d.train_idx)])
+    g_train = graph.subgraph(train_idx)
+    g_train.info = {"num_genes": n_genes, "num_cells": len(d.train_idx)}
+    model.fit(g_train, y_train.argmax(1), epochs=60, lr=1e-2)
+    test_idx = np.concatenate([np.arange(n_genes), n_genes + np.asarray(d.test_idx)])
+    g_test = graph.subgraph(test_idx)
+    g_test.info = {"num_genes": n_genes, "num_cells": len(d.test_idx)}
+    y_test = d.get_y("test")
+    pred = model.predict(g_test, unsure_rate=2.0)
+    acc = (y_test.argmax(1) == pred).mean()
+    assert acc > 0.8, f"scDeepSort acc too low: {acc}"
