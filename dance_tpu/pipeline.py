@@ -1,0 +1,741 @@
+"""Pipeline / AutoML system — the DANCE 2.0 preprocessing-search engine.
+
+Parity target: dance/pipeline.py (Action :28, Pipeline :169, PipelinePlaner
+:268 with tune modes pipeline/params/pipeline_params, include/exclude/skippable
+candidate filtering, default_params overwrites, search-space emission, the
+3-step tuning protocol :1012-1139, and subset-ablation generation :930-1009).
+
+The trial executor is framework-native: :class:`SweepRunner` replaces the wandb
+agent loop with a local grid/random scheduler whose records always land in CSV
+(`save_summary_data` parity); wandb remains an optional telemetry sink via
+``wandb_sweep_agent`` when the package is importable.
+"""
+
+import importlib
+import inspect
+import itertools
+import os
+import random as _random
+from copy import deepcopy
+from pprint import pformat
+
+import numpy as np
+import pandas as pd
+
+from dance_tpu.config import Config
+from dance_tpu.exceptions import DevError
+from dance_tpu.registry import REGISTRY, REGISTRY_PREFIX, Registry, resolve_from_registry
+from dance_tpu.settings import logger
+from dance_tpu.typing import (Any, Callable, ConfigLike, Dict, List, Optional, Tuple,
+                              Union)
+from dance_tpu.utils import Color, default, try_import
+
+
+class Action:
+
+    TYPE_KEY = "type"
+    DESC_KEY = "desc"
+    TARGET_KEY = "target"
+    SCOPE_KEY = "scope"
+    PARAMS_KEY = "params"
+    SKIP_FLAG = "_skip_"
+
+    def __init__(self, *, type_: Optional[str] = None, desc: Optional[str] = None,
+                 target: Optional[str] = None, scope: Optional[str] = None,
+                 params: Optional[Dict[str, Any]] = None,
+                 _parent_type: Optional[str] = None, _registry: Registry = None):
+        self._type = type_
+        self._parent_type = _parent_type
+        self._desc = desc
+        self._target = target
+        self._registry = REGISTRY if _registry is None else _registry
+        self.scope = scope
+        self._params = default(params, {})
+
+    @property
+    def type(self):
+        return self._type
+
+    @property
+    def parent_type(self):
+        return self._parent_type
+
+    @property
+    def full_type(self):
+        if self.type is None and self.parent_type is None:
+            return None
+        return ".".join(filter(None, (self.parent_type, self.type)))
+
+    @property
+    def desc(self):
+        return self._desc
+
+    @property
+    def target(self):
+        return self._target
+
+    @property
+    def scope(self) -> str:
+        return self._scope
+
+    @scope.setter
+    def scope(self, val: Optional[str]):
+        val = default(val, REGISTRY_PREFIX)
+        if val == REGISTRY_PREFIX:
+            val = ".".join(filter(None, (val, self.parent_type, self.type)))
+        self._scope = val
+
+    @property
+    def params(self) -> Dict[str, Any]:
+        return self._params
+
+    @property
+    def skip(self) -> bool:
+        return self.target == self.SKIP_FLAG
+
+    def _get_target(self):
+        if self.scope.startswith(REGISTRY_PREFIX):
+            scope = self.scope
+            if scope == REGISTRY_PREFIX and self.type is not None:
+                scope = ".".join((scope, self.type))
+            return resolve_from_registry(self.target, scope, registry=self._registry)
+        mod = importlib.import_module(self.scope)
+        return getattr(mod, self.target)
+
+    @property
+    def functional(self) -> Callable:
+        return self._get_target()(**self.params)
+
+    def __call__(self, *args, **kwargs):
+        return self.functional(*args, **kwargs)
+
+    def __repr__(self):
+        return f"{self.__class__.__name__}({default(self.target, '')})"
+
+    def copy(self):
+        return deepcopy(self)
+
+    @classmethod
+    def from_config(cls, cfg: ConfigLike, **kwargs):
+        return cls(type_=cfg.get(cls.TYPE_KEY), desc=cfg.get(cls.DESC_KEY),
+                   target=cfg.get(cls.TARGET_KEY), scope=cfg.get(cls.SCOPE_KEY),
+                   params=cfg.get(cls.PARAMS_KEY), **kwargs)
+
+    def to_config(self) -> Config:
+        return Config({self.TYPE_KEY: self.type, self.DESC_KEY: self.desc,
+                       self.TARGET_KEY: self.target, self.SCOPE_KEY: self.scope,
+                       self.PARAMS_KEY: dict(self.params)})
+
+    def to_dict(self):
+        return self.to_config().to_dict()
+
+    def to_yaml(self):
+        return self.to_config().to_yaml()
+
+    def dump_json(self, path, exist_handle="warn"):
+        self.to_config().dump_json(path, exist_handle)
+
+    def dump_yaml(self, path, exist_handle="warn"):
+        self.to_config().dump_yaml(path, exist_handle)
+
+
+class Pipeline(Action):
+
+    PIPELINE_KEY = "pipeline"
+
+    def __init__(self, cfg: ConfigLike, *, _parent_type: Optional[str] = None,
+                 _registry: Registry = None):
+        super().__init__(type_=cfg.get(self.TYPE_KEY), desc=cfg.get(self.DESC_KEY),
+                         _parent_type=_parent_type, _registry=_registry)
+        self._pipeline: List[Action] = []
+        sub_cfgs = cfg.get(self.PIPELINE_KEY)
+        if sub_cfgs is None:
+            raise ValueError(f"Missing pipeline config; specify {self.PIPELINE_KEY!r}")
+        for sub_cfg in sub_cfgs:
+            if self.PARAMS_KEY in sub_cfg and self.PIPELINE_KEY in sub_cfg:
+                raise KeyError(f"Cannot specify both {self.PARAMS_KEY!r} and "
+                               f"{self.PIPELINE_KEY!r} at the same time")
+            cls = Pipeline if self.PIPELINE_KEY in sub_cfg else Action
+            self._pipeline.append(cls.from_config(sub_cfg, _parent_type=self.full_type,
+                                                  _registry=self._registry))
+        self.config = cfg
+
+    @property
+    def config(self) -> Config:
+        return self._config
+
+    @config.setter
+    def config(self, cfg: ConfigLike):
+        self._config = Config(cfg)
+
+    @property
+    def config_dict(self):
+        return self.config.to_dict()
+
+    @property
+    def config_yaml(self):
+        return self.config.to_yaml()
+
+    def __iter__(self):
+        yield from (p for p in self._pipeline if not p.skip)
+
+    def __getitem__(self, idx: int) -> Action:
+        return self._pipeline[idx]
+
+    def __len__(self):
+        return len(self._pipeline)
+
+    def __repr__(self):
+        sep = "\n    "
+        reprs = [repr(i).replace("\n", sep) for i in self]
+        return f"{self.__class__.__name__}({sep}{sep.join(reprs)}\n)"
+
+    @property
+    def functional(self) -> Callable:
+        for a in self:  # skipped elements excluded (SKIP_FLAG is not resolvable)
+            try:
+                a.functional
+            except KeyError as e:
+                raise KeyError(f"Failed to resolve for {a}:\n   scope={a.scope}\n   "
+                               f"type={a.type}\n   full_type={a.full_type}") from e
+
+        def bounded_functional(*args, **kwargs):
+            for a in self:
+                a(*args, **kwargs)
+
+        return bounded_functional
+
+    @classmethod
+    def from_config(cls, cfg: ConfigLike, **kwargs):
+        return cls(cfg, **kwargs)
+
+    @classmethod
+    def from_config_file(cls, path, **kwargs):
+        return cls.from_config(Config.from_file(path), **kwargs)
+
+    def to_config(self) -> Config:
+        return Config({self.TYPE_KEY: self.type, self.DESC_KEY: self.desc,
+                       self.PIPELINE_KEY: [a.to_config() for a in self]})
+
+
+class PipelinePlaner(Pipeline):
+
+    TUNE_MODE_KEY = "tune_mode"
+    TUNING_PARAMS_KEY = "params_to_tune"
+    DEFAULT_PARAMS_KEY = "default_params"
+    PELEM_INCLUDE_KEY = "include"
+    PELEM_EXCLUDE_KEY = "exclude"
+    PELEM_SKIP_KEY = "skippable"
+    WANDB_KEY = "wandb"
+    VALID_TUNE_MODES = ("pipeline", "params")
+
+    def __init__(self, cfg: ConfigLike, **kwargs):
+        if self.TUNE_MODE_KEY not in cfg:
+            raise ValueError(f"PipelinePlaner config must contain {self.TUNE_MODE_KEY!r}")
+        super().__init__(cfg, **kwargs)
+
+    @property
+    def tune_mode(self) -> str:
+        return self._tune_mode
+
+    @property
+    def base_config(self) -> Config:
+        return self._base_config
+
+    @property
+    def default_params(self):
+        return self._default_params
+
+    @property
+    def candidate_pipelines(self):
+        return getattr(self, "_candidate_pipelines", None)
+
+    @property
+    def candidate_names(self):
+        return getattr(self, "_candidate_names", None)
+
+    @property
+    def candidate_params(self):
+        return getattr(self, "_candidate_params", None)
+
+    @property
+    def wandb_config(self):
+        return self._wandb_config
+
+    def _resolve_pelem_plan(self, idx: int):
+        pelem_config = self.config[self.PIPELINE_KEY][idx]
+        if pelem_config.get(self.TARGET_KEY) is not None:
+            return None, None
+        if all(pelem_config.get(k) is not None
+               for k in (self.PELEM_INCLUDE_KEY, self.PELEM_EXCLUDE_KEY)):
+            raise ValueError(f"Cannot set {self.PELEM_INCLUDE_KEY!r} and "
+                             f"{self.PELEM_EXCLUDE_KEY!r} at the same time:\n"
+                             f"{pelem_config}")
+        scope = self[idx].full_type
+        try:
+            candidates = {i.replace(f"{scope}.", "", 1)
+                          for i in self._registry.children(scope, non_leaf_node=False)}
+        except KeyError as e:
+            raise KeyError(f"Failed to resolve candidate scope {scope!r}") from e
+        includes = set(pelem_config.get(self.PELEM_INCLUDE_KEY) or candidates)
+        if unknown := includes - candidates:
+            logger.warning("%d inclusions not found under scope %r: %s", len(unknown),
+                           scope, sorted(unknown))
+        excludes = set(pelem_config.get(self.PELEM_EXCLUDE_KEY) or [])
+        filtered = candidates & includes - excludes
+        if not filtered:
+            raise ValueError(f"No valid candidates for pipeline element {idx} under "
+                             f"scope {scope!r}; available: {sorted(candidates)}")
+        if pelem_config.get(self.PELEM_SKIP_KEY, False):
+            filtered.add(self.SKIP_FLAG)
+        return sorted(filtered), self[idx].type
+
+    @Pipeline.config.setter
+    def config(self, cfg: ConfigLike):
+        self._config = Config(cfg)
+        self._tune_mode = self.config.get(self.TUNE_MODE_KEY)
+        if self.tune_mode == "pipeline_params":
+            self._tune_mode = "pipeline"
+            logger.info("tune_mode pipeline_params runs the pipeline stage first")
+
+        pipeline_config = self.config[self.PIPELINE_KEY]
+        n = len(pipeline_config)
+        if n < 1:
+            raise ValueError("Empty pipeline.")
+
+        base_keys = pelem_keys = (self.TYPE_KEY, self.DESC_KEY, self.TARGET_KEY)
+        if self.tune_mode == "pipeline":
+            pelem_keys = pelem_keys + (self.PARAMS_KEY,)
+        base_config = {k: v for k in base_keys
+                       if (v := self.config.get(k)) is not None}
+        base_config[self.PIPELINE_KEY] = [
+            {k: v for k in pelem_keys if (v := sub.get(k)) is not None}
+            for sub in pipeline_config]
+        self._base_config = Config(base_config)
+
+        self._default_params = [None] * n
+        self._candidate_names = [None] * n
+        if self.tune_mode == "pipeline":
+            self._candidate_pipelines = [None] * n
+            for i in range(n):
+                self._default_params[i] = pipeline_config[i].get(
+                    self.DEFAULT_PARAMS_KEY)
+                (self._candidate_pipelines[i],
+                 self._candidate_names[i]) = self._resolve_pelem_plan(i)
+        elif self.tune_mode == "params":
+            self._candidate_params = [None] * n
+            for i in range(n):
+                if self.DEFAULT_PARAMS_KEY in pipeline_config[i]:
+                    logger.warning("params tuning mode ignores %r on element %d",
+                                   self.DEFAULT_PARAMS_KEY, i)
+                if val := pipeline_config[i].get(self.PARAMS_KEY):
+                    self._default_params[i] = {self[i].target: val}
+                if val := pipeline_config[i].get(self.TUNING_PARAMS_KEY):
+                    self._candidate_params[i] = (val.to_dict()
+                                                 if isinstance(val, Config) else dict(val))
+                    self._candidate_names[i] = self[i].target
+            missing = [i for i, j in enumerate(pipeline_config)
+                       if j.get(self.TARGET_KEY) is None]
+            if missing:
+                raise ValueError("Targets required for all elements in params mode; "
+                                 f"missing for {missing}")
+        else:
+            raise ValueError(f"Unknown tune mode {self.tune_mode!r}, "
+                             f"options: {self.VALID_TUNE_MODES}")
+
+        self._wandb_config = self.config.get(self.WANDB_KEY)
+        if isinstance(self._wandb_config, Config):
+            self._wandb_config = self._wandb_config.to_dict()
+
+    # --- plan sanitation --------------------------------------------------
+
+    @staticmethod
+    def _sanitize_pipeline(pipeline, n: int):
+        if isinstance(pipeline, dict):
+            plan = [None] * n
+            for key, val in pipeline.items():
+                idx = int(key.split(f"{Pipeline.PIPELINE_KEY}.", 1)[1].split(".", 1)[0])
+                plan[idx] = val
+            pipeline = plan
+        if pipeline is None:
+            return None
+        if len(pipeline) != n:
+            raise ValueError(f"Expecting {n} target specs, got {len(pipeline)}: "
+                             f"{pipeline}")
+        logger.info("Pipeline plan:\n%s", Color("green")(pformat(pipeline)))
+        return pipeline
+
+    @staticmethod
+    def _sanitize_params(params, n: int):
+        if isinstance(params, dict):
+            plan = [None] * n
+            for key, val in params.items():
+                idx, _, sub_key = key.split(f"{Pipeline.PARAMS_KEY}.", 1)[1].split(
+                    ".", 2)
+                idx = int(idx)
+                if plan[idx] is None:
+                    plan[idx] = {}
+                plan[idx][sub_key] = val
+            params = plan
+        if params is None:
+            return None
+        if len(params) != n:
+            raise ValueError(f"Expecting {n} param specs, got {len(params)}: {params}")
+        logger.info("Params plan:\n%s", Color("green")(pformat(params)))
+        return params
+
+    def _validate_pipeline(self, validate, pipeline, i):
+        if not validate or self.candidate_pipelines[i] is None:
+            return
+        if pipeline[i] not in self.candidate_pipelines[i]:
+            raise ValueError(f"Specified target {pipeline[i]} (i={i}) not supported; "
+                             f"options: {self.candidate_pipelines[i]}")
+
+    def _validate_params(self, validate, strict, ith_target, ith_params, i):
+        if not validate:
+            return
+        full_scope = f"{self[i].full_type}.{ith_target}"
+        try:
+            obj = self._registry.get(full_scope, missed_ok=False)
+        except KeyError as e:
+            raise DevError(f"Failed to obtain {full_scope} from registry") from e
+        known = set(inspect.signature(obj).parameters)
+        if (unknown := set(ith_params) - known) and strict:
+            raise ValueError(f"{len(unknown)} unknown params for {full_scope!r}: "
+                             f"{unknown}")
+
+    # --- generation -------------------------------------------------------
+
+    def generate_config(self, *, pipeline=None, pipeline_params=None, params=None,
+                        validate: bool = True,
+                        strict_params_check: bool = False) -> Config:
+        if pipeline is None and params is None and pipeline_params is None:
+            raise ValueError("At least one of pipeline/params/pipeline_params required")
+        if self.tune_mode == "pipeline":
+            if pipeline is None and pipeline_params is None:
+                raise ValueError("pipeline (or pipeline_params) required in "
+                                 "pipeline tune mode")
+            if pipeline is not None and pipeline_params is not None:
+                raise ValueError("Only one of pipeline/pipeline_params may be given")
+            if pipeline is None:
+                pipeline = pipeline_params
+        elif params is None and self.tune_mode == "params":
+            raise ValueError("params required in params tune mode")
+
+        config = self.base_config.copy()
+        n = len(config[self.PIPELINE_KEY])
+        pipeline = self._sanitize_pipeline(pipeline, n)
+        params = self._sanitize_params(params, n)
+
+        for i in range(n):
+            pelem = config[self.PIPELINE_KEY][i]
+            if pipeline is not None and pipeline[i] is not None:
+                self._validate_pipeline(validate, pipeline, i)
+                pelem[self.TARGET_KEY] = pipeline[i]
+            ith_target = pelem.get(self.TARGET_KEY)
+            ith_params = Config(pelem.get(self.PARAMS_KEY) or {})
+            if (self.default_params[i] is not None
+                    and ith_target in self.default_params[i]):
+                ith_params = ith_params.merge(dict(self.default_params[i][ith_target]))
+            if params is not None and params[i] is not None:
+                ith_params = ith_params.merge(params[i])
+            if ith_params:
+                self._validate_params(validate, strict_params_check, ith_target,
+                                      ith_params, i)
+                pelem[self.PARAMS_KEY] = ith_params
+        return config
+
+    def generate(self, *, pipeline=None, params=None, pipeline_params=None,
+                 **kwargs) -> Pipeline:
+        config = self.generate_config(pipeline=pipeline, params=params,
+                                      pipeline_params=pipeline_params)
+        return Pipeline(config, _registry=self._registry, **kwargs)
+
+    # --- search space -----------------------------------------------------
+
+    def search_space(self) -> Dict[str, Any]:
+        if self.tune_mode == "pipeline":
+            return {f"{self.PIPELINE_KEY}.{i}.{n}": {"values": j}
+                    for i, (j, n) in enumerate(zip(self.candidate_pipelines,
+                                                   self.candidate_names))
+                    if j is not None}
+        if self.tune_mode == "params":
+            out = {}
+            for i, (param_dict, n) in enumerate(zip(self.candidate_params,
+                                                    self.candidate_names)):
+                if param_dict is not None:
+                    for key, val in param_dict.items():
+                        out[f"{self.PARAMS_KEY}.{i}.{n}.{key}"] = val
+            return out
+        raise DevError(f"Unknown tune mode {self.tune_mode}")
+
+    # --- sweep runtimes ---------------------------------------------------
+
+    def sweep_agent(self, function: Callable, *, count: Optional[int] = None,
+                    method: str = "random", seed: int = 0,
+                    summary_file_path: Optional[str] = None) -> "SweepRunner":
+        """Run a local sweep (the framework-native replacement for wandb.agent).
+
+        ``function(config_dict)`` receives a flat trial config (same key format
+        as wandb.config) and returns a dict of metric values.
+        """
+        runner = SweepRunner(self.search_space(), method=method, seed=seed)
+        runner.run(function, count=count)
+        if summary_file_path:
+            runner.summary().to_csv(summary_file_path, index=False)
+        return runner
+
+    def wandb_sweep_config(self) -> Dict[str, Any]:
+        if self.wandb_config is None:
+            raise ValueError("wandb config not specified in the raw config")
+        return {**self.wandb_config, "parameters": self.search_space()}
+
+    def wandb_sweep(self) -> Tuple[str, str, str]:
+        wandb = try_import("wandb")
+        entity = self.config.get(self.WANDB_KEY, {}).get("entity")
+        project = self.config.get(self.WANDB_KEY, {}).get("project")
+        if entity is None or project is None:
+            raise ValueError("Missing wandb entity/project config")
+        sweep_id = wandb.sweep(sweep=self.wandb_sweep_config(), entity=entity,
+                               project=project)
+        logger.info(Color("blue")(f"[*] Sweep ID: {sweep_id}"))
+        return entity, project, sweep_id
+
+    def wandb_sweep_agent(self, function: Callable, *, sweep_id=None, entity=None,
+                          project=None, count=None) -> Tuple[str, str, str]:
+        wandb = try_import("wandb")
+        if sweep_id is None:
+            if entity is not None or project is not None:
+                raise ValueError("Cannot give entity/project without sweep_id")
+            entity, project, sweep_id = self.wandb_sweep()
+        else:
+            entity = self.config.get(self.WANDB_KEY, {}).get("entity")
+            project = self.config.get(self.WANDB_KEY, {}).get("project")
+            os.system(f"wandb sweep --resume {entity}/{project}/{sweep_id}")
+        wandb.agent(sweep_id, function=function, entity=entity, project=project,
+                    count=count)
+        return entity, project, sweep_id
+
+
+class SweepRunner:
+    """Local trial scheduler over a wandb-style search space.
+
+    Supports discrete ``{"values": [...]}`` specs and numeric
+    ``{"min": a, "max": b}`` (uniform / log_uniform_values) specs. Records every
+    trial's config and metrics; ``summary()`` yields the CSV table that
+    ``save_summary_data`` (dance/pipeline.py:853) produced from wandb.
+    """
+
+    def __init__(self, search_space: Dict[str, Any], *, method: str = "random",
+                 seed: int = 0):
+        self.search_space = search_space
+        self.method = method
+        self.rng = _random.Random(seed)
+        self.records: List[Dict[str, Any]] = []
+
+    def _grid_iter(self):
+        keys, options = [], []
+        for key, spec in self.search_space.items():
+            if "values" not in spec:
+                raise ValueError(f"Grid search requires 'values' for {key!r}")
+            keys.append(key)
+            options.append(spec["values"])
+        for combo in itertools.product(*options):
+            yield dict(zip(keys, combo))
+
+    def _sample(self) -> Dict[str, Any]:
+        out = {}
+        for key, spec in self.search_space.items():
+            if "values" in spec:
+                out[key] = self.rng.choice(spec["values"])
+            elif "min" in spec and "max" in spec:
+                lo, hi = spec["min"], spec["max"]
+                if spec.get("distribution", "").startswith("log"):
+                    out[key] = float(np.exp(self.rng.uniform(np.log(lo), np.log(hi))))
+                elif isinstance(lo, int) and isinstance(hi, int):
+                    out[key] = self.rng.randint(lo, hi)
+                else:
+                    out[key] = self.rng.uniform(lo, hi)
+            else:
+                raise ValueError(f"Unsupported search spec for {key!r}: {spec}")
+        return out
+
+    def run(self, function: Callable, count: Optional[int] = None):
+        if self.method == "grid":
+            trials = itertools.islice(self._grid_iter(), count)
+        else:
+            n_random = count if count is not None else 10
+            trials = (self._sample() for _ in range(n_random))
+        for i, trial_config in enumerate(trials):
+            logger.info("Trial %d: %s", i, trial_config)
+            import time
+            t0 = time.perf_counter()
+            try:
+                metrics = function(dict(trial_config)) or {}
+            except Exception as e:  # noqa: BLE001 — keep sweeping past bad trials
+                logger.error("Trial %d failed: %s", i, e)
+                metrics = {"error": str(e)}
+            runtime = time.perf_counter() - t0
+            self.records.append({**trial_config, **metrics, "_runtime": runtime,
+                                 "_trial": i})
+        return self
+
+    def summary(self) -> pd.DataFrame:
+        return pd.DataFrame(self.records)
+
+    def best(self, metric: str, maximize: bool = True) -> Dict[str, Any]:
+        rows = [r for r in self.records if metric in r]
+        if not rows:
+            raise ValueError(f"No trials recorded metric {metric!r}")
+        return (max if maximize else min)(rows, key=lambda r: r[metric])
+
+
+def save_summary_data(entity=None, project=None, sweep_id=None, summary_file_path=None,
+                      root_path=None, additional_sweep_ids=None, save: bool = True,
+                      runner: Optional[SweepRunner] = None) -> pd.DataFrame:
+    """Collect sweep summary rows into a CSV (parity: pipeline.py:853).
+
+    When a local ``runner`` is given, its records are used directly; otherwise
+    pulls run summaries through the wandb API (requires wandb)."""
+    if runner is not None:
+        df = runner.summary()
+    else:
+        wandb = try_import("wandb")
+        api = wandb.Api()
+        rows = []
+        for sid in [sweep_id] + list(additional_sweep_ids or []):
+            sweep = api.sweep(f"{entity}/{project}/{sid}")
+            for run in sweep.runs:
+                rows.append({**dict(run.config), **dict(run.summary)})
+        df = pd.DataFrame(rows)
+    if save and summary_file_path:
+        os.makedirs(os.path.dirname(os.path.abspath(summary_file_path)), exist_ok=True)
+        df.to_csv(summary_file_path, index=False)
+    return df
+
+
+# --------------------------------------------------------------------------
+# 3-step tuning protocol (parity: pipeline.py:1012-1139)
+# --------------------------------------------------------------------------
+
+def get_step3_yaml(result_load_path: str, step2_pipeline_planer: PipelinePlaner,
+                   conf_save_path: str = "config_yamls/params/",
+                   conf_load_path: Optional[str] = None, metric: str = "test_acc",
+                   ascending: bool = False, top_k: int = 3,
+                   required_funs: Optional[List[str]] = None,
+                   required_indexes: Optional[List[int]] = None) -> List[str]:
+    """Convert top-k step-2 pipelines into per-pipeline params-tuning YAMLs.
+
+    Freezes each winning pipeline's targets, switches tune_mode to params,
+    injects required steps (e.g. SetConfig) at the given indexes, and carries
+    over any per-target ``params_to_tune`` specs from the step-2 config.
+    """
+    results = pd.read_csv(result_load_path)
+    results = results.sort_values(metric, ascending=ascending).head(top_k)
+    planer_cfg = step2_pipeline_planer.config
+    pipe_cols = [c for c in results.columns if c.startswith("pipeline.")]
+    # collect candidate param specs per target name from planner config
+    target_param_specs: Dict[str, Dict] = {}
+    for sub in planer_cfg[Pipeline.PIPELINE_KEY]:
+        specs = sub.get("params_to_tune")
+        if specs:
+            for tgt, spec in (specs.to_dict() if isinstance(specs, Config)
+                              else dict(specs)).items():
+                target_param_specs[tgt] = spec
+
+    os.makedirs(conf_save_path, exist_ok=True)
+    paths = []
+    for rank, (_, row) in enumerate(results.iterrows()):
+        targets = [row[c] for c in sorted(pipe_cols,
+                                          key=lambda c: int(c.split(".")[1]))]
+        pipeline_elems = []
+        for i, sub in enumerate(planer_cfg[Pipeline.PIPELINE_KEY]):
+            tgt = targets[i] if i < len(targets) else sub.get("target")
+            if tgt == Action.SKIP_FLAG or tgt is None or (isinstance(tgt, float)
+                                                          and pd.isna(tgt)):
+                continue
+            elem = {"type": sub.get("type"), "target": tgt}
+            if tgt in target_param_specs:
+                elem["params_to_tune"] = target_param_specs[tgt]
+            pipeline_elems.append(elem)
+        for fun, idx in zip(required_funs or [], required_indexes or []):
+            pipeline_elems.insert(min(idx, len(pipeline_elems)),
+                                  {"type": "misc", "target": fun})
+        cfg = Config({"type": planer_cfg.get("type", "preprocessor"),
+                      "tune_mode": "params", "pipeline": pipeline_elems})
+        if step2_pipeline_planer.wandb_config:
+            cfg["wandb"] = step2_pipeline_planer.wandb_config
+        path = os.path.join(conf_save_path, f"{rank}_params_tuning_config.yaml")
+        cfg.dump_yaml(path, exist_handle="none")
+        paths.append(path)
+    return paths
+
+
+def run_step3(conf_dir: str, evaluate_fn: Callable, *, count: Optional[int] = None,
+              method: str = "random", seed: int = 0,
+              result_dir: str = "results/params/") -> List[SweepRunner]:
+    """Run a params-mode sweep for every step-3 config (parity: pipeline.py:1101)."""
+    os.makedirs(result_dir, exist_ok=True)
+    runners = []
+    for name in sorted(os.listdir(conf_dir)):
+        if not name.endswith((".yml", ".yaml")):
+            continue
+        try:
+            planer = PipelinePlaner.from_config_file(os.path.join(conf_dir, name))
+            runner = planer.sweep_agent(
+                lambda cfg, p=planer: evaluate_fn(p, cfg), count=count, method=method,
+                seed=seed,
+                summary_file_path=os.path.join(result_dir, f"{name}.csv"))
+            runners.append(runner)
+        except Exception as e:  # noqa: BLE001 — continue past failing configs
+            logger.error("Step-3 config %s failed: %s", name, e)
+    return runners
+
+
+# --------------------------------------------------------------------------
+# Subset ablations (parity: pipeline.py:930-1009)
+# --------------------------------------------------------------------------
+
+def generate_combinations_with_required_elements(elements: List[Any],
+                                                 required: Optional[List[Any]] = None
+                                                 ) -> List[List[Any]]:
+    """All subsets of ``elements`` that contain every required element."""
+    required = required or []
+    optional = [e for e in elements if e not in required]
+    out = []
+    for r in range(len(optional) + 1):
+        for combo in itertools.combinations(optional, r):
+            subset = [e for e in elements if e in required or e in combo]
+            out.append(subset)
+    return out
+
+
+def generate_subsets(config_path: str, save_dir: str, *,
+                     required_indexes: Optional[List[int]] = None,
+                     launch_script_path: Optional[str] = None,
+                     main_cmd: str = "python main.py --config_dir={}") -> List[str]:
+    """Emit YAML configs for each pipeline-step subset + a launch script."""
+    cfg = Config.from_file(config_path)
+    steps = list(cfg[Pipeline.PIPELINE_KEY])
+    required = [steps[i] for i in (required_indexes or [])]
+    subsets = generate_combinations_with_required_elements(steps, required)
+    os.makedirs(save_dir, exist_ok=True)
+    paths = []
+    for i, subset in enumerate(subsets):
+        sub_cfg = cfg.copy()
+        sub_cfg[Pipeline.PIPELINE_KEY] = subset
+        path = os.path.join(save_dir, f"subset_{i}.yaml")
+        sub_cfg.dump_yaml(path, exist_handle="none")
+        paths.append(path)
+    if launch_script_path:
+        with open(launch_script_path, "w") as f:
+            f.write("#!/bin/bash\n")
+            for path in paths:
+                f.write(main_cmd.format(path) + " &\n")
+            f.write("wait\n")
+    return paths
+
+
+__all__ = ["Action", "Pipeline", "PipelinePlaner", "SweepRunner",
+           "generate_combinations_with_required_elements", "generate_subsets",
+           "get_step3_yaml", "run_step3", "save_summary_data"]
