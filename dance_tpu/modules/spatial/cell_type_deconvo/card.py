@@ -1,0 +1,148 @@
+"""CARD: conditional-autoregressive deconvolution, jitted on device.
+
+Parity target: dance/modules/spatial/cell_type_deconvo/card.py (CARDref
+multiplicative V updates with spatial CAR smoothing over a Gaussian kernel of
+spot locations, phi grid search by final objective). The per-cell-type Python
+update loop becomes one vectorized jnp update inside a lax.fori_loop.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from dance_tpu.modules.base import BaseRegressionMethod
+from dance_tpu.settings import logger
+from dance_tpu.transforms import (CellTopicProfile, Compose, FilterGenesCommon,
+                                  FilterGenesMarker, FilterGenesMatch,
+                                  FilterGenesPercentile, SetConfig)
+from dance_tpu.typing import Any, LogLevel, Optional, Tuple
+from dance_tpu.utils.matrix import normalize, pairwise_distance
+from dance_tpu.utils.metrics import resolve_score_func
+from dance_tpu.utils.wrappers import as_numpy
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _cardref(X, U, W, phi, V0, max_iter: int):
+    """CARD V updates (parity: card.py:44-120); X is genes × spots."""
+    n_sample = X.shape[1]
+    k = U.shape[1]
+    has_w = W is not None
+    UtX = U.T @ X
+    XtU = UtX.T
+    UtU = U.T @ U
+    diag_UtU = jnp.diag(UtU)
+    alpha, beta = 1.0, n_sample / 2.0
+    sigma_e2 = 0.1
+    if has_w:
+        colsum_W = W.sum(1)
+        D = jnp.diag(colsum_W)
+        L = D - phi * W
+        accu_L = L.sum()
+    else:
+        colsum_W = jnp.zeros(n_sample)
+        D = L = jnp.zeros((n_sample, n_sample))
+        accu_L = 1.0
+
+    def body(_, carry):
+        V, Lambda, b = carry
+        vecOne = jnp.ones((n_sample, 1))
+        temp = (V.T - b @ vecOne.T) @ L @ (V - vecOne @ b.T)
+        Lambda = (jnp.diag(temp) / 2.0 + beta) / (n_sample / 2.0 + alpha + 1.0)
+        if has_w:
+            b = (V.T @ L).sum(1, keepdims=True) / accu_L
+            part1 = sigma_e2 * (D @ V + phi * colsum_W[:, None] @ b.T)
+            part2 = sigma_e2 * (phi * W @ V + colsum_W[:, None] @ b.T)
+        else:
+            part1 = part2 = jnp.zeros_like(V)
+        # vectorized per-cell-type multiplicative update
+        den = Lambda[None, :] * (V @ UtU) + part1
+        num = Lambda[None, :] * XtU + part2
+        V = V * num / jnp.maximum(den, 1e-12)
+        return V, Lambda, b
+
+    Lambda0 = jnp.full(k, 10.0)
+    b0 = jnp.zeros((k, 1))
+    V, Lambda, b = jax.lax.fori_loop(0, max_iter, body, (V0, Lambda0, b0))
+    # final objective (for phi selection)
+    normNMF = (X * X).sum() - 2.0 * jnp.trace(UtX @ V) + jnp.trace(UtU @ (V.T @ V))
+    m, n = X.shape
+    sig = jnp.maximum(normNMF / (m * n), 1e-12)
+    logX = -(m * n) * 0.5 * jnp.log(sig) - 0.5 * (normNMF / sig)
+    pred = V / jnp.maximum(V.sum(1, keepdims=True), 1e-12)
+    return pred, logX
+
+
+class Card(BaseRegressionMethod):
+    """CARD model (parity: card.py:122)."""
+
+    def __init__(self, basis: pd.DataFrame, random_state: Optional[int] = 42):
+        self.basis = basis
+        self.best_phi = None
+        self.best_obj = -np.inf
+        self.random_state = random_state
+
+    @staticmethod
+    def preprocessing_pipeline(log_level: LogLevel = "INFO"):
+        return Compose(
+            CellTopicProfile(ct_select="auto", ct_key="cellType", batch_key=None,
+                             split_name="ref", method="mean"),
+            FilterGenesMatch(prefixes=["mt-"], case_sensitive=False),
+            FilterGenesCommon(split_keys=["ref", "test"]),
+            FilterGenesMarker(ct_profile_channel="CellTopicProfile", threshold=1.25),
+            FilterGenesPercentile(min_val=1, max_val=99, mode="rv"),
+            SetConfig({"feature_channel": [None, "spatial"],
+                       "feature_channel_type": ["X", "obsm"],
+                       "label_channel": "cell_type_portion"}),
+            log_level=log_level,
+        )
+
+    def fit(self, inputs: Tuple[np.ndarray, np.ndarray], y: Optional[Any] = None,
+            max_iter: int = 100, epsilon: float = 1e-4, sigma: float = 0.1,
+            location_free: bool = False):
+        x, spatial = (as_numpy(i) for i in inputs)
+        x_norm = normalize(np.asarray(x, np.float64), axis=1, mode="normalize")
+
+        if location_free or (spatial == 0).all():
+            kernel = None
+        else:
+            coords = spatial - spatial.min(0)
+            coords = coords / max(coords.max(), 1e-12)
+            d = pairwise_distance(coords.astype(np.float32))
+            kernel = np.exp(-d ** 2 / (2 * sigma ** 2))
+            np.fill_diagonal(kernel, 0)
+            kernel = jnp.asarray(kernel, jnp.float32)
+
+        basis = self.basis.values.copy().astype(np.float64)
+        x_norm = x_norm * 0.1 / x_norm.mean()
+        b_mat = jnp.asarray(basis * 0.1 / basis.mean(), jnp.float32)
+        rng = np.random.default_rng(self.random_state)
+        V0 = jnp.asarray(rng.dirichlet(np.repeat(10, basis.shape[1]),
+                                       x_norm.shape[0]), jnp.float32)
+        X = jnp.asarray(x_norm.T, jnp.float32)
+
+        for phi in ([0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99] if kernel is not None
+                    else [0.0]):
+            pred, obj = _cardref(X, b_mat, kernel, phi, V0, max_iter)
+            obj = float(obj)
+            if obj > self.best_obj:
+                self.best_obj = obj
+                self.best_phi = phi
+                self.res = np.asarray(pred)
+            logger.info("CARD phi=%.2f obj=%.3e", phi, obj)
+        return self
+
+    def predict(self, x: Optional[Any] = None) -> np.ndarray:
+        return self.res
+
+    def score(self, x, y, *, score_func=None, return_pred: bool = False, **kwargs):
+        y_pred = self.predict(x)
+        func = resolve_score_func(score_func or "mse")
+        s = func(as_numpy(y), y_pred)
+        return (s, y_pred) if return_pred else s
+
+    def fit_score(self, x, y, *, score_func=None, return_pred: bool = False, **kwargs):
+        self.fit(x, **kwargs)
+        return self.score(None, y, score_func=score_func, return_pred=return_pred)

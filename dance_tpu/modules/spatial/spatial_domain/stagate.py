@@ -1,0 +1,142 @@
+"""STAGATE: graph-attention autoencoder for spatial domains.
+
+Parity target: dance/modules/spatial/spatial_domain/stagate.py (custom GATConv
+encoder/decoder with tied attention over the radius/kNN spatial net, MSE
+reconstruction, clustering on the embedding — mclust in the paper, KMeans
+here as the reference's fallback).
+"""
+
+from functools import partial
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import scipy.sparse as sp
+
+from dance_tpu.modules.base import BaseClusteringMethod, BasePretrain
+from dance_tpu.nn.gnn import GATConv
+from dance_tpu.ops.sparse import csr_from_scipy
+from dance_tpu.settings import logger
+from dance_tpu.transforms import AnnDataTransform, Compose, SetConfig
+from dance_tpu.transforms.graph import StagateGraph
+from dance_tpu.typing import LogLevel, Optional
+
+
+def _edge_attention(adj, feat, attn_l, attn_r, negative_slope: float = 0.2):
+    """Per-edge softmaxed attention coefficients from transformed features."""
+    from dance_tpu.ops.segment import edge_softmax
+    el = (feat * attn_l).sum(-1)
+    er = (feat * attn_r).sum(-1)
+    rows = adj.row_ids()
+    logits = nn.leaky_relu(jnp.take(el, adj.indices) + jnp.take(er, rows),
+                           negative_slope)
+    return edge_softmax(adj, logits)
+
+
+def _att_aggregate(adj, feat, att):
+    from dance_tpu.ops.segment import aggregate
+    msgs = jnp.take(feat, adj.indices, axis=0) * att[:, None]
+    return aggregate(adj, msgs, op="sum")
+
+
+class _StagateNet(nn.Module):
+    """GAT AE with TIED decoder: transposed kernels + the encoder's attention
+    coefficients reused on the way back — the constraint that keeps the
+    embedding faithful to the input (parity: stagate.py:31-129)."""
+
+    hidden_dims: Tuple[int, ...]  # (in, h, z)
+
+    @nn.compact
+    def __call__(self, adj, x):
+        in_dim, h_dim, z_dim = self.hidden_dims
+        w1 = self.param("w1", nn.initializers.glorot_uniform(), (in_dim, h_dim))
+        w2 = self.param("w2", nn.initializers.glorot_uniform(), (h_dim, z_dim))
+        a1l = self.param("a1l", nn.initializers.glorot_uniform(), (1, h_dim))
+        a1r = self.param("a1r", nn.initializers.glorot_uniform(), (1, h_dim))
+        a2l = self.param("a2l", nn.initializers.glorot_uniform(), (1, z_dim))
+        a2r = self.param("a2r", nn.initializers.glorot_uniform(), (1, z_dim))
+        f1 = x @ w1
+        att1 = _edge_attention(adj, f1, a1l, a1r)
+        h1 = nn.elu(_att_aggregate(adj, f1, att1))
+        f2 = h1 @ w2
+        att2 = _edge_attention(adj, f2, a2l, a2r)
+        z = _att_aggregate(adj, f2, att2)
+        h2 = nn.elu(_att_aggregate(adj, z @ w2.T, att2))
+        x_hat = _att_aggregate(adj, h2 @ w1.T, att1)
+        return z, x_hat
+
+
+class Stagate(BasePretrain, BaseClusteringMethod):
+    """STAGATE model (parity: stagate.py:131)."""
+
+    _DISPLAY_ATTRS = ("hidden_dims",)
+
+    def __init__(self, hidden_dims: Tuple[int, ...] = (3000, 512, 30),
+                 device: str = "auto", pretrain_path: Optional[str] = None,
+                 seed: int = 0):
+        self.hidden_dims = tuple(hidden_dims)
+        self.pretrain_path = pretrain_path
+        self.seed = seed
+        self.net = _StagateNet(hidden_dims=self.hidden_dims)
+        self.params = None
+
+    @staticmethod
+    def preprocessing_pipeline(n_top_genes: int = 3000, model_name: str = "radius",
+                               radius: float = 150, n_neighbors: int = 5,
+                               log_level: LogLevel = "INFO"):
+        return Compose(
+            AnnDataTransform("sc.pp.highly_variable_genes", flavor="seurat_v3",
+                             n_top_genes=n_top_genes, subset=True),
+            AnnDataTransform("sc.pp.normalize_total", target_sum=1e4),
+            AnnDataTransform("sc.pp.log1p"),
+            StagateGraph(model_name, radius=radius, n_neighbors=n_neighbors),
+            SetConfig({"feature_channel": [None, "StagateGraph"],
+                       "feature_channel_type": ["X", "obsp"],
+                       "label_channel": "label", "label_channel_type": "obs"}),
+            log_level=log_level,
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _step(self, params, opt_state, adj, x):
+        def loss_fn(params):
+            _, x_hat = self.net.apply({"params": params}, adj, x)
+            return jnp.mean((x - x_hat) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = self._tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def fit(self, inputs, y=None, *, epochs: int = 500, lr: float = 1e-3,
+            gradient_clipping: float = 5.0, weight_decay: float = 1e-4,
+            n_clusters: int = 7):
+        x, adj = inputs
+        x = np.asarray(x, dtype=np.float32)
+        adj = sp.csr_matrix(adj) + sp.eye(adj.shape[0], format="csr", dtype=np.float32)
+        self.adj = csr_from_scipy(adj)
+        self.n_clusters = n_clusters
+        xj = jnp.asarray(x)
+        if self.params is None:
+            self.params = self.net.init(jax.random.key(self.seed), self.adj,
+                                        xj)["params"]
+        self._tx = optax.chain(optax.clip_by_global_norm(gradient_clipping),
+                               optax.adamw(lr, weight_decay=weight_decay))
+        opt_state = self._tx.init(self.params)
+        for epoch in range(epochs):
+            self.params, opt_state, loss = self._step(self.params, opt_state, self.adj,
+                                                      xj)
+            if epoch % 100 == 0:
+                logger.info("STAGATE epoch %d, MSE %.6f", epoch, float(loss))
+        z, _ = self.net.apply({"params": self.params}, self.adj, xj)
+        self.z = np.asarray(z)
+        return self
+
+    def predict(self, x=None):
+        from dance_tpu.ops.cluster import kmeans
+        return np.asarray(kmeans(self.z, self.n_clusters, n_init=10,
+                                 seed=self.seed).labels)
+
+    def get_latent(self):
+        return self.z

@@ -1,0 +1,153 @@
+"""Spatial family e2e tests on synthetic spot data."""
+
+import numpy as np
+import pytest
+
+from dance_tpu.datasets.synthetic import spatial_data
+
+
+@pytest.fixture(scope="module")
+def data():
+    return spatial_data(n_spots=200, n_genes=100, n_domains=3, seed=0)
+
+
+def _ari(y_true, y_pred):
+    from sklearn.metrics import adjusted_rand_score
+    return adjusted_rand_score(np.asarray(y_true).ravel(), np.asarray(y_pred).ravel())
+
+
+def test_louvain_e2e(data):
+    from dance_tpu.modules.spatial.spatial_domain import Louvain
+    d = data.copy()
+    d.data.obs["label"] = d.data.obs["domain"]
+    Louvain.preprocessing_pipeline(dim=20, n_neighbors=10)(d)
+    adj, y = d.get_train_data()
+    model = Louvain(resolution=1.0)
+    model.fit(adj)
+    assert _ari(y, model.predict()) > 0.2
+
+
+def test_spagcn_e2e(data):
+    from dance_tpu.modules.spatial.spatial_domain import SpaGCN
+    d = data.copy()
+    d.data.obs["label"] = d.data.obs["domain"]
+    SpaGCN.preprocessing_pipeline(alpha=1, beta=9, dim=20)(d)
+    (embed, adj, adj_2d), y = d.get_train_data()
+    model = SpaGCN(seed=0)
+    l = model.search_l(0.5, adj_2d)
+    model.set_l(l)
+    model.fit((embed, adj_2d), epochs=200, res=0.8)
+    ari = _ari(y, model.predict((embed, adj_2d)))
+    assert ari > 0.25, f"SpaGCN ARI too low: {ari}"
+
+
+def test_stagate_e2e(data):
+    from dance_tpu.modules.spatial.spatial_domain import Stagate
+    d = data.copy()
+    d.data.obs["label"] = d.data.obs["domain"]
+    Stagate.preprocessing_pipeline(n_top_genes=80, model_name="knn", n_neighbors=6)(d)
+    (x, adj), y = d.get_train_data()
+    model = Stagate(hidden_dims=(x.shape[1], 64, 16), seed=0)
+    model.fit((x, adj), epochs=150, n_clusters=3)
+    ari = _ari(y, model.predict())
+    assert ari > 0.25, f"STAGATE ARI too low: {ari}"
+
+
+def test_efnst_e2e(data):
+    from dance_tpu.modules.spatial.spatial_domain import EfNsSTRunner
+    d = data.copy()
+    d.data.obs["label"] = d.data.obs["domain"]
+    EfNsSTRunner.preprocessing_pipeline(pca_n_comps=20, k=6)(d)
+    (pca_feat, img_feat, adj), y = d.get_train_data()
+    concat = np.concatenate([pca_feat, img_feat], axis=1)
+    model = EfNsSTRunner(n_clusters=3, z_dim=16, seed=0)
+    model.fit(concat_X=concat, graph_dict=adj, epochs=100, dec_epochs=40)
+    ari = _ari(y, model.predict())
+    assert ari > 0.2, f"EfNST ARI too low: {ari}"
+
+
+@pytest.fixture(scope="module")
+def deconvo_data():
+    """Reference cells + synthetic mixtures with known portions."""
+    from dance_tpu.datasets.synthetic import synthetic_expression
+    rng = np.random.default_rng(0)
+    n_ref, n_genes, k = 150, 80, 3
+    x_ref, labels = synthetic_expression(n_ref, n_genes, k, seed=1, effect=6.0)
+    n_spots = 60
+    portions = rng.dirichlet(np.ones(k), n_spots)
+    profiles = np.stack([x_ref[labels == c].mean(0) for c in range(k)])
+    x_mix = rng.poisson(portions @ profiles * 3).astype(np.float32)
+    return x_ref, labels, x_mix, portions, profiles
+
+
+def test_spatialdecon_e2e(deconvo_data):
+    from dance_tpu.modules.spatial.cell_type_deconvo import SpatialDecon
+    x_ref, labels, x_mix, portions, profiles = deconvo_data
+    model = SpatialDecon(ct_profile=profiles.T, ct_select=[0, 1, 2])
+    model.fit(x_mix, lr=1e-2, max_iter=600)
+    pred = model.predict()
+    mse = ((pred - portions) ** 2).mean()
+    assert mse < 0.05, f"SpatialDecon portion MSE too high: {mse}"
+
+
+def test_spotlight_e2e(deconvo_data):
+    from dance_tpu.modules.spatial.cell_type_deconvo import SPOTlight
+    x_ref, labels, x_mix, portions, profiles = deconvo_data
+    model = SPOTlight(ref_count=x_ref, ref_annot=labels.astype(str),
+                      ct_select=[str(c) for c in range(3)], rank=3)
+    model.fit(x_mix, max_iter=400)
+    pred = model.predict()
+    mse = ((pred - portions) ** 2).mean()
+    assert mse < 0.1, f"SPOTlight portion MSE too high: {mse}"
+
+
+def test_card_e2e(deconvo_data):
+    import pandas as pd
+
+    from dance_tpu.modules.spatial.cell_type_deconvo import Card
+    x_ref, labels, x_mix, portions, profiles = deconvo_data
+    rng = np.random.default_rng(0)
+    spatial = rng.random((x_mix.shape[0], 2)).astype(np.float32)
+    basis = pd.DataFrame(profiles.T, columns=[f"ct{c}" for c in range(3)])
+    model = Card(basis)
+    model.fit((x_mix, spatial), max_iter=50)
+    pred = model.predict()
+    mse = ((pred - portions) ** 2).mean()
+    assert mse < 0.08, f"CARD portion MSE too high: {mse}"
+
+
+def test_dstg_e2e(deconvo_data):
+    from dance_tpu.modules.spatial.cell_type_deconvo import DSTG
+    from dance_tpu.transforms.graph.dstg_graph import compute_dstg_adj
+    x_ref, labels, x_mix, portions, profiles = deconvo_data
+    rng = np.random.default_rng(0)
+    # pseudo-spots from reference cells
+    n_pseudo, k = 100, 3
+    ps_port = rng.dirichlet(np.ones(k), n_pseudo)
+    ps_x = rng.poisson(ps_port @ profiles * 3).astype(np.float32)
+    feats = np.concatenate([ps_x, x_mix], axis=0)
+    adj = compute_dstg_adj(ps_x, x_mix, k_filter=30, num_cc=10)
+    y = np.concatenate([ps_port, np.zeros_like(portions)], axis=0)
+    model = DSTG(nhid=32, seed=0)
+    model.fit((np.log1p(feats), adj), y, max_epochs=200)
+    pred = model.predict()[n_pseudo:]
+    mse = ((pred - portions) ** 2).mean()
+    assert mse < 0.1, f"DSTG portion MSE too high: {mse}"
+
+
+def test_stdgcn_e2e(deconvo_data):
+    from dance_tpu.modules.spatial.cell_type_deconvo import StdGCN
+    x_ref, labels, x_mix, portions, profiles = deconvo_data
+    rng = np.random.default_rng(0)
+    n_pseudo, k = 100, 3
+    ps_port = rng.dirichlet(np.ones(k), n_pseudo)
+    ps_x = rng.poisson(ps_port @ profiles * 3).astype(np.float32)
+    feats = np.log1p(np.concatenate([ps_x, x_mix], axis=0))
+    coords = np.concatenate([np.zeros((n_pseudo, 2)),
+                             rng.random((x_mix.shape[0], 2)) * 10], axis=0)
+    y = np.concatenate([ps_port, np.zeros_like(portions)], axis=0)
+    model = StdGCN(hidden=(64, 32), seed=0)
+    model.fit((feats, coords), y, max_epochs=200)
+    pred = model.predict()[n_pseudo:]
+    mse = ((pred - portions) ** 2).mean()
+    assert mse < 0.1, f"stdGCN portion MSE too high: {mse}"
