@@ -72,8 +72,15 @@ def multimodal_data(n_cells: int = 300, n_genes: int = 150, n_prot: int = 30,
     """Paired GEX/ADT MuData with shared latent cell-type structure."""
     rng = np.random.default_rng(seed)
     x1, labels = synthetic_expression(n_cells, n_genes, n_types, seed=seed)
+    # shared per-cell continuous factors so cross-modal correspondence is
+    # learnable at the single-cell level (not just cluster level)
+    n_factors = 4
+    factors = rng.standard_normal((n_cells, n_factors))
+    load1 = rng.standard_normal((n_factors, n_genes)) * 0.3
+    load2 = rng.standard_normal((n_factors, n_prot)) * 0.3
+    x1 = rng.poisson(np.maximum(x1 * np.exp(factors @ load1), 0)).astype(np.float32)
     proj = rng.gamma(1.5, 1.0, (n_types, n_prot))
-    rates = proj[labels] * rng.lognormal(0, 0.2, (n_cells, n_prot))
+    rates = proj[labels] * np.exp(factors @ load2)
     x2 = rng.poisson(rates).astype(np.float32)
     obs = pd.DataFrame({"cell_type": [f"type{i}" for i in labels],
                         "batch": rng.choice(["s1", "s2"], n_cells)})

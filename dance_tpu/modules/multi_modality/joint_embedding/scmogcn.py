@@ -1,0 +1,120 @@
+"""scMoGNN for joint embedding (parity: dance/modules/multi_modality/
+joint_embedding/scmogcn.py:92 + scmogcnv2.py:325).
+
+Runs the bipartite cell-feature GNN over the concatenated modalities and
+supervises the cell representation with an auxiliary cell-type head (the v2
+recipe), exposing the penultimate layer as the joint embedding.
+"""
+
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dance_tpu.modules.base import BaseRegressionMethod
+from dance_tpu.modules.multi_modality.predict_modality.scmogcn import _ScMoGCN
+from dance_tpu.settings import logger
+from dance_tpu.typing import LogLevel, Optional
+from dance_tpu.utils.wrappers import as_numpy
+
+
+class _JENet(nn.Module):
+    """Bipartite GNN trunk -> z embedding -> cell-type head."""
+
+    z_dim: int
+    n_ct: int
+    hidden: int
+    n_layers: int
+
+    def setup(self):
+        self.trunk = _ScMoGCN(out_dim=self.z_dim, hidden=self.hidden,
+                              n_layers=self.n_layers)
+        self.head = nn.Dense(self.n_ct)
+
+    def embed(self, adj, cell_feat, feat_feat):
+        return self.trunk(adj, cell_feat, feat_feat)
+
+    def __call__(self, adj, cell_feat, feat_feat):
+        z = self.trunk(adj, cell_feat, feat_feat)
+        return z, self.head(nn.relu(z))
+
+
+class ScMoGCNWrapper(BaseRegressionMethod):
+
+    _DISPLAY_ATTRS = ("hidden", "n_layers")
+
+    def __init__(self, args=None, hidden: int = 64, n_layers: int = 2,
+                 z_dim: int = 32, seed: int = 0):
+        self.hidden = hidden
+        self.n_layers = n_layers
+        self.z_dim = z_dim
+        self.seed = seed
+        self.params = None
+
+    @staticmethod
+    def preprocessing_pipeline(log_level: LogLevel = "INFO"):
+        from dance_tpu.transforms import SetConfig
+        return SetConfig({"feature_mod": ["mod1", "mod2"],
+                          "feature_channel": [None, None],
+                          "feature_channel_type": ["X", "X"],
+                          "label_mod": "mod1", "label_channel": "cell_type",
+                          "label_channel_type": "obs"}, log_level=log_level)
+
+    @partial(jax.jit, static_argnames=("self", "has_labels"))
+    def _step(self, params, opt_state, adj, cell_feat, feat_feat, ct, has_labels):
+        def loss_fn(params):
+            emb, logits = self.net.apply({"params": params}, adj, cell_feat, feat_feat)
+            loss = 1e-4 * jnp.mean(emb ** 2)  # mild embedding regularization
+            if has_labels:
+                loss = loss + optax.softmax_cross_entropy_with_integer_labels(
+                    logits, ct).mean()
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = self._tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def fit(self, x_mod1, x_mod2, cell_type=None, epochs: int = 150, lr: float = 1e-2):
+        from dance_tpu.modules.multi_modality.predict_modality.scmogcn import (
+            ScMoGCNWrapper as _P)
+        x = np.concatenate([as_numpy(x_mod1), as_numpy(x_mod2)], axis=1).astype(
+            np.float32)
+        adj = _P._build_graph(x)
+        cell_feat = jnp.asarray(np.log1p(x))
+        feat_feat = jnp.asarray(np.log1p(x).T[:, :min(64, x.shape[0])])
+        has_labels = cell_type is not None
+        if has_labels:
+            names, ct = np.unique(as_numpy(cell_type), return_inverse=True)
+            n_ct = len(names)
+        else:
+            ct, n_ct = np.zeros(len(x), np.int64), 1
+        self.net = _JENet(z_dim=self.z_dim, n_ct=n_ct, hidden=self.hidden,
+                          n_layers=self.n_layers)
+        key = jax.random.key(self.seed)
+        self.params = self.net.init(key, adj, cell_feat, feat_feat)["params"]
+        self._tx = optax.adam(lr)
+        opt_state = self._tx.init(self.params)
+        ctj = jnp.asarray(ct, jnp.int32)
+        for epoch in range(epochs):
+            self.params, opt_state, loss = self._step(self.params, opt_state, adj,
+                                                      cell_feat, feat_feat, ctj,
+                                                      has_labels)
+            if epoch % 50 == 0:
+                logger.info("scMoGNN-JE epoch %d, loss %.5f", epoch, float(loss))
+        self._cache = (adj, cell_feat, feat_feat)
+        return self
+
+    def predict(self, x=None):
+        adj, cell_feat, feat_feat = self._cache
+        return np.asarray(self.net.apply({"params": self.params}, adj, cell_feat,
+                                         feat_feat, method=self.net.embed))
+
+    def score(self, x, y, *, score_func=None, return_pred: bool = False, **kwargs):
+        from dance_tpu.utils.metrics import labeled_clustering_evaluate
+        emb = self.predict()
+        y = as_numpy(y)
+        scores = labeled_clustering_evaluate(emb, y, n_clusters=len(np.unique(y)))
+        return (scores, emb) if return_pred else scores["dance_nmi"]

@@ -1,0 +1,142 @@
+"""BABEL: paired autoencoders with cross-modal translation, TPU-native.
+
+Parity target: dance/modules/multi_modality/predict_modality/babel.py (dual
+encoder/decoder pairs trained on all four reconstruction/translation paths —
+rna→rna, rna→mod2, mod2→mod2, mod2→rna — with NB likelihood on counts and MSE
+on the second modality; the QuadLoss of dance/utils/loss.py:148-344).
+"""
+
+from functools import partial
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dance_tpu.modules.base import BaseRegressionMethod
+from dance_tpu.nn.vae import NBDecoder
+from dance_tpu.nn.zinb_ae import MLPStack
+from dance_tpu.settings import logger
+from dance_tpu.transforms import SetConfig
+from dance_tpu.typing import LogLevel, Optional
+from dance_tpu.utils.loss import nb_nll
+from dance_tpu.utils.wrappers import as_numpy
+
+
+class _Babel(nn.Module):
+    dim1: int
+    dim2: int
+    hidden: int = 64
+
+    def setup(self):
+        self.enc1 = MLPStack((self.hidden * 2, self.hidden))
+        self.enc2 = MLPStack((self.hidden * 2, self.hidden))
+        self.dec1 = NBDecoder((self.hidden,), self.dim1)
+        self.dec2_stack = MLPStack((self.hidden,))
+        self.dec2_out = nn.Dense(self.dim2)
+
+    def encode1(self, x1):
+        return self.enc1(x1)
+
+    def encode2(self, x2):
+        return self.enc2(x2)
+
+    def dec2(self, z):
+        return self.dec2_out(self.dec2_stack(z))
+
+    def __call__(self, x1, x2, lib1):
+        # encoders see log-scaled counts for conditioning; NB decodes raw scale
+        z1 = self.encode1(jnp.log1p(x1))
+        z2 = self.encode2(x2)
+        out = {}
+        out["11"] = self.dec1(z1, lib1)
+        out["21"] = self.dec1(z2, lib1)
+        out["12"] = self.dec2(z1)
+        out["22"] = self.dec2(z2)
+        return out, z1, z2
+
+
+class BabelWrapper(BaseRegressionMethod):
+    """BABEL model (parity: babel.py:702)."""
+
+    _DISPLAY_ATTRS = ("hidden",)
+
+    def __init__(self, args=None, dim_in: int = 0, dim_out: int = 0, hidden: int = 64,
+                 device: str = "auto", seed: int = 0):
+        self.dim_in = dim_in
+        self.dim_out = dim_out
+        self.hidden = hidden
+        self.seed = seed
+        self.net = _Babel(dim1=dim_in, dim2=dim_out, hidden=hidden)
+        self.params = None
+
+    @staticmethod
+    def preprocessing_pipeline(log_level: LogLevel = "INFO"):
+        return SetConfig({"feature_mod": "mod1", "label_mod": "mod2",
+                          "feature_channel": None, "feature_channel_type": "X",
+                          "label_channel": None, "label_channel_type": "X"},
+                         log_level=log_level)
+
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def _train_epoch(self, params, opt_state, x1, x2, lib1, key, batch_size: int):
+        n = x1.shape[0]
+        nb = max(n // batch_size, 1)
+        perm = jax.random.permutation(key, n)[:nb * batch_size]
+        b1 = x1[perm].reshape(nb, batch_size, -1)
+        b2 = x2[perm].reshape(nb, batch_size, -1)
+        bl = lib1[perm].reshape(nb, batch_size, 1)
+
+        def loss_fn(params, bx1, bx2, blib):
+            out, z1, z2 = self.net.apply({"params": params}, bx1, bx2, blib)
+            l11 = nb_nll(bx1, *out["11"])
+            l21 = nb_nll(bx1, *out["21"])
+            l12 = jnp.mean((out["12"] - bx2) ** 2)
+            l22 = jnp.mean((out["22"] - bx2) ** 2)
+            latent = jnp.mean((z1 - z2) ** 2)
+            return l11 + l21 + l12 + l22 + 0.1 * latent
+
+        def step(carry, batch):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, *batch)
+            updates, opt_state = self._tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state),
+                                                   (b1, b2, bl))
+        return params, opt_state, losses.mean()
+
+    def fit(self, x_train, y_train, val_ratio: float = 0.15, epochs: int = 100,
+            lr: float = 1e-3, batch_size: int = 64):
+        x1 = jnp.asarray(as_numpy(x_train), jnp.float32)
+        x2 = jnp.asarray(as_numpy(y_train), jnp.float32)
+        lib1 = x1.sum(1, keepdims=True)
+        if self.params is None:
+            self.net = _Babel(dim1=x1.shape[1], dim2=x2.shape[1], hidden=self.hidden)
+            self.params = self.net.init(jax.random.key(self.seed), x1[:1], x2[:1],
+                                        lib1[:1])["params"]
+        self._tx = optax.adam(lr)
+        opt_state = self._tx.init(self.params)
+        key = jax.random.key(self.seed)
+        bs = min(batch_size, x1.shape[0])
+        for epoch in range(epochs):
+            key, ek = jax.random.split(key)
+            self.params, opt_state, loss = self._train_epoch(
+                self.params, opt_state, x1, x2, lib1, ek, bs)
+            if epoch % 20 == 0:
+                logger.info("BABEL epoch %d, loss %.5f", epoch, float(loss))
+        return self
+
+    def predict(self, x):
+        x1 = jnp.log1p(jnp.asarray(as_numpy(x), jnp.float32))
+        z1 = self.net.apply({"params": self.params}, x1, method=self.net.encode1)
+        return np.asarray(self.net.apply({"params": self.params}, z1,
+                                         method=self.net.dec2))
+
+    def score(self, x, y, *, score_func=None, return_pred: bool = False, **kwargs):
+        from dance_tpu.utils.metrics import resolve_score_func
+        pred = self.predict(x)
+        func = resolve_score_func(score_func or "rmse")
+        s = func(as_numpy(y), pred)
+        return (s, pred) if return_pred else s

@@ -1,0 +1,160 @@
+"""CMAE: cross-modal autoencoder with adversarial latent alignment.
+
+Parity target: dance/modules/multi_modality/predict_modality/cmae.py (paired
+AEs whose latents are aligned; reconstruction + cross-translation + cycle
+consistency + a latent discriminator). The GAN game runs as alternating jitted
+steps on the shared (generator, discriminator) param pytrees.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dance_tpu.modules.base import BaseRegressionMethod
+from dance_tpu.nn.zinb_ae import MLPStack
+from dance_tpu.settings import logger
+from dance_tpu.transforms import SetConfig
+from dance_tpu.typing import LogLevel, Optional
+from dance_tpu.utils.wrappers import as_numpy
+
+
+class _CMAENet(nn.Module):
+    dim1: int
+    dim2: int
+    z_dim: int = 32
+    hidden: int = 128
+
+    def setup(self):
+        self.enc1 = MLPStack((self.hidden,))
+        self.enc1_out = nn.Dense(self.z_dim)
+        self.enc2 = MLPStack((self.hidden,))
+        self.enc2_out = nn.Dense(self.z_dim)
+        self.dec1 = MLPStack((self.hidden,))
+        self.dec1_out = nn.Dense(self.dim1)
+        self.dec2 = MLPStack((self.hidden,))
+        self.dec2_out = nn.Dense(self.dim2)
+
+    def encode1(self, x):
+        return self.enc1_out(self.enc1(x))
+
+    def encode2(self, x):
+        return self.enc2_out(self.enc2(x))
+
+    def decode1(self, z):
+        return self.dec1_out(self.dec1(z))
+
+    def decode2(self, z):
+        return self.dec2_out(self.dec2(z))
+
+    def __call__(self, x1, x2):
+        z1, z2 = self.encode1(x1), self.encode2(x2)
+        return (self.decode1(z1), self.decode2(z2), self.decode2(z1),
+                self.decode1(z2), z1, z2)
+
+
+class _Disc(nn.Module):
+    hidden: int = 64
+
+    @nn.compact
+    def __call__(self, z):
+        h = nn.relu(nn.Dense(self.hidden)(z))
+        return nn.Dense(1)(h).squeeze(-1)
+
+
+class CMAE(BaseRegressionMethod):
+    """CMAE model (parity: cmae.py:255)."""
+
+    _DISPLAY_ATTRS = ("z_dim", "hidden")
+
+    def __init__(self, hyperparameters=None, dim1: int = 0, dim2: int = 0,
+                 z_dim: int = 32, hidden: int = 128, seed: int = 0):
+        self.hyper = hyperparameters or {}
+        self.z_dim = z_dim
+        self.hidden = hidden
+        self.seed = seed
+        self.params = None
+
+    @staticmethod
+    def preprocessing_pipeline(log_level: LogLevel = "INFO"):
+        return SetConfig({"feature_mod": "mod1", "label_mod": "mod2",
+                          "feature_channel": None, "feature_channel_type": "X",
+                          "label_channel": None, "label_channel_type": "X"},
+                         log_level=log_level)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _gen_step(self, g_params, d_params, opt_state, x1, x2):
+        def loss_fn(g_params):
+            r1, r2, t12, t21, z1, z2 = self.net.apply({"params": g_params}, x1, x2)
+            recon = jnp.mean((r1 - x1) ** 2) + jnp.mean((r2 - x2) ** 2)
+            trans = jnp.mean((t12 - x2) ** 2) + jnp.mean((t21 - x1) ** 2)
+            # adversarial: z1 should fool discriminator into predicting "z2"
+            d_out = self.disc.apply({"params": d_params}, z1)
+            adv = optax.sigmoid_binary_cross_entropy(d_out, jnp.ones_like(d_out)).mean()
+            align = jnp.mean((z1 - z2) ** 2)
+            return recon + trans + 0.1 * adv + 0.5 * align
+
+        loss, grads = jax.value_and_grad(loss_fn)(g_params)
+        updates, opt_state = self._g_tx.update(grads, opt_state, g_params)
+        return optax.apply_updates(g_params, updates), opt_state, loss
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _disc_step(self, g_params, d_params, opt_state, x1, x2):
+        def loss_fn(d_params):
+            z1 = self.net.apply({"params": g_params}, x1, method=self.net.encode1)
+            z2 = self.net.apply({"params": g_params}, x2, method=self.net.encode2)
+            d1 = self.disc.apply({"params": d_params}, z1)
+            d2 = self.disc.apply({"params": d_params}, z2)
+            return (optax.sigmoid_binary_cross_entropy(d1, jnp.zeros_like(d1)).mean()
+                    + optax.sigmoid_binary_cross_entropy(d2, jnp.ones_like(d2)).mean())
+
+        loss, grads = jax.value_and_grad(loss_fn)(d_params)
+        updates, opt_state = self._d_tx.update(grads, opt_state, d_params)
+        return optax.apply_updates(d_params, updates), opt_state, loss
+
+    def fit(self, x_train, y_train, epochs: int = 200, lr: float = 1e-3,
+            checkpoint_directory: Optional[str] = None):
+        x1 = jnp.asarray(as_numpy(x_train), jnp.float32)
+        x2 = jnp.asarray(as_numpy(y_train), jnp.float32)
+        self.net = _CMAENet(dim1=x1.shape[1], dim2=x2.shape[1], z_dim=self.z_dim,
+                            hidden=self.hidden)
+        self.disc = _Disc()
+        key = jax.random.key(self.seed)
+        self.params = self.net.init(key, x1[:1], x2[:1])["params"]
+        d_params = self.disc.init(jax.random.fold_in(key, 1),
+                                  jnp.zeros((1, self.z_dim)))["params"]
+        self._g_tx = optax.adam(lr)
+        self._d_tx = optax.adam(lr)
+        g_state = self._g_tx.init(self.params)
+        d_state = self._d_tx.init(d_params)
+        for epoch in range(epochs):
+            d_params, d_state, d_loss = self._disc_step(self.params, d_params, d_state,
+                                                        x1, x2)
+            self.params, g_state, g_loss = self._gen_step(self.params, d_params,
+                                                          g_state, x1, x2)
+            if epoch % 50 == 0:
+                logger.info("CMAE epoch %d, G %.5f D %.5f", epoch, float(g_loss),
+                            float(d_loss))
+        return self
+
+    def predict(self, x):
+        x1 = jnp.asarray(as_numpy(x), jnp.float32)
+        z1 = self.net.apply({"params": self.params}, x1, method=self.net.encode1)
+        return np.asarray(self.net.apply({"params": self.params}, z1,
+                                         method=self.net.decode2))
+
+    def encode(self, x, modality: int = 1):
+        x = jnp.asarray(as_numpy(x), jnp.float32)
+        method = self.net.encode1 if modality == 1 else self.net.encode2
+        return np.asarray(self.net.apply({"params": self.params}, x, method=method))
+
+    def score(self, x, y, *, score_func=None, return_pred: bool = False, **kwargs):
+        from dance_tpu.utils.metrics import resolve_score_func
+        pred = self.predict(x)
+        func = resolve_score_func(score_func or "rmse")
+        s = func(as_numpy(y), pred)
+        return (s, pred) if return_pred else s

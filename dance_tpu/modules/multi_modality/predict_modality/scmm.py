@@ -1,0 +1,141 @@
+"""scMM: mixture-of-experts multimodal VAE, TPU-native.
+
+Parity target: dance/modules/multi_modality/predict_modality/scmm.py (per-
+modality VAEs with NB/Gaussian likelihoods; the MoE posterior samples each
+modality's encoder and decodes through BOTH decoders — cross-modal generation
+is decoding modality 2 from modality 1's latent).
+"""
+
+from functools import partial
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dance_tpu.modules.base import BaseRegressionMethod
+from dance_tpu.nn.vae import (GaussianDecoder, GaussianEncoder, NBDecoder, gaussian_kl,
+                              reparameterize)
+from dance_tpu.settings import logger
+from dance_tpu.transforms import SetConfig
+from dance_tpu.typing import LogLevel, Optional
+from dance_tpu.utils.loss import nb_nll
+from dance_tpu.utils.wrappers import as_numpy
+
+
+class _MMVAENet(nn.Module):
+    dim1: int
+    dim2: int
+    z_dim: int = 16
+    hidden: Tuple[int, ...] = (128,)
+
+    def setup(self):
+        self.enc1 = GaussianEncoder(self.hidden, self.z_dim)
+        self.enc2 = GaussianEncoder(self.hidden, self.z_dim)
+        self.dec1 = NBDecoder(self.hidden, self.dim1)
+        self.dec2 = GaussianDecoder(self.hidden, self.dim2)
+
+    def __call__(self, x1, x2, rng):
+        mu1, lv1 = self.enc1(jnp.log1p(x1))
+        mu2, lv2 = self.enc2(x2)
+        r1, r2 = jax.random.split(rng)
+        z1 = reparameterize(r1, mu1, lv1)
+        z2 = reparameterize(r2, mu2, lv2)
+        lib1 = x1.sum(1, keepdims=True)
+        # MoE: decode every latent through every decoder
+        out = {"11": self.dec1(z1, lib1), "21": self.dec1(z2, lib1),
+               "12": self.dec2(z1), "22": self.dec2(z2)}
+        return out, (mu1, lv1), (mu2, lv2)
+
+    def cross_predict(self, x1):
+        mu1, _ = self.enc1(jnp.log1p(x1))
+        return self.dec2(mu1)
+
+
+class MMVAE(BaseRegressionMethod):
+    """scMM MMVAE model (parity: scmm.py:363)."""
+
+    _DISPLAY_ATTRS = ("z_dim",)
+
+    def __init__(self, subtask: str = "", params=None, z_dim: int = 16, seed: int = 0):
+        self.subtask = subtask
+        self.z_dim = z_dim
+        self.seed = seed
+        self.params = None
+
+    @staticmethod
+    def preprocessing_pipeline(log_level: LogLevel = "INFO"):
+        return SetConfig({"feature_mod": "mod1", "label_mod": "mod2",
+                          "feature_channel": None, "feature_channel_type": "X",
+                          "label_channel": None, "label_channel_type": "X"},
+                         log_level=log_level)
+
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def _train_epoch(self, params, opt_state, x1, x2, key, batch_size: int):
+        n = x1.shape[0]
+        nb = max(n // batch_size, 1)
+        perm = jax.random.permutation(key, n)[:nb * batch_size]
+        b1 = x1[perm].reshape(nb, batch_size, -1)
+        b2 = x2[perm].reshape(nb, batch_size, -1)
+        keys = jax.random.split(jax.random.fold_in(key, 3), nb)
+
+        def loss_fn(params, bx1, bx2, rng):
+            out, (mu1, lv1), (mu2, lv2) = self.net.apply({"params": params}, bx1, bx2,
+                                                         rng)
+            ll = (nb_nll(bx1, *out["11"]) + nb_nll(bx1, *out["21"])
+                  + jnp.mean((out["12"] - bx2) ** 2)
+                  + jnp.mean((out["22"] - bx2) ** 2))
+            kl = gaussian_kl(mu1, lv1) + gaussian_kl(mu2, lv2)
+            return ll + 1e-3 * kl
+
+        def step(carry, batch):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, *batch)
+            updates, opt_state = self._tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state),
+                                                   (b1, b2, keys))
+        return params, opt_state, losses.mean()
+
+    def fit(self, x_train, y_train, epochs: int = 100, lr: float = 1e-3,
+            batch_size: int = 64):
+        x1 = jnp.asarray(as_numpy(x_train), jnp.float32)
+        x2 = jnp.asarray(as_numpy(y_train), jnp.float32)
+        self.net = _MMVAENet(dim1=x1.shape[1], dim2=x2.shape[1], z_dim=self.z_dim)
+        key = jax.random.key(self.seed)
+        if self.params is None:
+            self.params = self.net.init(key, x1[:1], x2[:1],
+                                        jax.random.fold_in(key, 9))["params"]
+        self._tx = optax.adam(lr)
+        opt_state = self._tx.init(self.params)
+        bs = min(batch_size, x1.shape[0])
+        for epoch in range(epochs):
+            key, ek = jax.random.split(key)
+            self.params, opt_state, loss = self._train_epoch(self.params, opt_state,
+                                                             x1, x2, ek, bs)
+            if epoch % 20 == 0:
+                logger.info("scMM epoch %d, loss %.5f", epoch, float(loss))
+        return self
+
+    def predict(self, x):
+        x1 = jnp.asarray(as_numpy(x), jnp.float32)
+        return np.asarray(self.net.apply({"params": self.params}, x1,
+                                         method=self.net.cross_predict))
+
+    def encode(self, x, modality: int = 1):
+        x = jnp.asarray(as_numpy(x), jnp.float32)
+        enc = self.net.enc1 if modality == 1 else self.net.enc2
+        mu, _ = self.net.apply({"params": self.params}, x,
+                               method=lambda m, xx: (m.enc1 if modality == 1
+                                                     else m.enc2)(xx))
+        return np.asarray(mu)
+
+    def score(self, x, y, *, score_func=None, return_pred: bool = False, **kwargs):
+        from dance_tpu.utils.metrics import resolve_score_func
+        pred = self.predict(x)
+        func = resolve_score_func(score_func or "rmse")
+        s = func(as_numpy(y), pred)
+        return (s, pred) if return_pred else s

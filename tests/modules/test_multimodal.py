@@ -1,0 +1,118 @@
+"""Multimodal family e2e on synthetic paired GEX/ADT data."""
+
+import numpy as np
+import pytest
+
+from dance_tpu.datasets.synthetic import multimodal_data
+
+
+@pytest.fixture(scope="module")
+def data():
+    return multimodal_data(n_cells=240, n_genes=100, n_prot=25, n_types=3, seed=0)
+
+
+def _get_xy(d):
+    x1_tr = np.log1p(d.get_feature(split_name="train", mod="mod1", channel_type="X"))
+    x2_tr = np.log1p(d.get_feature(split_name="train", mod="mod2", channel_type="X"))
+    x1_te = np.log1p(d.get_feature(split_name="test", mod="mod1", channel_type="X"))
+    x2_te = np.log1p(d.get_feature(split_name="test", mod="mod2", channel_type="X"))
+    return x1_tr, x2_tr, x1_te, x2_te
+
+
+def _baseline_rmse(x2_te):
+    return float(np.sqrt(((x2_te - x2_te.mean(0)) ** 2).mean()))
+
+
+def test_babel_e2e(data):
+    from dance_tpu.modules.multi_modality.predict_modality import BabelWrapper
+    x1_tr, x2_tr, x1_te, x2_te = _get_xy(data)
+    model = BabelWrapper(hidden=32, seed=0)
+    model.fit(np.expm1(x1_tr), x2_tr, epochs=60, batch_size=64)
+    rmse = model.score(np.expm1(x1_te), x2_te)
+    base = _baseline_rmse(x2_te)
+    assert rmse < base, f"BABEL rmse {rmse} vs mean-baseline {base}"
+
+
+def test_cmae_e2e(data):
+    from dance_tpu.modules.multi_modality.predict_modality import CMAE
+    x1_tr, x2_tr, x1_te, x2_te = _get_xy(data)
+    model = CMAE(z_dim=16, hidden=64, seed=0)
+    model.fit(x1_tr, x2_tr, epochs=300)
+    rmse = model.score(x1_te, x2_te)
+    base = _baseline_rmse(x2_te)
+    assert rmse < base, f"CMAE rmse {rmse} vs mean-baseline {base}"
+
+
+def test_scmm_e2e(data):
+    from dance_tpu.modules.multi_modality.predict_modality import MMVAE
+    x1_tr, x2_tr, x1_te, x2_te = _get_xy(data)
+    model = MMVAE(z_dim=16, seed=0)
+    model.fit(np.expm1(x1_tr), x2_tr, epochs=80, batch_size=64)
+    rmse = model.score(np.expm1(x1_te), x2_te)
+    base = _baseline_rmse(x2_te)
+    assert rmse < base, f"scMM rmse {rmse} vs mean-baseline {base}"
+
+
+def test_scmogcn_predict_e2e(data):
+    from dance_tpu.modules.multi_modality.predict_modality import ScMoGCNWrapper
+    x1_tr, x2_tr, x1_te, x2_te = _get_xy(data)
+    model = ScMoGCNWrapper(hidden=32, n_layers=2, seed=0)
+    model.fit(np.expm1(x1_tr), x2_tr, x_test=np.expm1(x1_te), epochs=150)
+    rmse = model.score(np.expm1(x1_te), x2_te)
+    base = _baseline_rmse(x2_te)
+    assert rmse < base, f"scMoGNN rmse {rmse} vs mean-baseline {base}"
+
+
+def test_cmae_matching(data):
+    from dance_tpu.modules.multi_modality.match_modality import CMAE
+    x1_tr, x2_tr, x1_te, x2_te = _get_xy(data)
+    model = CMAE(z_dim=16, hidden=64, seed=0)
+    model.fit(x1_tr, x2_tr, epochs=300)
+    matching = model.predict_matching(x1_te, x2_te)
+    score = model.score_matching(matching)
+    # random matching would score ~1/n (~1.4%); require clear signal
+    assert score > 0.1, f"CMAE matching score too low: {score}"
+
+
+def test_jae_joint_embedding(data):
+    from dance_tpu.modules.multi_modality.joint_embedding import JAEWrapper
+    x1_tr, x2_tr, _, _ = _get_xy(data)
+    ct = data.get_feature(split_name="train", mod="mod1", channel="cell_type",
+                          channel_type="obs")
+    model = JAEWrapper(z_dim=16, seed=0)
+    model.fit(x1_tr, x2_tr, cell_type=ct, epochs=150)
+    nmi = model.score(None, ct)
+    assert nmi > 0.5, f"JAE NMI too low: {nmi}"
+
+
+def test_dcca_joint_embedding(data):
+    from dance_tpu.modules.multi_modality.joint_embedding import DCCA
+    x1_tr, x2_tr, _, _ = _get_xy(data)
+    ct = data.get_feature(split_name="train", mod="mod1", channel="cell_type",
+                          channel_type="obs")
+    model = DCCA(z_dim=16, seed=0)
+    model.fit(x1_tr, x2_tr, epochs=200)
+    nmi = model.score(None, ct)
+    assert nmi > 0.4, f"DCCA NMI too low: {nmi}"
+
+
+def test_scmvae_joint_embedding(data):
+    from dance_tpu.modules.multi_modality.joint_embedding import scMVAE
+    x1_tr, x2_tr, _, _ = _get_xy(data)
+    ct = data.get_feature(split_name="train", mod="mod1", channel="cell_type",
+                          channel_type="obs")
+    model = scMVAE(z_dim=16, seed=0)
+    model.fit(x1_tr, x2_tr, epochs=200)
+    nmi = model.score(None, ct)
+    assert nmi > 0.4, f"scMVAE NMI too low: {nmi}"
+
+
+def test_scmogcn_joint_embedding(data):
+    from dance_tpu.modules.multi_modality.joint_embedding import ScMoGCNWrapper
+    x1_tr, x2_tr, _, _ = _get_xy(data)
+    ct = data.get_feature(split_name="train", mod="mod1", channel="cell_type",
+                          channel_type="obs")
+    model = ScMoGCNWrapper(hidden=32, z_dim=16, seed=0)
+    model.fit(x1_tr, x2_tr, cell_type=ct, epochs=100)
+    nmi = model.score(None, ct)
+    assert nmi > 0.5, f"scMoGNN-JE NMI too low: {nmi}"
