@@ -1,0 +1,5 @@
+"""Atlas / dataset-recommendation backend (parity: dance/atlas)."""
+
+from dance_tpu.atlas.sc_similarity.anndata_similarity import AnnDataSimilarity
+
+__all__ = ["AnnDataSimilarity"]

@@ -623,7 +623,8 @@ def get_step3_yaml(result_load_path: str, step2_pipeline_planer: PipelinePlaner,
                    conf_load_path: Optional[str] = None, metric: str = "test_acc",
                    ascending: bool = False, top_k: int = 3,
                    required_funs: Optional[List[str]] = None,
-                   required_indexes: Optional[List[int]] = None) -> List[str]:
+                   required_indexes: Optional[List[int]] = None,
+                   required_params: Optional[List[Dict[str, Any]]] = None) -> List[str]:
     """Convert top-k step-2 pipelines into per-pipeline params-tuning YAMLs.
 
     Freezes each winning pipeline's targets, switches tune_mode to params,
@@ -658,9 +659,12 @@ def get_step3_yaml(result_load_path: str, step2_pipeline_planer: PipelinePlaner,
             if tgt in target_param_specs:
                 elem["params_to_tune"] = target_param_specs[tgt]
             pipeline_elems.append(elem)
-        for fun, idx in zip(required_funs or [], required_indexes or []):
-            pipeline_elems.insert(min(idx, len(pipeline_elems)),
-                                  {"type": "misc", "target": fun})
+        for i_req, (fun, idx) in enumerate(zip(required_funs or [],
+                                               required_indexes or [])):
+            elem = {"type": "misc", "target": fun}
+            if required_params and i_req < len(required_params):
+                elem["params"] = required_params[i_req]
+            pipeline_elems.insert(min(idx, len(pipeline_elems)), elem)
         cfg = Config({"type": planer_cfg.get("type", "preprocessor"),
                       "tune_mode": "params", "pipeline": pipeline_elems})
         if step2_pipeline_planer.wandb_config:

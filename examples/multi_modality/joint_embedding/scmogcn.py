@@ -1,0 +1,21 @@
+"""ScMoGCNWrapper joint embedding benchmark script (parity: examples/multi_modality/...)."""
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 3)[0])
+import numpy as np
+
+from _utils import base_parser, multimodal_data, set_seed
+from dance_tpu.modules.multi_modality.joint_embedding import ScMoGCNWrapper
+
+if __name__ == "__main__":
+    args = base_parser("ScMoGCNWrapper joint embedding").parse_args()
+    set_seed(args.seed)
+    data = multimodal_data(seed=args.seed)
+    x1_tr = np.log1p(data.get_feature(split_name="train", mod="mod1", channel_type="X"))
+    x2_tr = np.log1p(data.get_feature(split_name="train", mod="mod2", channel_type="X"))
+    x1_te = np.log1p(data.get_feature(split_name="test", mod="mod1", channel_type="X"))
+    x2_te = np.log1p(data.get_feature(split_name="test", mod="mod2", channel_type="X"))
+    ct = data.get_feature(split_name="train", mod="mod1", channel="cell_type", channel_type="obs")
+    model = ScMoGCNWrapper(seed=args.seed)
+    model.fit(x1_tr, x2_tr, cell_type=ct, epochs=100)
+    print(f"NMI: {model.score(None, ct):.4f}")

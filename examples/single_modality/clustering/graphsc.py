@@ -1,0 +1,21 @@
+"""GraphSC clustering benchmark script (parity: examples/.../graphsc.py)."""
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 3)[0])
+import numpy as np
+
+from _utils import base_parser, clustering_data, set_seed
+from dance_tpu.modules.single_modality.clustering import GraphSC
+
+if __name__ == "__main__":
+    p = base_parser("GraphSC clustering")
+    p.add_argument("--n_clusters", type=int, default=3)
+    p.add_argument("--epochs", type=int, default=50)
+    args = p.parse_args()
+    set_seed(args.seed)
+    data = clustering_data(seed=args.seed)
+    GraphSC.preprocessing_pipeline()(data)
+    g, y = data.get_train_data()
+    model = GraphSC(n_clusters=args.n_clusters, seed=args.seed)
+    model.fit(g, y, epochs=args.epochs)
+    print(f"ARI: {model.score(None, y):.4f}")

@@ -1,0 +1,22 @@
+"""ScDCC clustering benchmark script (parity: examples/.../scdcc.py)."""
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 3)[0])
+import numpy as np
+
+from _utils import base_parser, clustering_data, set_seed
+from dance_tpu.modules.single_modality.clustering import ScDCC
+
+if __name__ == "__main__":
+    p = base_parser("ScDCC clustering")
+    p.add_argument("--n_clusters", type=int, default=3)
+    p.add_argument("--epochs", type=int, default=10)
+    args = p.parse_args()
+    set_seed(args.seed)
+    data = clustering_data(seed=args.seed)
+    ScDCC.preprocessing_pipeline()(data)
+    inputs, y = data.get_train_data()
+    model = ScDCC(input_dim=inputs[0].shape[1], z_dim=32, n_clusters=args.n_clusters,
+                  seed=args.seed)
+    model.fit(inputs, y, epochs=args.epochs, pt_epochs=100)
+    print(f"ARI: {model.score(None, y):.4f}")

@@ -1,0 +1,27 @@
+"""StdGCN deconvolution benchmark script (parity: examples/spatial/cell_type_deconvo)."""
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 3)[0])
+import numpy as np
+
+from _utils import base_parser, set_seed
+from dance_tpu.datasets.synthetic import synthetic_expression
+from dance_tpu.modules.spatial.cell_type_deconvo import StdGCN
+
+if __name__ == "__main__":
+    args = base_parser("StdGCN").parse_args()
+    set_seed(args.seed)
+    rng = np.random.default_rng(args.seed)
+    x_ref, labels = synthetic_expression(150, 80, 3, seed=1, effect=6.0)
+    portions = rng.dirichlet(np.ones(3), 60)
+    profiles = np.stack([x_ref[labels == c].mean(0) for c in range(3)])
+    x_mix = rng.poisson(portions @ profiles * 3).astype(np.float32)
+    ps_port = rng.dirichlet(np.ones(3), 100)
+    ps_x = rng.poisson(ps_port @ profiles * 3).astype(np.float32)
+    feats = np.log1p(np.concatenate([ps_x, x_mix], axis=0))
+    coords = np.concatenate([np.zeros((100, 2)), rng.random((60, 2)) * 10], axis=0)
+    y = np.concatenate([ps_port, np.zeros_like(portions)], axis=0)
+    model = StdGCN(seed=args.seed)
+    model.fit((feats, coords), y, max_epochs=200)
+    pred = model.predict()[100:]
+    print(f"MSE: {((pred - portions) ** 2).mean():.5f}")

@@ -1,0 +1,22 @@
+"""Louvain spatial benchmark script (parity: examples/spatial/...)."""
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 3)[0])
+import numpy as np
+
+from _utils import base_parser, set_seed, spatial_data
+from dance_tpu.modules.spatial.spatial_domain import Louvain
+
+if __name__ == "__main__":
+    p = base_parser("Louvain")
+    p.add_argument("--n_clusters", type=int, default=3)
+    args = p.parse_args()
+    set_seed(args.seed)
+    data = spatial_data(seed=args.seed)
+    data.data.obs["label"] = data.data.obs["domain"]
+    Louvain.preprocessing_pipeline(dim=20, n_neighbors=10)(data)
+    adj, y = data.get_train_data()
+    model = Louvain()
+    model.fit(adj)
+    from sklearn.metrics import adjusted_rand_score
+    print(f"ARI: {adjusted_rand_score(np.asarray(y).ravel(), model.predict()):.4f}")

@@ -1,0 +1,22 @@
+"""Stagate spatial benchmark script (parity: examples/spatial/...)."""
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 3)[0])
+import numpy as np
+
+from _utils import base_parser, set_seed, spatial_data
+from dance_tpu.modules.spatial.spatial_domain import Stagate
+
+if __name__ == "__main__":
+    p = base_parser("Stagate")
+    p.add_argument("--n_clusters", type=int, default=3)
+    args = p.parse_args()
+    set_seed(args.seed)
+    data = spatial_data(seed=args.seed)
+    data.data.obs["label"] = data.data.obs["domain"]
+    Stagate.preprocessing_pipeline(n_top_genes=80, model_name="knn", n_neighbors=6)(data)
+    (x, adj), y = data.get_train_data()
+    model = Stagate(hidden_dims=(x.shape[1], 64, 16), seed=args.seed)
+    model.fit((x, adj), epochs=300, n_clusters=args.n_clusters)
+    from sklearn.metrics import adjusted_rand_score
+    print(f"ARI: {adjusted_rand_score(np.asarray(y).ravel(), model.predict()):.4f}")

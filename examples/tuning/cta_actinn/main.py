@@ -1,0 +1,64 @@
+"""DANCE 2.0 pipeline search for ACTINN (parity: examples/tuning/cta_actinn/main.py).
+
+Step 2 (pipeline search) + step 3 (params tuning for top-k pipelines) on the
+framework-native SweepRunner; wandb is optional telemetry only.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 3)[0])
+import numpy as np
+
+from _utils import annotation_data, set_seed
+from dance_tpu.modules.single_modality.cell_type_annotation import ACTINN
+from dance_tpu.pipeline import PipelinePlaner, get_step3_yaml, run_step3, save_summary_data
+from dance_tpu.transforms import SetConfig
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default=os.path.join(os.path.dirname(__file__),
+                                                    "pipeline_params_tuning_config.yaml"))
+    p.add_argument("--count", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--results_dir", default="results")
+    args = p.parse_args()
+    set_seed(args.seed)
+
+    planer = PipelinePlaner.from_config_file(args.config)
+
+    def evaluate_pipeline(trial_config, planer=planer, params_mode=False):
+        data = annotation_data(n_cells=300, n_genes=100, seed=args.seed)
+        kwargs = ({"params": trial_config} if params_mode
+                  else {"pipeline": trial_config})
+        pipe = planer.generate(**kwargs)
+        pipe.functional(data)
+        if "label_channel" not in data.config:
+            SetConfig({"label_channel": "cell_type"})(data)
+        model = ACTINN(hidden_dims=(32, 16), random_seed=args.seed)
+        x_train, y_train = data.get_train_data()
+        model.fit(x_train, y_train, num_epochs=args.epochs, seed=args.seed)
+        x_test, y_test = data.get_test_data()
+        return {"acc": model.score(x_train, y_train),
+                "test_acc": model.score(x_test, y_test)}
+
+    os.makedirs(f"{args.results_dir}/pipeline", exist_ok=True)
+    runner = planer.sweep_agent(
+        evaluate_pipeline, count=args.count, method="random", seed=args.seed,
+        summary_file_path=f"{args.results_dir}/pipeline/best_test_acc.csv")
+    best = runner.best("test_acc")
+    print(f"Best step-2 trial: test_acc={best['test_acc']:.4f}")
+
+    step3_paths = get_step3_yaml(
+        f"{args.results_dir}/pipeline/best_test_acc.csv", planer,
+        conf_save_path=f"{args.results_dir}/config_yamls/params/", metric="test_acc",
+        top_k=2, required_funs=["SetConfig"], required_indexes=[100],
+        required_params=[{"config_dict": {"label_channel": "cell_type"}}])
+    runners = run_step3(
+        f"{args.results_dir}/config_yamls/params/",
+        lambda planer3, cfg: evaluate_pipeline(cfg, planer3, params_mode=True),
+        count=3, result_dir=f"{args.results_dir}/params/")
+    for r in runners:
+        if r.records:
+            print("Step-3 best:", r.best("test_acc")["test_acc"])

@@ -1,0 +1,62 @@
+"""Atlas similarity tests (parity model: tests/atlas/test_anndata_similarity.py)."""
+
+import numpy as np
+import pytest
+
+from dance_tpu.data import AnnData
+
+
+@pytest.fixture
+def pair():
+    rng = np.random.default_rng(0)
+    base = rng.gamma(2, 1, 50)
+    x1 = rng.poisson(base, (80, 50)).astype(np.float32)
+    x2 = rng.poisson(base, (90, 50)).astype(np.float32)       # same distribution
+    x3 = rng.poisson(base * 5, (90, 50)).astype(np.float32)   # shifted distribution
+    genes = {"gene_symbol": [f"g{i}" for i in range(50)]}
+    obs = {"tissue": ["blood"] * 80}
+    mk = lambda x, n: AnnData(x, obs={"tissue": ["blood"] * len(x)}, var=genes)
+    return mk(x1, 80), mk(x2, 90), mk(x3, 90)
+
+
+def test_similarity_metrics(pair):
+    from dance_tpu.atlas import AnnDataSimilarity
+    a1, a2, a3 = pair
+    sim_close = AnnDataSimilarity(a1, a2, n_runs=2, sample_size=60,
+                                  init_random_state=0)
+    sim_far = AnnDataSimilarity(a1, a3, n_runs=2, sample_size=60, init_random_state=0)
+    res_close = sim_close.compute_similarity()
+    res_far = sim_far.compute_similarity()
+    for key in ["cosine", "pearson", "jaccard", "js_distance", "mmd", "wasserstein",
+                "hausdorff", "chamfer", "energy", "sinkhorn2", "spectral",
+                "metadata_sim"]:
+        assert key in res_close
+        assert np.isfinite(res_close[key])
+    # similarity metrics should rank the matched pair closer
+    assert res_close["cosine"] > res_far["cosine"]
+    # distance metrics should rank the matched pair smaller
+    assert res_close["mmd"] < res_far["mmd"]
+    assert res_close["energy"] < res_far["energy"]
+
+
+def test_common_genes(pair):
+    from dance_tpu.atlas import AnnDataSimilarity
+    a1, a2, _ = pair
+    sim = AnnDataSimilarity(a1, a2, n_runs=1)
+    assert sim.common_genes_num() == 50
+
+
+def test_wsgi_app(pair, tmp_path):
+    import sys
+    sys.path.insert(0, "/root/repo/examples/atlas/demos")
+    import importlib
+    main = importlib.import_module("main")
+    a1, a2, a3 = pair
+    atlas_dir = tmp_path / "atlas" / "blood"
+    atlas_dir.mkdir(parents=True)
+    from dance_tpu.data import write_h5ad
+    write_h5ad(a2, atlas_dir / "ds_close.h5ad")
+    write_h5ad(a3, atlas_dir / "ds_far.h5ad")
+    service = main.AtlasService(atlas_dir=str(tmp_path / "atlas"))
+    result = service.recommend(a1, "blood")
+    assert result["best_dataset"] == "ds_close"

@@ -81,3 +81,22 @@ def test_scdeepsort_e2e(data):
     pred = model.predict(g_test, unsure_rate=2.0)
     acc = (y_test.argmax(1) == pred).mean()
     assert acc > 0.8, f"scDeepSort acc too low: {acc}"
+
+
+def test_scheteronet_e2e(data):
+    from dance_tpu.graph import Graph
+    from dance_tpu.modules.single_modality.cell_type_annotation import scHeteroNet
+    from dance_tpu.transforms.graph import HeteronetGraph
+    d = data.copy()
+    HeteronetGraph(knn_num=5)(d)
+    g = d.data.uns["HeteronetGraph"]
+    y = d.data.obsm["cell_type"].to_numpy().argmax(1)
+    model = scHeteroNet(hidden_channels=32, num_layers=2, seed=0)
+    model.fit(g, y, x_raw=np.asarray(d.data.X), epochs=120,
+              train_idx=np.asarray(d.train_idx))
+    test_idx = np.asarray(d.test_idx)
+    acc = (model.predict(idx=test_idx) == y[test_idx]).mean()
+    assert acc > 0.8, f"scHeteroNet acc too low: {acc}"
+    # OOD scores exist and are finite
+    scores = model.detect(node_idx=test_idx)
+    assert np.isfinite(scores).all()
