@@ -134,6 +134,15 @@ class Graph:
                            {k: jnp.asarray(v) for k, v in self.ndata.items()
                             if np.asarray(v).dtype.kind in "fiub"})
 
+    def to_bsr(self, block: int = 128):
+        """Block-sparse device form for the Pallas SpMM fast path.
+
+        Suitable when layers only need weighted-sum aggregation over a static
+        adjacency (GCN/WeightedGraphConv/TAG); edge-level layers (GAT,
+        AdaptiveSAGE) keep the CSR form."""
+        from dance_tpu.ops.pallas_kernels import bsr_from_scipy
+        return bsr_from_scipy(self.adj, block=block)
+
     def __repr__(self):
         return (f"Graph(num_nodes={self.num_nodes}, num_edges={self.num_edges}, "
                 f"ndata={list(self.ndata)}, info={self.info})")

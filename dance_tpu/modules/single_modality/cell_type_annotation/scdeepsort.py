@@ -143,6 +143,97 @@ class ScDeepSort(BaseClassificationMethod):
         self.params = best_params
         return self
 
+    def fit_with_sampling(self, graph: Graph, labels, epochs: int = 100,
+                          lr: float = 1e-3, fanout: int = 10,
+                          batch_size: Optional[int] = None):
+        """Minibatch fit via the native fixed-fanout NeighborSampler.
+
+        Replaces the DGL NeighborSampler + worker-process DataLoader
+        (reference scdeepsort.py:183,232-235) with the C++ sampler from
+        :mod:`dance_tpu.native`: every block has static shape, so the sampled
+        step compiles once. One-layer aggregation per block (full-graph fit
+        remains the default and is faster when the graph fits on chip).
+        """
+        import optax as _optax
+
+        from dance_tpu.native import NeighborSampler
+        labels = as_numpy(labels)
+        if labels.ndim == 2:
+            labels = labels.argmax(1)
+        num_genes = int(graph.info["num_genes"])
+        num_cells = int(graph.info["num_cells"])
+        self.num_labels = int(labels.max()) + 1
+        feats = np.asarray(graph.ndata["features"], np.float32)
+        gene_id = np.asarray(graph.ndata["cell_id"])
+        batch_size = batch_size or self.batch_size
+        sampler = NeighborSampler(graph.adj, fanout=fanout, batch_size=batch_size,
+                                  seed=self.seed)
+
+        self.model = GNN(dim_out=self.num_labels, dim_hid=self.hidden_dim,
+                         n_layers=self.n_layers, gene_num=num_genes,
+                         dropout=self.dropout)
+        # the sampled step trains a one-hop surrogate: mean over sampled
+        # neighbors' features -> the same AdaptiveSAGE layer weights
+        import flax.linen as fnn
+
+        class _BlockNet(fnn.Module):
+            dim_out: int
+            dim_hid: int
+
+            @fnn.compact
+            def __call__(self, seed_feat, nbr_feat, nbr_w):
+                msgs = (nbr_feat * nbr_w[..., None]).mean(axis=1)
+                h = jnp.concatenate([seed_feat, msgs], axis=-1)  # ego + neighbors
+                h = fnn.relu(fnn.Dense(self.dim_hid)(h))
+                h = fnn.LayerNorm()(h)
+                return fnn.Dense(self.dim_out)(h)
+
+        net = _BlockNet(dim_out=self.num_labels, dim_hid=self.hidden_dim)
+        key = jax.random.key(self.seed)
+        dummy = jnp.zeros((1, feats.shape[1]))
+        params = net.init(key, dummy, jnp.zeros((1, fanout, feats.shape[1])),
+                          jnp.zeros((1, fanout)))["params"]
+        tx = _optax.adam(lr)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, seed_feat, nbr_feat, nbr_w, y):
+            def loss_fn(params):
+                logits = net.apply({"params": params}, seed_feat, nbr_feat, nbr_w)
+                return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return _optax.apply_updates(params, updates), opt_state, loss
+
+        cell_nodes = np.arange(num_genes, num_genes + num_cells, dtype=np.int32)
+        full_labels = np.zeros(num_genes + num_cells, np.int32)
+        full_labels[num_genes:] = labels[:num_cells]
+        for epoch in range(epochs):
+            for seeds, idx, w in sampler(cell_nodes, epoch=epoch):
+                params, opt_state, loss = step(
+                    params, opt_state, jnp.asarray(feats[seeds]),
+                    jnp.asarray(feats[idx]), jnp.asarray(w),
+                    jnp.asarray(full_labels[seeds]))
+        self._sampled = (net, params, sampler, feats, num_genes)
+        return self
+
+    def predict_sampled(self, graph: Graph):
+        """Predict cell types with the sampled-fit surrogate model."""
+        net, params, _, _, _ = self._sampled
+        from dance_tpu.native import NeighborSampler
+        num_genes = int(graph.info["num_genes"])
+        num_cells = int(graph.info["num_cells"])
+        feats = np.asarray(graph.ndata["features"], np.float32)
+        sampler = NeighborSampler(graph.adj, fanout=self._sampled[2].fanout,
+                                  batch_size=num_cells, shuffle=False, seed=self.seed)
+        cell_nodes = np.arange(num_genes, num_genes + num_cells, dtype=np.int32)
+        seeds, idx, w = next(iter(sampler(cell_nodes)))
+        logits = net.apply({"params": params}, jnp.asarray(feats[seeds]),
+                           jnp.asarray(feats[idx]), jnp.asarray(w))
+        order = np.argsort(seeds)  # undo any ordering
+        return np.asarray(logits.argmax(1))[order]
+
     def predict_proba(self, graph: Graph):
         dg = graph.to_device()
         gene_id = dg.ndata["cell_id"]

@@ -75,8 +75,13 @@ def _spmm_kernel(brows_ref, bcols_ref, blocks_ref, b_ref, out_ref):
 
 @partial(jax.jit, static_argnames=("d_tile", "interpret"))
 def bsr_spmm(bsr: BSRMatrix, b: jax.Array, *, d_tile: int = 128,
-             interpret: bool = False) -> jax.Array:
-    """out = A @ B with A in BSR form; B is (n_cols_padded, d)."""
+             interpret: bool = None) -> jax.Array:
+    """out = A @ B with A in BSR form; B is (n_cols_padded, d).
+
+    ``interpret=None`` auto-selects interpreter mode off-TPU (the Mosaic
+    backend only compiles for TPU)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     n_rows, n_cols = bsr.shape
     d = b.shape[1]
     dp = -(-d // d_tile) * d_tile

@@ -38,9 +38,14 @@ class Compose(BaseTransform):
         return hexdigest("".join(t.hexdigest() for t in self.transforms))
 
     def __call__(self, data):
+        from dance_tpu.utils.profile import StageTimer
         self.logger.info("Applying composed transformations:\n%r", self)
+        timer = StageTimer()
         for t in self.transforms:
-            t(data)
+            with timer.stage(t.name):
+                t(data)
+        self.timings = timer.summary()  # per-transform wall clock (SURVEY.md §5)
+        self.logger.info("Per-transform timings:\n%s", timer.report())
 
     def transform_with_history(self, data) -> Dict[str, Any]:
         history = {"original": copy.deepcopy(data)}

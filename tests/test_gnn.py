@@ -91,3 +91,27 @@ def test_gnn_layers(graph):
     out = layer.apply(params, aj, h, gene_id, alpha)
     assert out.shape == (50, 8)
     assert np.isfinite(out).all()
+
+
+def test_spmm_bsr_path(graph):
+    """GNN layers accept BSR adjacency for the Pallas fast path."""
+    import jax
+
+    from dance_tpu.graph import Graph
+    from dance_tpu.nn.gnn import GCNConv, TAGConv
+    from dance_tpu.ops.segment import spmm
+    adj, h = graph
+    g = Graph(adj)
+    bsr = g.to_bsr()
+    csr = g.to_device().adj
+    np.testing.assert_allclose(np.asarray(spmm(bsr, h)), np.asarray(spmm(csr, h)),
+                               rtol=1e-4, atol=1e-4)
+    key = jax.random.key(0)
+    layer = GCNConv(8)
+    params = layer.init(key, csr, h)
+    out_csr = layer.apply(params, csr, h)
+    out_bsr = layer.apply(params, bsr, h)
+    np.testing.assert_allclose(np.asarray(out_bsr), np.asarray(out_csr), rtol=1e-3,
+                               atol=1e-3)
+    with pytest.raises(ValueError):
+        spmm(bsr, h, op="mean")

@@ -78,3 +78,20 @@ def test_neighbor_sampler_blocks():
         assert seeds.shape == (64,)
         assert idx.shape == (64, 10)
         assert w.shape == (64, 10)
+
+
+def test_scdeepsort_sampled_fit():
+    """Native-sampler minibatch path learns on synthetic data."""
+    import numpy as np
+
+    from dance_tpu.datasets.synthetic import annotation_data
+    from dance_tpu.modules.single_modality.cell_type_annotation import ScDeepSort
+    d = annotation_data(n_cells=200, n_genes=80, n_types=3, seed=0)
+    model = ScDeepSort(dim_in=16, dim_hid=32, num_layers=1, seed=0, batch_size=64)
+    model.preprocess(d, n_components=16)
+    graph = d.data.uns["PCACellFeatureGraph"]
+    y = d.data.obsm["cell_type"].to_numpy().argmax(1)
+    model.fit_with_sampling(graph, y, epochs=30, fanout=8)
+    pred = model.predict_sampled(graph)
+    acc = (pred == y).mean()
+    assert acc > 0.7, f"sampled-fit acc too low: {acc}"
