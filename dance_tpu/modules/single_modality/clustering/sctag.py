@@ -210,3 +210,10 @@ class ScTAG(NNPretrain, BaseClusteringMethod):
 
     def predict(self, x: Optional[Any] = None) -> np.ndarray:
         return np.asarray(self.q).argmax(1)
+
+
+# reference decoder names (sctag.py:433,:475): the adjacency decoder is the
+# inner-product head and DecoderX the MLP ZINB decoder, both folded into
+# _ScTAGNet; aliases keep the reference import surface.
+DecoderAdj = _ScTAGNet
+DecoderX = _ScTAGNet

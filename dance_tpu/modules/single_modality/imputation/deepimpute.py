@@ -38,6 +38,10 @@ class _SubNet(nn.Module):
         return nn.softplus(nn.Dense(self.out_dim)(x))
 
 
+# reference inner-model name (deepimpute.py:41)
+NeuralNetworkModel = _SubNet
+
+
 class DeepImpute(BaseRegressionMethod):
     """DeepImpute model (parity: deepimpute.py:68)."""
 

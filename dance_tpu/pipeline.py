@@ -743,3 +743,24 @@ def generate_subsets(config_path: str, save_dir: str, *,
 __all__ = ["Action", "Pipeline", "PipelinePlaner", "SweepRunner",
            "generate_combinations_with_required_elements", "generate_subsets",
            "get_step3_yaml", "run_step3", "save_summary_data"]
+
+
+def get_additional_sweep(entity: str, project: str, sweep_id: str) -> List[str]:
+    """Follow resumed-sweep lineage via run metadata (parity: pipeline.py:1143).
+
+    Requires wandb; crawls each run's config for prior sweep ids so resumed
+    searches aggregate across their full history."""
+    wandb = try_import("wandb")
+    api = wandb.Api()
+    seen, frontier = [], [sweep_id]
+    while frontier:
+        sid = frontier.pop()
+        if sid in seen:
+            continue
+        seen.append(sid)
+        sweep = api.sweep(f"{entity}/{project}/{sid}")
+        for run in sweep.runs:
+            prior = run.config.get("resumed_from_sweep")
+            if prior and prior not in seen:
+                frontier.append(prior)
+    return seen

@@ -186,3 +186,36 @@ class NullWarmup:
 
     def step(self) -> float:
         return self.maximum
+
+
+# --------------------------------------------------------------------------
+# BABEL paired/quad losses (parity: loss.py:148-344)
+# --------------------------------------------------------------------------
+
+class PairedLoss:
+    """Two-path translation loss: recon(1->1) + trans(1->2) with given fns."""
+
+    def __init__(self, loss1=None, loss2=None, w1: float = 1.0, w2: float = 1.0):
+        self.loss1 = loss1 or (lambda p, t: jnp.mean((p - t) ** 2))
+        self.loss2 = loss2 or (lambda p, t: jnp.mean((p - t) ** 2))
+        self.w1, self.w2 = w1, w2
+
+    def __call__(self, preds, targets):
+        (p11, p12), (t1, t2) = preds, targets
+        return self.w1 * self.loss1(p11, t1) + self.w2 * self.loss2(p12, t2)
+
+
+class QuadLoss:
+    """Four-path BABEL loss: both reconstructions + both translations
+    (parity: dance/utils/loss.py QuadLoss). ``loss1`` scores modality-1
+    outputs (e.g. NB on counts), ``loss2`` modality-2 outputs (MSE/BCE)."""
+
+    def __init__(self, loss1=None, loss2=None, loss1_weight: float = 1.0):
+        self.loss1 = loss1 or (lambda p, t: jnp.mean((p - t) ** 2))
+        self.loss2 = loss2 or (lambda p, t: jnp.mean((p - t) ** 2))
+        self.loss1_weight = loss1_weight
+
+    def __call__(self, preds, targets):
+        (p11, p21, p12, p22), (t1, t2) = preds, targets
+        return (self.loss1_weight * (self.loss1(p11, t1) + self.loss1(p21, t1))
+                + self.loss2(p12, t2) + self.loss2(p22, t2))
