@@ -42,3 +42,37 @@ def test_sharded_train_step(cpu_mesh8):
             params, opt_state, loss = step(params, opt_state, batch)
             losses.append(float(loss))
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_vmapped_trials():
+    """8 hyperparameter trials train simultaneously under one vmapped scan."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dance_tpu.nn.mlp import VanillaMLP
+    from dance_tpu.parallel.trials import select_best_trial, vmapped_trials
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((128, 20), dtype=np.float32))
+    w_true = jnp.asarray(rng.random((20, 1), dtype=np.float32))
+    y = (x @ w_true).ravel()
+    model = VanillaMLP(output_dim=1, hidden_dims=(16,))
+
+    def init_fn(key):
+        return model.init(key, x[:1])["params"]
+
+    def loss_fn(params, batch, hyper):
+        bx, by = batch
+        pred = model.apply({"params": params}, bx).ravel()
+        return jnp.mean((pred - by) ** 2) * hyper["scale"]
+
+    scales = [1.0] * 8
+    params, losses = vmapped_trials(init_fn, loss_fn, (x, y), seeds=list(range(8)),
+                                    hyperparams={"scale": scales}, lr=1e-2,
+                                    num_steps=200)
+    assert losses.shape == (200, 8)
+    assert (losses[-1] < losses[0]).all(), "all trials should improve"
+    best, idx = select_best_trial(params, -losses[-1])
+    pred = model.apply({"params": best}, x).ravel()
+    assert float(jnp.mean((pred - y) ** 2)) < float(losses[0].min())

@@ -1,0 +1,101 @@
+"""First-party scanpy-surface parity tests (dance_tpu.sc)."""
+
+import numpy as np
+import pytest
+
+from dance_tpu.data import AnnData
+from dance_tpu import sc
+
+
+@pytest.fixture
+def adata():
+    rng = np.random.default_rng(0)
+    X = rng.poisson(2.0, (80, 40)).astype(np.float32)
+    a = AnnData(X, obs={"batch": rng.choice([0, 1], 80),
+                        "covar": rng.random(80)})
+    return a
+
+
+def test_scale_parity(adata):
+    from sklearn.preprocessing import StandardScaler
+    ref = StandardScaler().fit_transform(np.asarray(adata.X, np.float64))
+    # sklearn uses ddof=0; ours uses ddof=1 (scanpy convention)
+    n = adata.n_obs
+    ref = ref * np.sqrt((n - 1) / n)
+    sc.pp.scale(adata)
+    np.testing.assert_allclose(adata.X, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_normalize_total_median(adata):
+    counts = np.asarray(adata.X).sum(1)
+    med = np.median(counts)
+    sc.pp.normalize_total(adata)
+    np.testing.assert_allclose(np.asarray(adata.X).sum(1), med, rtol=1e-4)
+
+
+def test_filter_roundtrip(adata):
+    before = adata.n_vars
+    sc.pp.filter_genes(adata, min_cells=5)
+    assert adata.n_vars <= before
+    assert "n_cells" in adata.var.columns
+    sc.pp.filter_cells(adata, min_counts=10)
+    assert "n_counts" in adata.obs.columns
+
+
+def test_combat_removes_batch_shift(adata):
+    X = np.asarray(adata.X, np.float64)
+    batches = np.asarray(adata.obs["batch"])
+    X[batches == 1] += 5.0  # plant a batch effect
+    adata._X = X.astype(np.float32)
+    sc.pp.combat(adata, key="batch")
+    Xc = np.asarray(adata.X)
+    shift = abs(Xc[batches == 1].mean() - Xc[batches == 0].mean())
+    assert shift < 0.3, f"batch shift not removed: {shift}"
+
+
+def test_regress_out(adata):
+    X = np.asarray(adata.X, np.float64)
+    covar = np.asarray(adata.obs["covar"], np.float64)
+    X[:, 0] = 10 * covar  # perfectly explained by covariate
+    adata._X = X.astype(np.float32)
+    sc.pp.regress_out(adata, "covar")
+    corr = np.corrcoef(np.asarray(adata.X)[:, 0], covar)[0, 1]
+    assert abs(corr) < 0.1, f"covariate effect remains: corr={corr}"
+
+
+def test_neighbors_and_tl_clustering(adata):
+    sc.pp.normalize_total(adata)
+    sc.pp.log1p(adata)
+    sc.pp.pca(adata, n_comps=10)
+    sc.pp.neighbors(adata, n_neighbors=8)
+    assert adata.obsp["connectivities"].nnz > 0
+    sc.tl.louvain(adata)
+    sc.tl.leiden(adata)
+    assert "louvain" in adata.obs.columns and "leiden" in adata.obs.columns
+    sc.tl.umap(adata)
+    assert adata.obsm["X_umap"].shape == (80, 2)
+
+
+def test_rank_genes_groups(adata):
+    rng = np.random.default_rng(1)
+    groups = rng.choice(["a", "b"], adata.n_obs)
+    X = np.asarray(adata.X, np.float64)
+    X[groups == "a", 3] += 10  # gene 3 is an 'a' marker
+    adata._X = X.astype(np.float32)
+    adata.obs["group"] = groups
+    sc.tl.rank_genes_groups(adata, "group", n_genes=5)
+    top_a = adata.uns["rank_genes_groups"]["names"]["a"]
+    assert adata.var_names[3] == top_a[0]
+
+
+def test_subsample_and_qc(adata):
+    sc.pp.calculate_qc_metrics(adata)
+    assert "total_counts" in adata.obs.columns
+    sc.pp.subsample(adata, n_obs=30)
+    assert adata.n_obs == 30
+
+
+def test_score_genes(adata):
+    sc.tl.score_genes(adata, [adata.var_names[0], adata.var_names[1]],
+                      score_name="myscore")
+    assert "myscore" in adata.obs.columns
