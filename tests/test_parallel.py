@@ -76,3 +76,19 @@ def test_vmapped_trials():
     best, idx = select_best_trial(params, -losses[-1])
     pred = model.apply({"params": best}, x).ravel()
     assert float(jnp.mean((pred - y) ** 2)) < float(losses[0].min())
+
+
+def test_actinn_fit_distributed(cpu_mesh8):
+    """Data-parallel ACTINN over the 8-device mesh matches single-device quality."""
+    from dance_tpu.datasets.synthetic import annotation_data
+    from dance_tpu.modules.single_modality.cell_type_annotation import ACTINN
+
+    d = annotation_data(n_cells=320, n_genes=100, n_types=3, seed=0)
+    model = ACTINN(hidden_dims=(32, 16), random_seed=0)
+    model.preprocess(d)
+    x_train, y_train = d.get_train_data()
+    model.fit_distributed(x_train, y_train, mesh=cpu_mesh8, num_epochs=20,
+                          batch_size=64, seed=0)
+    x_test, y_test = d.get_test_data()
+    acc = model.score(x_test, y_test)
+    assert acc > 0.85, f"distributed ACTINN acc too low: {acc}"
