@@ -234,6 +234,23 @@ class ScDeepSort(BaseClassificationMethod):
         order = np.argsort(seeds)  # undo any ordering
         return np.asarray(logits.argmax(1))[order]
 
+    def save_model(self, path: str = None):
+        """Checkpoint trained parameters (parity: scdeepsort.py:200 save path)."""
+        from dance_tpu.utils.checkpoint import save_checkpoint
+        path = path or f"scdeepsort_{self.species}_{self.tissue}.ckpt"
+        save_checkpoint(path, {"params": self.params, "num_labels": self.num_labels})
+        return path
+
+    def load_model(self, path: str):
+        from dance_tpu.utils.checkpoint import load_checkpoint
+        state = load_checkpoint(path)
+        self.params = state["params"]
+        self.num_labels = int(state["num_labels"])
+        if self.model is None:
+            raise ValueError("Initialize the model (via fit on a graph) before "
+                             "loading parameters")
+        return self
+
     def predict_proba(self, graph: Graph):
         dg = graph.to_device()
         gene_id = dg.ndata["cell_id"]

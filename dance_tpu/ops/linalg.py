@@ -50,9 +50,14 @@ def randomized_svd(x, n_components: int, *, n_iter: int = 4, seed: int = 0,
     finding cannot separate near-degenerate singular values, and below ~1k the
     exact SVD is cheap on device); 'randomized' / 'exact' force a choice.
     """
-    from dance_tpu.ops.sparse import CSRMatrix, csr_to_dense
+    from dance_tpu.ops.sparse import CSRMatrix
     if isinstance(x, CSRMatrix):
-        x = csr_to_dense(x)
+        # sparse-native randomized path: never densifies the matrix — range
+        # finding runs as CSR SpMM / SpMM^T (gather + segment-sum on device)
+        u, s, vt = _rsvd_sparse(x, jax.random.key(seed), n_components, n_iter=n_iter)
+        if sign_convention:
+            u, vt = _sign_flip(u, vt)
+        return u, s, vt
     x = jnp.asarray(x, dtype=jnp.float32)
     if solver == "auto":
         solver = "exact" if min(x.shape) <= 1024 else "randomized"
@@ -64,6 +69,22 @@ def randomized_svd(x, n_components: int, *, n_iter: int = 4, seed: int = 0,
     if sign_convention:
         u, vt = _sign_flip(u, vt)
     return u, s, vt
+
+
+@partial(jax.jit, static_argnames=("n_components", "n_oversample", "n_iter"))
+def _rsvd_sparse(x, key, n_components: int, n_oversample: int = 10, n_iter: int = 4):
+    from dance_tpu.ops.sparse import csr_matmat, csr_rmatmat
+    m, n = x.shape
+    k = min(n_components + n_oversample, min(m, n))
+    omega = jax.random.normal(key, (n, k), dtype=jnp.float32)
+    q, _ = jnp.linalg.qr(csr_matmat(x, omega))
+    for _ in range(n_iter):
+        z, _ = jnp.linalg.qr(csr_rmatmat(x, q))
+        q, _ = jnp.linalg.qr(csr_matmat(x, z))
+    b = csr_rmatmat(x, q).T  # (k, n) = q^T A
+    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = jnp.dot(q, ub, precision=HI)
+    return u[:, :n_components], s[:n_components], vt[:n_components]
 
 
 @jax.jit

@@ -482,6 +482,8 @@ class PipelinePlaner(Pipeline):
         runner = SweepRunner(self.search_space(), method=method, seed=seed)
         runner.run(function, count=count)
         if summary_file_path:
+            os.makedirs(os.path.dirname(os.path.abspath(summary_file_path)),
+                        exist_ok=True)
             runner.summary().to_csv(summary_file_path, index=False)
         return runner
 

@@ -54,12 +54,38 @@ LIGHT_MATRIX = [
 
 FULL_MATRIX = [
     ("single_modality/cell_type_annotation/actinn.py", ["--num_epochs", "50"]),
+    ("single_modality/cell_type_annotation/svm.py", []),
+    ("single_modality/cell_type_annotation/celltypist.py", []),
+    ("single_modality/cell_type_annotation/singlecellnet.py", []),
     ("single_modality/cell_type_annotation/scdeepsort.py", ["--n_epochs", "100"]),
     ("single_modality/clustering/scdeepcluster.py", ["--epochs", "10"]),
+    ("single_modality/clustering/scdcc.py", ["--epochs", "10"]),
     ("single_modality/clustering/graphsc.py", ["--epochs", "100"]),
+    ("single_modality/clustering/sctag.py", ["--epochs", "100"]),
+    ("single_modality/clustering/scdsc.py", ["--epochs", "100"]),
+    ("single_modality/imputation/magic.py", []),
+    ("single_modality/imputation/deepimpute.py", []),
+    ("single_modality/imputation/graphsci.py", []),
+    ("single_modality/imputation/scgnn2.py", []),
+    ("multi_modality/predict_modality/babel.py", []),
+    ("multi_modality/predict_modality/cmae.py", []),
+    ("multi_modality/predict_modality/scmm.py", []),
     ("multi_modality/predict_modality/scmogcn.py", []),
+    ("multi_modality/match_modality/cmae.py", []),
+    ("multi_modality/match_modality/scmogcn.py", []),
+    ("multi_modality/joint_embedding/jae.py", []),
+    ("multi_modality/joint_embedding/dcca.py", []),
+    ("multi_modality/joint_embedding/scmvae.py", []),
+    ("multi_modality/joint_embedding/scmogcn.py", []),
+    ("spatial/spatial_domain/louvain.py", []),
     ("spatial/spatial_domain/spagcn.py", []),
+    ("spatial/spatial_domain/stagate.py", []),
+    ("spatial/spatial_domain/stlearn.py", []),
     ("spatial/cell_type_deconvo/card.py", []),
+    ("spatial/cell_type_deconvo/spatialdecon.py", []),
+    ("spatial/cell_type_deconvo/spotlight.py", []),
+    ("spatial/cell_type_deconvo/dstg.py", []),
+    ("spatial/cell_type_deconvo/stdgcn.py", []),
 ]
 
 

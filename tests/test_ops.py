@@ -123,3 +123,18 @@ def test_louvain():
     from sklearn.metrics import adjusted_rand_score
     true = np.repeat([0, 1], 20)
     assert adjusted_rand_score(true, labels) > 0.95
+
+
+def test_sparse_rsvd():
+    """Sparse-native randomized SVD never densifies and matches dense SVD."""
+    from dance_tpu.ops.linalg import randomized_svd
+    from dance_tpu.ops.sparse import csr_from_scipy
+    # decaying-spectrum sparse matrix
+    u0 = rng.standard_normal((200, 5))
+    v0 = rng.standard_normal((5, 120))
+    dense = (u0 * np.array([10, 7, 4, 2, 1])) @ v0
+    dense[np.abs(dense) < 2.0] = 0  # sparsify
+    A = sp.csr_matrix(dense.astype(np.float32))
+    u, s, vt = randomized_svd(csr_from_scipy(A), 5)
+    s_ref = np.linalg.svd(A.toarray(), compute_uv=False)[:5]
+    np.testing.assert_allclose(np.asarray(s), s_ref, rtol=1e-2)
