@@ -210,7 +210,37 @@ def highly_variable_genes(adata, *, flavor: str = "seurat", n_top_genes: Optiona
                           min_mean: float = 0.0125, max_mean: float = 3.0,
                           min_disp: float = 0.5, max_disp: float = np.inf,
                           n_bins: int = 20, span: float = 0.3, subset: bool = False,
+                          batch_key: Optional[str] = None, check_values: bool = True,
                           inplace: bool = True):
+    if batch_key is not None:
+        # scanpy batch semantics: HVG per batch, rank genes by the number of
+        # batches in which they are highly variable (ties by mean dispersion)
+        batches = np.asarray(adata.obs[batch_key])
+        n_batches_hv = np.zeros(adata.n_vars)
+        disp_sum = np.zeros(adata.n_vars)
+        for b in np.unique(batches):
+            sub = adata[batches == b]
+            res = highly_variable_genes(sub, flavor=flavor, n_top_genes=n_top_genes,
+                                        min_mean=min_mean, max_mean=max_mean,
+                                        min_disp=min_disp, max_disp=max_disp,
+                                        n_bins=n_bins, span=span, subset=False,
+                                        inplace=False)
+            n_batches_hv += res["highly_variable"].to_numpy().astype(float)
+            key = ("dispersions_norm" if "dispersions_norm" in res.columns
+                   else "variances_norm")
+            disp_sum += np.nan_to_num(res[key].to_numpy())
+        order = np.lexsort((-disp_sum, -n_batches_hv))
+        hv = np.zeros(adata.n_vars, dtype=bool)
+        k = n_top_genes if n_top_genes is not None else int((n_batches_hv > 0).sum())
+        hv[order[:k]] = True
+        result = {"highly_variable": hv, "highly_variable_nbatches": n_batches_hv}
+        if not inplace:
+            return pd.DataFrame(result, index=adata.var_names)
+        for key, val in result.items():
+            adata.var[key] = val
+        if subset:
+            _subset_var(adata, hv)
+        return None
     """HVG selection, scanpy-parity flavors.
 
     - ``seurat`` (default; expects log data): dispersion = var/mean of expm1

@@ -123,3 +123,57 @@ def test_h5ad_roundtrip(tmp_path, adata):
     assert list(back.obs["label"]) == list(adata.obs["label"])
     assert back.uns["meta"]["k"] == "v"
     np.testing.assert_allclose(back.obsm["feat"], adata.obsm["feat"], rtol=1e-6)
+
+
+def test_anndata_adaptor(adata):
+    import warnings
+
+    from dance_tpu.transforms import Log1P
+    from dance_tpu.transforms.base import AnnDataAdaptor
+    a = adata.copy()
+    before = np.asarray(a.X).copy()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = AnnDataAdaptor(Log1P())(a)
+    np.testing.assert_allclose(out.X, np.log1p(before), rtol=1e-5)
+
+
+def test_add_mod_and_transform():
+    from dance_tpu.data import AnnData, Data, MuData
+    from dance_tpu.transforms import Log1P
+    rng = np.random.default_rng(0)
+    m1 = AnnData(rng.poisson(2, (6, 4)).astype(np.float32))
+    m2 = AnnData(rng.poisson(2, (6, 3)).astype(np.float32))
+    before = np.asarray(m2.X).copy()
+    d = Data(MuData({"mod1": m1, "mod2": m2}))
+    Log1P(mod="mod2")(d)
+    np.testing.assert_allclose(d.data.mod["mod2"].X, np.log1p(before), rtol=1e-5)
+    # mod1 untouched
+    assert (np.asarray(d.data.mod["mod1"].X) % 1 == 0).all()
+
+
+def test_h5mu_roundtrip(tmp_path):
+    from dance_tpu.data import AnnData, MuData, read_h5mu, write_h5mu
+    rng = np.random.default_rng(2)
+    m1 = AnnData(rng.random((5, 3)).astype(np.float32),
+                 obs={"ct": list("aabbc")})
+    m2 = AnnData(sp.csr_matrix(rng.random((5, 2)).astype(np.float32)))
+    md = MuData({"mod1": m1, "mod2": m2}, uns={"k": 1})
+    p = tmp_path / "t.h5mu"
+    write_h5mu(md, p)
+    back = read_h5mu(p)
+    assert set(back.mod) == {"mod1", "mod2"}
+    np.testing.assert_allclose(back.mod["mod1"].X, m1.X, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(back.mod["mod2"].X.todense()),
+                               np.asarray(m2.X.todense()), rtol=1e-6)
+    assert back.uns["k"] == 1
+
+
+def test_append_mixed_sparse(adata):
+    d1 = Data(adata.copy(), train_size="all")
+    a2 = adata.copy()
+    a2.X = sp.csr_matrix(a2.X)
+    d2 = Data(a2)
+    d1.append(d2, mode=None)
+    assert d1.shape[0] == 20
+    assert sp.issparse(d1.data.X)

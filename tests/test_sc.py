@@ -99,3 +99,10 @@ def test_score_genes(adata):
     sc.tl.score_genes(adata, [adata.var_names[0], adata.var_names[1]],
                       score_name="myscore")
     assert "myscore" in adata.obs.columns
+
+
+def test_hvg_batch_key(adata):
+    sc.pp.log1p(adata)
+    sc.pp.highly_variable_genes(adata, n_top_genes=10, batch_key="batch", subset=True)
+    assert adata.n_vars == 10
+    assert "highly_variable_nbatches" in adata.var.columns
