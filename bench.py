@@ -3,9 +3,9 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload: ACTINN (MLP 100-50-25) training on 5,000 cells × 2,000 genes
-synthetic expression, batch 128 — the shape of the reference's CTA benchmark
-trials. Throughput is cells/sec of pure training (post-compile), averaged over
-timed epochs.
+synthetic expression, batch 128, 50 epochs — the reference ACTINN's default
+training budget (actinn.py fit defaults). Throughput is cells/sec of training
+(post-compile) including the full fit() path.
 
 Baseline: the reference's stored CTA trial telemetry (~38-48 s per 50-epoch
 trial on ~2k-cell datasets on V100, dance/pipeline.py:861-867 +
@@ -33,7 +33,7 @@ def main():
     # warmup: compile the jitted epoch
     model.fit(x, y, num_epochs=1, batch_size=128, seed=0)
 
-    epochs = 20
+    epochs = 50  # reference ACTINN default budget
     t0 = time.perf_counter()
     model.fit(x, y, num_epochs=epochs, batch_size=128, seed=0)
     jax.block_until_ready(model.params)
