@@ -37,11 +37,12 @@ class GNN(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, adj: CSRMatrix, x, gene_id, *, training: bool = False):
+    def __call__(self, adj: CSRMatrix, x, gene_id, *, training: bool = False,
+                 alpha_idx=None):
         alpha = self.param("alpha", nn.initializers.ones, (self.gene_num + 2,))
         for _ in range(self.n_layers):
             x = AdaptiveSAGE(self.dim_hid, dropout=self.dropout)(
-                adj, x, gene_id, alpha, training=training)
+                adj, x, gene_id, alpha, training=training, alpha_idx=alpha_idx)
         return nn.Dense(self.dim_out,
                         kernel_init=nn.initializers.xavier_uniform())(x)
 
@@ -74,10 +75,12 @@ class ScDeepSort(BaseClassificationMethod):
         )
 
     @partial(jax.jit, static_argnames=("self",))
-    def _train_step(self, params, opt_state, adj, feats, gene_id, labels, mask, key):
+    def _train_step(self, params, opt_state, adj, feats, gene_id, labels, mask, key,
+                    alpha_idx):
         def loss_fn(params):
             logits = self.model.apply({"params": params}, adj, feats, gene_id,
-                                      training=True, rngs={"dropout": key})
+                                      training=True, rngs={"dropout": key},
+                                      alpha_idx=alpha_idx)
             losses = optax.softmax_cross_entropy_with_integer_labels(
                 logits, jnp.maximum(labels, 0))
             return jnp.sum(losses * mask) / jnp.maximum(mask.sum(), 1.0)
@@ -87,8 +90,9 @@ class ScDeepSort(BaseClassificationMethod):
         return optax.apply_updates(params, updates), opt_state, loss
 
     @partial(jax.jit, static_argnames=("self",))
-    def _forward(self, params, adj, feats, gene_id):
-        return self.model.apply({"params": params}, adj, feats, gene_id)
+    def _forward(self, params, adj, feats, gene_id, alpha_idx=None):
+        return self.model.apply({"params": params}, adj, feats, gene_id,
+                                alpha_idx=alpha_idx)
 
     def fit(self, graph: Graph, labels, epochs: int = 300, lr: float = 1e-3,
             weight_decay: float = 0, val_ratio: float = 0.2):
@@ -116,10 +120,16 @@ class ScDeepSort(BaseClassificationMethod):
         self.model = GNN(dim_out=self.num_labels, dim_hid=self.hidden_dim,
                          n_layers=self.n_layers, gene_num=num_genes,
                          dropout=self.dropout)
+        # static per-edge alpha index computed once on host (compile-time saver)
+        from dance_tpu.nn.gnn import AdaptiveSAGE as _AS
+        alpha_idx = jnp.asarray(_AS.edge_alpha_index(
+            np.asarray(dg.adj.row_ids()), np.asarray(dg.adj.indices),
+            np.asarray(gene_id), num_genes))
+        self._alpha_idx = alpha_idx
         key = jax.random.key(self.seed)
         feats = dg.ndata["features"]
         self.params = self.model.init({"params": key, "dropout": key}, dg.adj, feats,
-                                      gene_id)["params"]
+                                      gene_id, alpha_idx=alpha_idx)["params"]
         self._tx = (optax.adamw(lr, weight_decay=weight_decay) if weight_decay
                     else optax.adam(lr))
         opt_state = self._tx.init(self.params)
@@ -130,9 +140,9 @@ class ScDeepSort(BaseClassificationMethod):
             key, sk = jax.random.split(key)
             self.params, opt_state, loss = self._train_step(
                 self.params, opt_state, dg.adj, feats, gene_id, full_labels,
-                train_mask, sk)
+                train_mask, sk, alpha_idx)
             if num_val:
-                logits = self._forward(self.params, dg.adj, feats, gene_id)
+                logits = self._forward(self.params, dg.adj, feats, gene_id, alpha_idx)
                 pred = np.asarray(logits.argmax(1))
                 val_acc = (pred[val_idx] == y_np[val_idx]).mean()
                 if val_acc >= best_val:

@@ -85,16 +85,37 @@ class AdaptiveSAGE(nn.Module):
     dropout: float = 0.1
     use_norm: bool = True
 
+    @staticmethod
+    def edge_alpha_index(adj_rows, adj_indices, gene_id, n_genes) -> jnp.ndarray:
+        """Static per-edge alpha index (parity: gnn.py:62-83).
+
+        Depends only on graph structure — compute ONCE per graph (host-side
+        numpy is fine) and pass via ``alpha_idx``; keeping it out of the traced
+        graph cuts compile time substantially on large graphs."""
+        import numpy as _np
+        gene_id = _np.asarray(gene_id)
+        src_id = gene_id[_np.asarray(adj_indices)]
+        dst_id = gene_id[_np.asarray(adj_rows)]
+        idx = _np.full(len(src_id), n_genes + 1, dtype=_np.int32)  # cell self
+        idx = _np.where((src_id >= 0) & (dst_id < 0), src_id, idx)   # gene -> cell
+        idx = _np.where((dst_id >= 0) & (src_id < 0), dst_id, idx)   # cell -> gene
+        idx = _np.where((dst_id >= 0) & (src_id >= 0), n_genes, idx)  # gene self
+        return idx
+
     @nn.compact
-    def __call__(self, adj: CSRMatrix, h, gene_id, alpha, *, training: bool = False):
-        # per-edge alpha index (parity: gnn.py:62-83)
+    def __call__(self, adj: CSRMatrix, h, gene_id, alpha, *, training: bool = False,
+                 alpha_idx=None):
         n_genes = alpha.shape[0] - 2
-        src_id = jnp.take(gene_id, adj.indices)
-        dst_id = jnp.take(gene_id, adj.row_ids())
-        idx = jnp.full(adj.nnz, n_genes + 1, dtype=jnp.int32)  # default: cell self
-        idx = jnp.where((src_id >= 0) & (dst_id < 0), src_id, idx)   # gene -> cell
-        idx = jnp.where((dst_id >= 0) & (src_id < 0), dst_id, idx)   # cell -> gene
-        idx = jnp.where((dst_id >= 0) & (src_id >= 0), n_genes, idx)  # gene self
+        if alpha_idx is None:
+            # traced fallback (small graphs / no precompute)
+            src_id = jnp.take(gene_id, adj.indices)
+            dst_id = jnp.take(gene_id, adj.row_ids())
+            idx = jnp.full(adj.nnz, n_genes + 1, dtype=jnp.int32)
+            idx = jnp.where((src_id >= 0) & (dst_id < 0), src_id, idx)
+            idx = jnp.where((dst_id >= 0) & (src_id < 0), dst_id, idx)
+            idx = jnp.where((dst_id >= 0) & (src_id >= 0), n_genes, idx)
+        else:
+            idx = alpha_idx
         msgs = gather_src(adj, h) * jnp.take(alpha, idx)[:, None] * adj.data[:, None]
         z = aggregate(adj, msgs, op="mean")
         z = nn.Dropout(self.dropout, deterministic=not training)(z)

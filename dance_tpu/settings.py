@@ -29,6 +29,13 @@ def change_log_level(level: str):
         handler.setLevel(level.upper())
 
 
+# Persistent XLA compilation cache: large-graph GNN backward passes can take
+# minutes to compile on the TPU toolchain; caching makes that a once-ever cost
+# per (program, shape). Must be set before jax initializes its backend.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/dance_tpu_xla"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 CURDIR = pathlib.Path(".").resolve()
 DANCEDIR = pathlib.Path(__file__).resolve().parent.parent
 DANCEPKGDIR = pathlib.Path(__file__).resolve().parent
