@@ -60,3 +60,43 @@ def test_wsgi_app(pair, tmp_path):
     service = main.AtlasService(atlas_dir=str(tmp_path / "atlas"))
     result = service.recommend(a1, "blood")
     assert result["best_dataset"] == "ds_close"
+
+
+def test_wsgi_http_drive(pair, tmp_path):
+    """Drive the atlas backend through a real HTTP socket."""
+    import importlib
+    import io
+    import json
+    import sys
+    import threading
+    from http.client import HTTPConnection
+    from wsgiref.simple_server import make_server
+
+    sys.path.insert(0, "/root/repo/examples/atlas/demos")
+    main = importlib.import_module("main")
+    a1, a2, a3 = pair
+    atlas_dir = tmp_path / "atlas" / "blood"
+    atlas_dir.mkdir(parents=True)
+    from dance_tpu.data import write_h5ad
+    write_h5ad(a2, atlas_dir / "ds_close.h5ad")
+    app = main.create_app(main.AtlasService(atlas_dir=str(tmp_path / "atlas")))
+    srv = make_server("127.0.0.1", 0, app)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/health")
+        assert json.loads(conn.getresponse().read())["status"] == "ok"
+        buf = io.BytesIO()
+        import h5py  # write query h5ad into memory? -> temp file then read bytes
+        qpath = tmp_path / "query.h5ad"
+        write_h5ad(a1, qpath)
+        body = qpath.read_bytes()
+        conn.request("POST", "/similarity?tissue=blood", body=body)
+        resp = json.loads(conn.getresponse().read())
+        assert resp["best_dataset"] == "ds_close"
+        conn.request("GET", "/nope")
+        assert conn.getresponse().status == 404
+    finally:
+        srv.shutdown()

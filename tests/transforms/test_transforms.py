@@ -214,3 +214,31 @@ def test_anndata_transform_string(data):
     before = np.asarray(data.data.X).copy()
     t(data)
     np.testing.assert_allclose(data.data.X, np.log1p(before), rtol=1e-5)
+
+
+def test_column_sum_normalize_batchwise(data):
+    from dance_tpu.transforms import ColumnSumNormalize
+    d = data.copy()
+    ColumnSumNormalize(axis=1, mode="normalize", batch_key="batch")(d)
+    X = np.asarray(d.data.X)
+    np.testing.assert_allclose(X.sum(1), np.ones(len(X)), rtol=1e-4)
+    # split-wise standardize
+    d2 = data.copy()
+    ColumnSumNormalize(axis=0, mode="standardize", split_names=["train"])(d2)
+    Xtr = np.asarray(d2.data.X)[np.asarray(d2.train_idx)]
+    assert abs(Xtr.mean()) < 1e-4
+
+
+def test_seed_determinism(data):
+    """Same seed → bitwise-identical predictions (production determinism)."""
+    from dance_tpu.datasets.synthetic import annotation_data
+    from dance_tpu.modules.single_modality.cell_type_annotation import ACTINN
+    preds = []
+    for _ in range(2):
+        dd = annotation_data(n_cells=150, n_genes=60, n_types=3, seed=3)
+        m = ACTINN(hidden_dims=(16,), random_seed=7)
+        m.preprocess(dd)
+        x, y = dd.get_train_data()
+        m.fit(x, y, num_epochs=10, seed=7)
+        preds.append(m.predict_proba(dd.get_x("test")))
+    np.testing.assert_array_equal(preds[0], preds[1])
