@@ -124,13 +124,22 @@ class GraphSC(BaseClusteringMethod):
 
     def fit(self, g, y: Optional[Any] = None, *, epochs: int = 100, lr: float = 1e-5,
             batch_size: int = 128, show_epoch_ari: bool = False,
-            eval_epoch: bool = False):
-        """Train on a Graph built by CellFeatureBipartiteGraph."""
+            eval_epoch: bool = False, use_bsr: bool = False, bsr_block: int = 128):
+        """Train on a Graph built by CellFeatureBipartiteGraph.
+
+        ``use_bsr=True`` runs message passing through the Pallas block-sparse
+        SpMM (requires ``agg='sum'``) — faster on chip for banded/bipartite
+        adjacencies; differentiable via :func:`bsr_spmm_ad`."""
         from dance_tpu.graph import Graph
         assert isinstance(g, Graph), f"expected dance_tpu Graph, got {type(g)}"
         n_genes = g.info["num_genes"]
         n_cells = g.info["num_cells"]
         dg = g.to_device()
+        conv_adj = dg.adj
+        if use_bsr:
+            if self.model.agg != "sum":
+                raise ValueError("use_bsr requires agg='sum'")
+            conv_adj = g.to_bsr(block=bsr_block)
         feats = dg.ndata.get("features")
         if feats is None:
             # fall back to adjacency rows against gene nodes as features
@@ -144,7 +153,7 @@ class GraphSC(BaseClusteringMethod):
 
         key = jax.random.key(self.seed)
         if self.params is None:
-            self.params = self.model.init({"params": key, "dropout": key}, dg.adj,
+            self.params = self.model.init({"params": key, "dropout": key}, conv_adj,
                                           feats)["params"]
         self._tx = optax.adam(lr)
         opt_state = self._tx.init(self.params)
@@ -153,9 +162,9 @@ class GraphSC(BaseClusteringMethod):
         for epoch in range(epochs):
             key, sk = jax.random.split(key)
             self.params, opt_state, loss = self._train_step(
-                self.params, opt_state, dg.adj, feats, adj_target, cell_slice, sk)
+                self.params, opt_state, conv_adj, feats, adj_target, cell_slice, sk)
             if eval_epoch or epoch == epochs - 1:
-                _, emb = self.model.apply({"params": self.params}, dg.adj, feats)
+                _, emb = self.model.apply({"params": self.params}, conv_adj, feats)
                 self.z = np.asarray(emb[n_genes:])
                 if eval_epoch and y is not None:
                     score = self.score(None, y)

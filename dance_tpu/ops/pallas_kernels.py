@@ -115,6 +115,59 @@ def bsr_spmm(bsr: BSRMatrix, b: jax.Array, *, d_tile: int = 128,
     return out[:, :d]
 
 
+def bsr_transpose(bsr: BSRMatrix) -> BSRMatrix:
+    """Aᵀ in BSR form: transpose each tile, swap block row/col, re-sort by row.
+
+    Traced-friendly (argsort feeds the scalar-prefetch index maps at run time);
+    the kernel only needs block_rows sorted so same-row visits stay consecutive.
+    """
+    order = jnp.argsort(bsr.block_cols, stable=True)
+    return BSRMatrix(jnp.transpose(bsr.blocks[order], (0, 2, 1)),
+                     bsr.block_cols[order], bsr.block_rows[order],
+                     (bsr.shape[1], bsr.shape[0]))
+
+
+def bsr_spmm_ad(bsr: BSRMatrix, b: jax.Array, *, interpret: bool = None) -> jax.Array:
+    """Differentiable ``A @ B`` on the BSR kernel.
+
+    Backward: ``dB = Aᵀ ḡ`` (another BSR SpMM over transposed tiles) and
+    ``dA[k] = ḡ[row_k] B[col_k]ᵀ`` (per-block SDDMM) so trainable edge weights
+    also work. Rows/cols not covered by any tile must not carry signal — the
+    graph builders guarantee this via self-loops (see :func:`pallas_spmm`).
+    """
+    return _bsr_spmm_core(bsr.blocks, bsr.block_rows, bsr.block_cols, b,
+                          bsr.shape, interpret)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _bsr_spmm_core(blocks, brows, bcols, b, shape, interpret):
+    return bsr_spmm(BSRMatrix(blocks, brows, bcols, shape), b, interpret=interpret)
+
+
+def _bsr_spmm_fwd(blocks, brows, bcols, b, shape, interpret):
+    return _bsr_spmm_core(blocks, brows, bcols, b, shape, interpret), (blocks, brows,
+                                                                       bcols, b)
+
+
+def _bsr_spmm_bwd(shape, interpret, res, g):
+    blocks, brows, bcols, b = res
+    n_rows, n_cols = shape
+    block = blocks.shape[1]
+    gp = jnp.pad(g, ((0, n_rows - g.shape[0]), (0, 0)))
+    bp = jnp.pad(b, ((0, n_cols - b.shape[0]), (0, 0)))
+    at = bsr_transpose(BSRMatrix(blocks, brows, bcols, shape))
+    db = bsr_spmm(at, gp, interpret=interpret)[:b.shape[0]]
+    g3 = gp.reshape(n_rows // block, block, -1)
+    b3 = bp.reshape(n_cols // block, block, -1)
+    dblocks = jnp.einsum("kbd,kcd->kbc", g3[brows], b3[bcols])
+    zi = jnp.zeros((), jax.dtypes.float0)
+    return (dblocks, jnp.broadcast_to(zi, brows.shape),
+            jnp.broadcast_to(zi, bcols.shape), db)
+
+
+_bsr_spmm_core.defvjp(_bsr_spmm_fwd, _bsr_spmm_bwd)
+
+
 def pallas_spmm(adj: sp.spmatrix, h, *, interpret: bool = False):
     """Convenience wrapper: scipy adjacency × dense features via the kernel.
 
@@ -132,7 +185,8 @@ def pallas_spmm(adj: sp.spmatrix, h, *, interpret: bool = False):
     return out[:n_rows]
 
 
-__all__ = ["BSRMatrix", "bsr_from_scipy", "bsr_spmm", "pallas_spmm", "rcm_reorder"]
+__all__ = ["BSRMatrix", "bsr_from_scipy", "bsr_spmm", "bsr_spmm_ad", "bsr_transpose",
+           "pallas_spmm", "rcm_reorder"]
 
 
 def rcm_reorder(adj: sp.spmatrix):

@@ -42,14 +42,14 @@ def spmm(adj, h: jax.Array, *, weighted: bool = True, op: str = "sum") -> jax.Ar
     not recoverable from BSR alone, so mean/unweighted requests on BSR require
     the paired degree vectors produced by :func:`to_bsr_graph`.
     """
-    from dance_tpu.ops.pallas_kernels import BSRMatrix, bsr_spmm
+    from dance_tpu.ops.pallas_kernels import BSRMatrix, bsr_spmm_ad
     if isinstance(adj, BSRMatrix):
         if not weighted or op != "sum":
             raise ValueError("BSR path supports weighted sum aggregation; use the "
                              "CSR adjacency for mean/max or unweighted ops")
         n = h.shape[0]
         hp = jnp.pad(h, ((0, adj.shape[1] - n), (0, 0)))
-        return bsr_spmm(adj, hp)[:n]
+        return bsr_spmm_ad(adj, hp)[:n]
     msgs = gather_src(adj, h)
     if weighted:
         msgs = msgs * adj.data[:, None]

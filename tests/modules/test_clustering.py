@@ -84,3 +84,16 @@ def test_scdsc_e2e(data):
     # the heavy scDSC preprocessing caps separability on this tiny synthetic set
     # (KMeans directly on the pretrained AE embedding reaches ~0.47)
     assert ari > 0.3, f"scDSC ARI too low: {ari}"
+
+
+def test_graphsc_bsr_training(data):
+    """GraphSC trains through the Pallas BSR path (differentiable SpMM)."""
+    from dance_tpu.modules.single_modality.clustering import GraphSC
+    model = GraphSC(n_clusters=3, hidden_dim=32, hidden_1=16, seed=0)
+    d = data.copy()
+    model.preprocessing_pipeline(n_top_genes=40, n_components=16)(d)
+    g = d.get_x("train")
+    y = d.get_y("train")
+    model.fit(g, y, epochs=30, lr=1e-3, use_bsr=True)
+    ari = model.score(None, y)
+    assert ari > 0.25, f"BSR-path GraphSC ARI too low: {ari}"

@@ -115,3 +115,53 @@ def test_spmm_bsr_path(graph):
                                atol=1e-3)
     with pytest.raises(ValueError):
         spmm(bsr, h, op="mean")
+
+
+def test_bsr_spmm_grad():
+    """bsr_spmm_ad gradients match dense autodiff (both dB and dA-blocks)."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from dance_tpu.ops.pallas_kernels import BSRMatrix, bsr_from_scipy, bsr_spmm_ad
+    rng = np.random.default_rng(0)
+    n = 256
+    dense = (rng.random((n, n)) < 0.05).astype(np.float32) * rng.random((n, n))
+    dense += np.eye(n, dtype=np.float32)  # self-loops: every row/col covered
+    bsr = bsr_from_scipy(sp.csr_matrix(dense))
+    b = jnp.asarray(rng.standard_normal((n, 64)), jnp.float32)
+
+    def f_bsr(blocks, b):
+        m = BSRMatrix(blocks, bsr.block_rows, bsr.block_cols, bsr.shape)
+        return jnp.sum(jnp.tanh(bsr_spmm_ad(m, b, interpret=True)[:n]))
+
+    def f_dense(blocks, b):
+        # reconstruct the dense matrix from tiles for the reference gradient
+        a = jnp.zeros(bsr.shape)
+        br, bc = np.asarray(bsr.block_rows), np.asarray(bsr.block_cols)
+        for k in range(bsr.nb):
+            a = a.at[br[k] * 128:(br[k] + 1) * 128,
+                     bc[k] * 128:(bc[k] + 1) * 128].set(blocks[k])
+        return jnp.sum(jnp.tanh((a[:n, :n] @ b)))
+
+    g_bsr = jax.grad(f_bsr, argnums=(0, 1))(bsr.blocks, b)
+    g_ref = jax.grad(f_dense, argnums=(0, 1))(bsr.blocks, b)
+    np.testing.assert_allclose(np.asarray(g_bsr[1]), np.asarray(g_ref[1]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_bsr[0]), np.asarray(g_ref[0]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bsr_transpose():
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from dance_tpu.ops.pallas_kernels import bsr_spmm, bsr_transpose, bsr_from_scipy
+    rng = np.random.default_rng(1)
+    dense = (rng.random((300, 200)) < 0.08).astype(np.float32) * rng.random((300, 200))
+    bsr = bsr_from_scipy(sp.csr_matrix(dense))
+    bt = bsr_transpose(bsr)
+    h = jnp.asarray(rng.standard_normal((bt.shape[1], 32)), jnp.float32)
+    out = bsr_spmm(bt, h, interpret=True)[:200]
+    np.testing.assert_allclose(np.asarray(out), dense.T @ np.asarray(h)[:300],
+                               rtol=1e-4, atol=1e-4)
