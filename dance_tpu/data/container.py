@@ -358,7 +358,34 @@ class MuData:
             key = (key, slice(None))
         oi, vi = key
         if not (isinstance(vi, slice) and vi == slice(None)):
-            raise NotImplementedError("MuData var slicing is not supported")
+            # global-var-axis slicing: route each selected column to its modality
+            nv = [m.n_vars for m in self.mod.values()]
+            total = sum(nv)
+            if isinstance(vi, slice):
+                gidx = np.arange(total)[vi]
+            else:
+                arr = np.asarray(vi)
+                if arr.dtype == bool:
+                    if len(arr) != total:
+                        raise IndexError(f"boolean var mask length {len(arr)} != {total}")
+                    gidx = np.flatnonzero(arr)
+                elif arr.dtype.kind in "iu":
+                    gidx = arr
+                else:  # names over the concatenated global var index
+                    gidx = self.var.index.get_indexer(arr)
+                    if (gidx < 0).any():
+                        missing = np.asarray(arr)[gidx < 0][:5]
+                        raise KeyError(f"var names not found: {list(missing)}")
+            offsets = np.cumsum([0] + nv)
+            mods = {}
+            for (k, m), lo, hi in zip(self.mod.items(), offsets[:-1], offsets[1:]):
+                local = gidx[(gidx >= lo) & (gidx < hi)] - lo
+                mods[k] = m[oi, local]
+            return MuData(mods,
+                          obs=self.obs.iloc[np.asarray(
+                              self.mod[next(iter(self.mod))]._norm_idx(oi, 0))],
+                          uns=_copy.deepcopy(self.uns),
+                          obsm={k: v[oi] for k, v in self.obsm.items()})
         return MuData({k: m[oi] for k, m in self.mod.items()},
                       obs=self.obs.iloc[np.asarray(
                           self.mod[next(iter(self.mod))]._norm_idx(oi, 0))],

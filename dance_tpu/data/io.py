@@ -101,7 +101,11 @@ def read_h5ad(path) -> AnnData:
 
 def read_h5mu(path) -> MuData:
     with h5py.File(path, "r") as f:
-        mods = {name: _read_adata_group(g) for name, g in f["mod"].items()}
+        # h5py iterates groups alphabetically; "mod-order" restores insertion
+        # order so global var positions survive the roundtrip (mudata format).
+        order = [n.decode() if isinstance(n, bytes) else str(n)
+                 for n in f["mod"].attrs.get("mod-order", list(f["mod"]))]
+        mods = {name: _read_adata_group(f["mod"][name]) for name in order}
         obs = _read_elem(f["obs"]) if "obs" in f else None
         uns = _read_elem(f["uns"]) if "uns" in f else None
         return MuData(mods, obs=obs, uns=uns)
@@ -187,6 +191,7 @@ def write_h5mu(mdata: MuData, path):
     with h5py.File(path, "w") as f:
         f.attrs["encoding-type"] = "mudata"
         mod = f.create_group("mod")
+        mod.attrs["mod-order"] = list(mdata.mod)
         for name, adata in mdata.mod.items():
             g = mod.create_group(name)
             _write_elem(g, "X", adata.X)
