@@ -206,6 +206,49 @@ def scale(adata, *, zero_center: bool = True, max_value: Optional[float] = None)
 # Highly variable genes
 # --------------------------------------------------------------------------
 
+def _loess(x: np.ndarray, y: np.ndarray, *, span: float = 0.3, degree: int = 2,
+           block: int = 2048) -> np.ndarray:
+    """Loess smoother: local weighted polynomial regression with tricube weights.
+
+    For sorted x the span-nearest neighbors of each point are a contiguous
+    window, so windows come from a two-pointer sweep and the per-point weighted
+    least-squares solves batch into (block, degree+1, degree+1) normal
+    equations. Centering the design at each query point makes the intercept
+    the prediction. Host-side numpy (runs once per HVG call, not in jit).
+    """
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    n = len(x)
+    k = min(max(int(np.ceil(span * n)), degree + 2), n)
+    order = np.argsort(x, kind="stable")
+    xs, ys = x[order], y[order]
+    starts = np.empty(n, np.int64)
+    lo = 0
+    for i in range(n):
+        while lo + k < n and xs[lo + k] - xs[i] < xs[i] - xs[lo]:
+            lo += 1
+        starts[i] = lo
+    idx = starts[:, None] + np.arange(k)[None]
+    out = np.empty(n)
+    eye = 1e-10 * np.eye(degree + 1)
+    for s in range(0, n, block):
+        sl = slice(s, min(s + block, n))
+        Xw, Yw = xs[idx[sl]], ys[idx[sl]]
+        xc = Xw - xs[sl, None]
+        d = np.abs(xc)
+        dmax = d.max(1, keepdims=True)
+        dmax[dmax == 0] = 1.0
+        w = (1 - np.minimum(d / dmax, 1.0) ** 3) ** 3
+        A = np.stack([xc ** p for p in range(degree + 1)], axis=-1)
+        Aw = A * w[..., None]
+        G = np.einsum("bki,bkj->bij", Aw, A) + eye
+        rhs = np.einsum("bki,bk->bi", Aw, Yw)
+        out[sl] = np.linalg.solve(G, rhs[..., None])[:, 0, 0]
+    res = np.empty(n)
+    res[order] = out
+    return res
+
+
 def highly_variable_genes(adata, *, flavor: str = "seurat", n_top_genes: Optional[int] = None,
                           min_mean: float = 0.0125, max_mean: float = 3.0,
                           min_disp: float = 0.5, max_disp: float = np.inf,
@@ -248,9 +291,8 @@ def highly_variable_genes(adata, *, flavor: str = "seurat", n_top_genes: Optiona
     - ``cell_ranger`` (expects log data): median/MAD-normalized dispersion in
       percentile mean-bins, top-n selection.
     - ``seurat_v3`` (expects raw counts): variance-stabilizing standardized
-      variance. Deviation: the mean-variance trend is fit with a degree-2
-      polynomial in log10 space instead of skmisc's loess — rankings agree
-      closely on expression-like data.
+      variance; the mean-variance trend is fit with loess (span=0.3, degree=2
+      in log10 space, tricube weights) matching scanpy's skmisc.loess usage.
     """
     X = adata.X
     if flavor in ("seurat", "cell_ranger"):
@@ -316,8 +358,7 @@ def highly_variable_genes(adata, *, flavor: str = "seurat", n_top_genes: Optiona
         not_const = var > 0
         est_var = np.zeros_like(var)
         lx, ly = np.log10(mean[not_const]), np.log10(var[not_const])
-        coef = np.polyfit(lx, ly, 2)
-        est_var[not_const] = 10 ** np.polyval(coef, lx)
+        est_var[not_const] = 10 ** _loess(lx, ly, span=0.3, degree=2)
         std_expect = np.sqrt(est_var)
         clip = np.sqrt(n)
         std_var = np.zeros_like(var)

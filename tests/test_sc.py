@@ -106,3 +106,32 @@ def test_hvg_batch_key(adata):
     sc.pp.highly_variable_genes(adata, n_top_genes=10, batch_key="batch", subset=True)
     assert adata.n_vars == 10
     assert "highly_variable_nbatches" in adata.var.columns
+
+
+def test_loess_recovers_nonpoly_trend():
+    """Loess tracks a sine trend a global quadratic cannot."""
+    from dance_tpu.sc.pp import _loess
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0, 10, 2000))
+    truth = np.sin(x)
+    y = truth + rng.normal(0, 0.1, len(x))
+    fit = _loess(x, y, span=0.15)
+    assert np.abs(fit - truth).mean() < 0.05
+    poly = np.polyval(np.polyfit(x, y, 2), x)
+    assert np.abs(poly - truth).mean() > 0.3  # quadratic can't follow it
+
+
+def test_hvg_seurat_v3_loess_trend():
+    """seurat_v3 standardized variances are finite and trend-corrected."""
+    rng = np.random.default_rng(0)
+    n, g = 500, 300
+    mu = rng.gamma(2, 1, g)
+    X = rng.poisson(mu, (n, g)).astype(np.float32)
+    X[:, :10] = rng.poisson(mu[:10] * rng.gamma(2, 2, (n, 10)))  # overdispersed
+    a = AnnData(X=X)
+    df = sc.pp.highly_variable_genes(a, flavor="seurat_v3", n_top_genes=20,
+                                     inplace=False)
+    assert np.isfinite(df["variances_norm"]).all()
+    # planted overdispersed genes dominate the selection
+    top = set(np.flatnonzero(df["highly_variable"].values))
+    assert len(top & set(range(10))) >= 8
