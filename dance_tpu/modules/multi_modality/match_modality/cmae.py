@@ -9,11 +9,12 @@ put through the batch-separated bipartite matching evaluator
 import numpy as np
 
 from dance_tpu.modules.multi_modality.predict_modality.cmae import CMAE as _PredCMAE
+from dance_tpu.modules.multi_modality.match_modality.base import MatchingScoreMixin
 from dance_tpu.utils.metrics import batch_separated_bipartite_matching
 from dance_tpu.utils.wrappers import as_numpy
 
 
-class CMAE(_PredCMAE):
+class CMAE(MatchingScoreMixin, _PredCMAE):
 
     _DEFAULT_METRIC = "acc"
 
@@ -28,9 +29,3 @@ class CMAE(_PredCMAE):
         return batch_separated_bipartite_matching(batch1, batch2, emb1, emb2,
                                                   threshold_quantile)
 
-    def score_matching(self, matching: np.ndarray, true_perm=None) -> float:
-        """Fraction of cells matched to their true partner (identity by default)."""
-        n = matching.shape[0]
-        if true_perm is None:
-            true_perm = np.arange(n)
-        return float(matching[np.arange(n), true_perm].mean())

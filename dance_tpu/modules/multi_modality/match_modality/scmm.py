@@ -4,10 +4,11 @@ match_modality/scmm.py:362)."""
 import numpy as np
 
 from dance_tpu.modules.multi_modality.predict_modality.scmm import MMVAE as _PredMMVAE
+from dance_tpu.modules.multi_modality.match_modality.base import MatchingScoreMixin
 from dance_tpu.utils.metrics import batch_separated_bipartite_matching
 
 
-class MMVAE(_PredMMVAE):
+class MMVAE(MatchingScoreMixin, _PredMMVAE):
 
     _DEFAULT_METRIC = "acc"
 

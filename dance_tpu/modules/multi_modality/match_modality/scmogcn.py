@@ -9,11 +9,12 @@ import numpy as np
 
 from dance_tpu.modules.multi_modality.predict_modality.scmogcn import (
     ScMoGCNWrapper as _PredScMoGCN)
+from dance_tpu.modules.multi_modality.match_modality.base import MatchingScoreMixin
 from dance_tpu.utils.metrics import batch_separated_bipartite_matching
 from dance_tpu.utils.wrappers import as_numpy
 
 
-class ScMoGCNWrapper(_PredScMoGCN):
+class ScMoGCNWrapper(MatchingScoreMixin, _PredScMoGCN):
 
     _DEFAULT_METRIC = "acc"
 

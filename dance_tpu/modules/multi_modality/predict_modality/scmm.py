@@ -127,10 +127,11 @@ class MMVAE(BaseRegressionMethod):
 
     def encode(self, x, modality: int = 1):
         x = jnp.asarray(as_numpy(x), jnp.float32)
-        enc = self.net.enc1 if modality == 1 else self.net.enc2
+        # mirror the training path: enc1 sees log1p(counts) (net __call__ above)
         mu, _ = self.net.apply({"params": self.params}, x,
-                               method=lambda m, xx: (m.enc1 if modality == 1
-                                                     else m.enc2)(xx))
+                               method=lambda m, xx: (m.enc1(jnp.log1p(xx))
+                                                     if modality == 1
+                                                     else m.enc2(xx)))
         return np.asarray(mu)
 
     def score(self, x, y, *, score_func=None, return_pred: bool = False, **kwargs):

@@ -232,6 +232,10 @@ class PipelinePlaner(Pipeline):
     def __init__(self, cfg: ConfigLike, **kwargs):
         if self.TUNE_MODE_KEY not in cfg:
             raise ValueError(f"PipelinePlaner config must contain {self.TUNE_MODE_KEY!r}")
+        # Protocol knobs from reference configs (pipeline.py:269-441): how many
+        # step-2 winners advance to params tuning and the step-3 trial budget.
+        self.pipeline_tuning_top_k = cfg.get("pipeline_tuning_top_k", 3)
+        self.parameter_tuning_freq_n = cfg.get("parameter_tuning_freq_n", 20)
         super().__init__(cfg, **kwargs)
 
     @property
@@ -473,13 +477,19 @@ class PipelinePlaner(Pipeline):
 
     def sweep_agent(self, function: Callable, *, count: Optional[int] = None,
                     method: str = "random", seed: int = 0,
-                    summary_file_path: Optional[str] = None) -> "SweepRunner":
+                    summary_file_path: Optional[str] = None,
+                    resume: bool = False) -> "SweepRunner":
         """Run a local sweep (the framework-native replacement for wandb.agent).
 
         ``function(config_dict)`` receives a flat trial config (same key format
-        as wandb.config) and returns a dict of metric values.
+        as wandb.config) and returns a dict of metric values. With
+        ``resume=True`` and an existing ``summary_file_path``, previously
+        recorded trials are loaded and their configs skipped — the local
+        analog of ``wandb sweep --resume <id>`` (reference pipeline.py:845).
         """
         runner = SweepRunner(self.search_space(), method=method, seed=seed)
+        if resume and summary_file_path and os.path.isfile(summary_file_path):
+            runner.load_records(summary_file_path)
         runner.run(function, count=count)
         if summary_file_path:
             os.makedirs(os.path.dirname(os.path.abspath(summary_file_path)),
@@ -534,6 +544,15 @@ class SweepRunner:
         self.method = method
         self.rng = _random.Random(seed)
         self.records: List[Dict[str, Any]] = []
+        self._resumed = False
+
+    def load_records(self, summary_file_path: str):
+        """Preload a prior run's summary CSV; its configs are skipped by run()."""
+        df = pd.read_csv(summary_file_path)
+        self.records.extend(df.to_dict("records"))
+        self._resumed = True
+        logger.info("Resumed sweep with %d prior trials from %s", len(df),
+                    summary_file_path)
 
     def _grid_iter(self):
         keys, options = [], []
@@ -568,6 +587,26 @@ class SweepRunner:
         else:
             n_random = count if count is not None else 10
             trials = (self._sample() for _ in range(n_random))
+        if self._resumed:
+            keys = list(self.search_space)
+            seen = {tuple(str(r.get(k)) for k in keys) for r in self.records}
+            n_new = count if count is not None else 10
+
+            def _fresh(gen, limit):
+                produced = 0
+                for cfg in gen:
+                    sig = tuple(str(cfg.get(k)) for k in keys)
+                    if sig in seen:
+                        continue
+                    seen.add(sig)
+                    yield cfg
+                    produced += 1
+                    if limit is not None and produced >= limit:
+                        return
+
+            src = (self._grid_iter() if self.method == "grid"
+                   else (self._sample() for _ in range(max(n_new, 1) * 50)))
+            trials = _fresh(src, count)
         for i, trial_config in enumerate(trials):
             logger.info("Trial %d: %s", i, trial_config)
             import time
@@ -579,7 +618,7 @@ class SweepRunner:
                 metrics = {"error": str(e)}
             runtime = time.perf_counter() - t0
             self.records.append({**trial_config, **metrics, "_runtime": runtime,
-                                 "_trial": i})
+                                 "_trial": len(self.records)})
         return self
 
     def summary(self) -> pd.DataFrame:
@@ -623,7 +662,7 @@ def save_summary_data(entity=None, project=None, sweep_id=None, summary_file_pat
 def get_step3_yaml(result_load_path: str, step2_pipeline_planer: PipelinePlaner,
                    conf_save_path: str = "config_yamls/params/",
                    conf_load_path: Optional[str] = None, metric: str = "test_acc",
-                   ascending: bool = False, top_k: int = 3,
+                   ascending: bool = False, top_k: Optional[int] = None,
                    required_funs: Optional[List[str]] = None,
                    required_indexes: Optional[List[int]] = None,
                    required_params: Optional[List[Dict[str, Any]]] = None) -> List[str]:
@@ -633,6 +672,8 @@ def get_step3_yaml(result_load_path: str, step2_pipeline_planer: PipelinePlaner,
     injects required steps (e.g. SetConfig) at the given indexes, and carries
     over any per-target ``params_to_tune`` specs from the step-2 config.
     """
+    if top_k is None:
+        top_k = getattr(step2_pipeline_planer, "pipeline_tuning_top_k", 3)
     results = pd.read_csv(result_load_path)
     results = results.sort_values(metric, ascending=ascending).head(top_k)
     planer_cfg = step2_pipeline_planer.config
@@ -658,6 +699,17 @@ def get_step3_yaml(result_load_path: str, step2_pipeline_planer: PipelinePlaner,
                                                           and pd.isna(tgt)):
                 continue
             elem = {"type": sub.get("type"), "target": tgt}
+            sub_params = sub.get(Action.PARAMS_KEY)
+            if sub_params:
+                elem[Action.PARAMS_KEY] = (sub_params.to_dict()
+                                           if isinstance(sub_params, Config)
+                                           else dict(sub_params))
+            defaults = sub.get(PipelinePlaner.DEFAULT_PARAMS_KEY)
+            if defaults:
+                defaults = (defaults.to_dict() if isinstance(defaults, Config)
+                            else dict(defaults))
+                if tgt in defaults:
+                    elem.setdefault(Action.PARAMS_KEY, {}).update(defaults[tgt])
             if tgt in target_param_specs:
                 elem["params_to_tune"] = target_param_specs[tgt]
             pipeline_elems.append(elem)
@@ -668,7 +720,10 @@ def get_step3_yaml(result_load_path: str, step2_pipeline_planer: PipelinePlaner,
                 elem["params"] = required_params[i_req]
             pipeline_elems.insert(min(idx, len(pipeline_elems)), elem)
         cfg = Config({"type": planer_cfg.get("type", "preprocessor"),
-                      "tune_mode": "params", "pipeline": pipeline_elems})
+                      "tune_mode": "params",
+                      "parameter_tuning_freq_n":
+                          getattr(step2_pipeline_planer, "parameter_tuning_freq_n", 20),
+                      "pipeline": pipeline_elems})
         if step2_pipeline_planer.wandb_config:
             cfg["wandb"] = step2_pipeline_planer.wandb_config
         path = os.path.join(conf_save_path, f"{rank}_params_tuning_config.yaml")
@@ -688,8 +743,10 @@ def run_step3(conf_dir: str, evaluate_fn: Callable, *, count: Optional[int] = No
             continue
         try:
             planer = PipelinePlaner.from_config_file(os.path.join(conf_dir, name))
+            n = count if count is not None else getattr(planer,
+                                                        "parameter_tuning_freq_n", 20)
             runner = planer.sweep_agent(
-                lambda cfg, p=planer: evaluate_fn(p, cfg), count=count, method=method,
+                lambda cfg, p=planer: evaluate_fn(p, cfg), count=n, method=method,
                 seed=seed,
                 summary_file_path=os.path.join(result_dir, f"{name}.csv"))
             runners.append(runner)

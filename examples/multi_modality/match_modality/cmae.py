@@ -10,12 +10,12 @@ from dance_tpu.modules.multi_modality.match_modality import CMAE
 if __name__ == "__main__":
     args = base_parser("CMAE match modality").parse_args()
     set_seed(args.seed)
-    data = multimodal_data(seed=args.seed)
+    data = multimodal_data(n_cells=240, n_genes=100, n_prot=25, seed=args.seed)
     x1_tr = np.log1p(data.get_feature(split_name="train", mod="mod1", channel_type="X"))
     x2_tr = np.log1p(data.get_feature(split_name="train", mod="mod2", channel_type="X"))
     x1_te = np.log1p(data.get_feature(split_name="test", mod="mod1", channel_type="X"))
     x2_te = np.log1p(data.get_feature(split_name="test", mod="mod2", channel_type="X"))
-    model = CMAE(seed=args.seed)
+    model = CMAE(z_dim=16, hidden=64, seed=args.seed)
     model.fit(x1_tr, x2_tr, epochs=300)
     matching = model.predict_matching(x1_te, x2_te)
     print(f"Matching score: {model.score_matching(matching):.4f}")

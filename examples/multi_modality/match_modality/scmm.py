@@ -10,13 +10,13 @@ from dance_tpu.modules.multi_modality.match_modality import MMVAE
 if __name__ == "__main__":
     args = base_parser("MMVAE match modality").parse_args()
     set_seed(args.seed)
-    data = multimodal_data(seed=args.seed)
+    data = multimodal_data(n_cells=240, n_genes=100, n_prot=25, seed=args.seed)
     x1_tr = np.log1p(data.get_feature(split_name="train", mod="mod1", channel_type="X"))
     x2_tr = np.log1p(data.get_feature(split_name="train", mod="mod2", channel_type="X"))
     x1_te = np.log1p(data.get_feature(split_name="test", mod="mod1", channel_type="X"))
     x2_te = np.log1p(data.get_feature(split_name="test", mod="mod2", channel_type="X"))
     model = MMVAE(seed=args.seed)
     model.fit(np.expm1(x1_tr), x2_tr, epochs=100)
-    matching = model.predict_matching(x1_te, x2_te)
+    matching = model.predict_matching(np.expm1(x1_te), x2_te)
     n = matching.shape[0]
     print(f"Matching score: {matching[np.arange(n), np.arange(n)].mean():.4f}")

@@ -10,7 +10,7 @@ from dance_tpu.modules.multi_modality.match_modality import ScMoGCNWrapper
 if __name__ == "__main__":
     args = base_parser("ScMoGCNWrapper match modality").parse_args()
     set_seed(args.seed)
-    data = multimodal_data(seed=args.seed)
+    data = multimodal_data(n_cells=240, n_genes=100, n_prot=25, seed=args.seed)
     x1_tr = np.log1p(data.get_feature(split_name="train", mod="mod1", channel_type="X"))
     x2_tr = np.log1p(data.get_feature(split_name="train", mod="mod2", channel_type="X"))
     x1_te = np.log1p(data.get_feature(split_name="test", mod="mod1", channel_type="X"))

@@ -35,10 +35,21 @@ def get_important_pattern(df: pd.DataFrame, metric: str = "test_acc",
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("results_csv")
+    p.add_argument("results_csv", nargs="?", default=None,
+                   help="sweep summary CSV; omitted -> synthetic demo table")
     p.add_argument("--metric", default="test_acc")
     p.add_argument("--alpha", type=float, default=0.05)
     args = p.parse_args()
-    for pattern, mean, pval in get_important_pattern(pd.read_csv(args.results_csv),
-                                                     args.metric, args.alpha):
+    if args.results_csv is None:
+        rng = np.random.default_rng(0)
+        steps = rng.choice(["Log1P", "NormalizeTotal", "ScTransform"], 60)
+        df = pd.DataFrame({
+            "pipeline.0.normalize": steps,
+            "pipeline.1.feature": rng.choice(["CellPCA", "CellSVD"], 60),
+            "test_acc": rng.normal(0.7, 0.05, 60) + 0.15 * (steps == "ScTransform"),
+        })
+        print("(no CSV given; mining a synthetic demo table)")
+    else:
+        df = pd.read_csv(args.results_csv)
+    for pattern, mean, pval in get_important_pattern(df, args.metric, args.alpha):
         print(f"{mean:.4f}  p={pval:.3g}  {pattern}")

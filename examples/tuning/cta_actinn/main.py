@@ -53,12 +53,12 @@ if __name__ == "__main__":
     step3_paths = get_step3_yaml(
         f"{args.results_dir}/pipeline/best_test_acc.csv", planer,
         conf_save_path=f"{args.results_dir}/config_yamls/params/", metric="test_acc",
-        top_k=2, required_funs=["SetConfig"], required_indexes=[100],
+        required_funs=["SetConfig"], required_indexes=[100],
         required_params=[{"config_dict": {"label_channel": "cell_type"}}])
     runners = run_step3(
         f"{args.results_dir}/config_yamls/params/",
         lambda planer3, cfg: evaluate_pipeline(cfg, planer3, params_mode=True),
-        count=3, result_dir=f"{args.results_dir}/params/")
+        result_dir=f"{args.results_dir}/params/")
     for r in runners:
         if r.records:
             print("Step-3 best:", r.best("test_acc")["test_acc"])

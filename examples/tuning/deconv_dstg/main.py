@@ -1,0 +1,50 @@
+"""DANCE 2.0 pipeline/params search for DSTG deconvolution.
+
+Parity: reference examples/tuning/deconv_dstg/main.py (same step-2 pipeline
+sweep + step-3 params protocol on the framework-native SweepRunner).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+from _tuning_common import gen_kwargs, tuning_main
+
+from dance_tpu.data import AnnData, Data
+from dance_tpu.datasets.synthetic import synthetic_expression
+from dance_tpu.modules.spatial.cell_type_deconvo import DSTG
+
+
+def _mixture(seed):
+    rng = np.random.default_rng(seed)
+    x_ref, labels = synthetic_expression(150, 80, 3, seed=seed + 1, effect=6.0)
+    portions = rng.dirichlet(np.ones(3), 60)
+    profiles = np.stack([x_ref[labels == c].mean(0) for c in range(3)])
+    x_mix = rng.poisson(portions @ profiles * 3).astype(np.float32)
+    return x_ref, labels, x_mix, portions, profiles
+
+
+def evaluate(planer, trial_cfg, seed, params_mode):
+    x_ref, labels, x_mix, portions, profiles = _mixture(seed)
+    d = Data(AnnData(X=x_mix.copy()))
+    planer.generate(**gen_kwargs(trial_cfg, params_mode)).functional(d)
+    xp = np.asarray(d.data.X, dtype=np.float32)
+    from dance_tpu.transforms.graph.dstg_graph import compute_dstg_adj
+    rng = np.random.default_rng(seed)
+    n_pseudo = 100
+    ps_port = rng.dirichlet(np.ones(3), n_pseudo)
+    ps_x = rng.poisson(ps_port @ profiles * 3).astype(np.float32)
+    feats = np.concatenate([ps_x, xp], axis=0)
+    adj = compute_dstg_adj(ps_x, xp, k_filter=30, num_cc=10)
+    yy = np.concatenate([ps_port, np.zeros_like(portions)], axis=0)
+    model = DSTG(nhid=32, seed=seed)
+    model.fit((np.log1p(feats), adj), yy, max_epochs=150)
+    pred = model.predict()[n_pseudo:]
+    mse = float(((pred - portions) ** 2).mean())
+    return {"mse": mse}
+
+
+if __name__ == "__main__":
+    tuning_main(evaluate, "mse", os.path.dirname(os.path.abspath(__file__)),
+                maximize=False)

@@ -116,3 +116,14 @@ def test_scmogcn_joint_embedding(data):
     model.fit(x1_tr, x2_tr, cell_type=ct, epochs=100)
     nmi = model.score(None, ct)
     assert nmi > 0.5, f"scMoGNN-JE NMI too low: {nmi}"
+
+
+def test_scmm_matching(data):
+    """MMVAE matching path (encode outside apply was a real crash)."""
+    from dance_tpu.modules.multi_modality.match_modality import MMVAE
+    x1_tr, x2_tr, x1_te, x2_te = _get_xy(data)
+    model = MMVAE(z_dim=16, seed=0)
+    model.fit(np.expm1(x1_tr), x2_tr, epochs=100, batch_size=64)
+    matching = model.predict_matching(np.expm1(x1_te), x2_te)
+    score = model.score_matching(matching)
+    assert score > 0.05, f"scMM matching score too low: {score}"

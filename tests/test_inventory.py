@@ -145,3 +145,29 @@ def test_inventory(module, names):
     mod = importlib.import_module(module)
     missing = [n for n in names if not hasattr(mod, n)]
     assert not missing, f"{module} missing: {missing}"
+
+
+def test_tuning_example_catalog():
+    """All reference tuning dirs exist with a main.py + step-2 YAML."""
+    import os
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "examples", "tuning")
+    expected = [
+        "cluster_graphsc", "cluster_scdcc", "cluster_scdeepcluster", "cluster_scdsc",
+        "cluster_sctag", "cta_actinn", "cta_celltypist", "cta_scdeepsort",
+        "cta_scheteronet", "cta_singlecellnet", "cta_svm", "custom-methods",
+        "deconv_card", "deconv_dstg", "deconv_spatialdecon", "deconv_spotlight",
+        "deconv_stdgcn", "domain_EfNST", "domain_louvain", "domain_spagcn",
+        "domain_stagate", "domain_stlearn", "imputation_deepimpute",
+        "imputation_graphsci", "imputation_magic", "imputation_scgnn2",
+        "joint_embedding_dcca", "joint_embedding_jae", "joint_embedding_scmogcn",
+        "joint_embedding_scmvae", "predict_modality_babel",
+    ]
+    for d in expected:
+        assert os.path.isfile(os.path.join(root, d, "main.py")), f"missing {d}/main.py"
+        assert os.path.isfile(
+            os.path.join(root, d, "pipeline_params_tuning_config.yaml")), \
+            f"missing {d} yaml"
+    for f in ["handle_sweep.py", "handle_error.py", "step3_default_params.yaml",
+              "README.md"]:
+        assert os.path.isfile(os.path.join(root, f)), f"missing {f}"

@@ -208,3 +208,35 @@ def test_save_summary_data_local(tmp_path):
     df = save_summary_data(runner=runner, summary_file_path=str(path))
     assert path.exists()
     assert df.iloc[0]["acc"] == 0.5
+
+
+def test_sweep_resume(tmp_path):
+    """Resumed sweeps skip already-recorded configs and extend the summary."""
+    import dance_tpu.transforms  # noqa: F401
+    from dance_tpu.pipeline import PipelinePlaner
+    cfg = {"type": "preprocessor", "tune_mode": "pipeline",
+           "pipeline_tuning_top_k": 2, "parameter_tuning_freq_n": 5,
+           "pipeline": [{"type": "normalize",
+                         "include": ["Log1P", "NormalizeTotal", "NormalizeTotalLog1P",
+                                     "NormalizePlaceHolder"]}]}
+    planer = PipelinePlaner(cfg)
+    assert planer.pipeline_tuning_top_k == 2
+    assert planer.parameter_tuning_freq_n == 5
+    calls = []
+
+    def evaluate(trial):
+        calls.append(tuple(sorted(trial.items())))
+        return {"acc": 0.5}
+
+    summary = str(tmp_path / "summary.csv")
+    planer.sweep_agent(evaluate, count=2, method="grid", seed=0,
+                       summary_file_path=summary)
+    assert len(calls) == 2
+    r2 = planer.sweep_agent(evaluate, count=2, method="grid", seed=0,
+                            summary_file_path=summary, resume=True)
+    # two NEW configs ran; no repeats of the first two
+    assert len(calls) == 4
+    assert len(set(calls)) == 4
+    assert len(r2.records) == 4
+    import pandas as pd
+    assert len(pd.read_csv(summary)) == 4
