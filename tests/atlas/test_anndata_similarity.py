@@ -100,3 +100,33 @@ def test_wsgi_http_drive(pair, tmp_path):
         assert conn.getresponse().status == 404
     finally:
         srv.shutdown()
+
+
+def test_answer_table_generation(tmp_path):
+    """Per-tissue answer tables from a staged sweep-results tree (CLI drive)."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+    root = tmp_path / "sweeps"
+    for method, accs in [("actinn", [0.8, 0.9]), ("svm", [0.85])]:
+        for ds in ["328", "138"]:
+            d = root / method / ds / "results" / "pipeline"
+            d.mkdir(parents=True)
+            pd.DataFrame({
+                "pipeline.0.normalize": ["Log1P"] * len(accs),
+                "test_acc": accs,
+            }).to_csv(d / "best_test_acc.csv", index=False)
+    out = subprocess.run(
+        [sys.executable, "/root/repo/examples/atlas/get_result_web.py",
+         "--results_root", str(root), "--tissue", "heart",
+         "--out_dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    ans = pd.read_csv(tmp_path / "heart_ans.csv")
+    assert set(ans["method"]) == {"actinn", "svm"}
+    assert len(ans) == 4  # 2 methods x 2 datasets
+    best = ans[(ans.method == "actinn")
+               & (ans.dataset.astype(str) == "328")]["test_acc"]
+    assert float(best.iloc[0]) == 0.9
+    assert "pipeline.0.normalize" in ans.columns
