@@ -22,7 +22,24 @@ HI = jax.lax.Precision.HIGHEST
 def _knn_block(q, x, k: int):
     d2 = ((q ** 2).sum(1)[:, None] + (x ** 2).sum(1)[None, :]
           - 2 * jnp.dot(q, x.T, precision=HI))
-    neg, idx = jax.lax.top_k(-d2, k)
+    n = d2.shape[1]
+    # two-stage top-k: lax.top_k fully sorts its axis on TPU, so split the n
+    # candidates into groups, take top-k per group (short sorts), then a final
+    # top-k over the G*k survivors. Exact iff k <= group (each group keeps k
+    # candidates, and the true top-k contains at most k from any one group).
+    group = 2048
+    if n > 2 * group and k <= group:
+        g = -(-n // group)
+        pad = g * group - n
+        d2p = jnp.pad(d2, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        d3 = d2p.reshape(d2.shape[0], g, group)
+        neg_g, idx_g = jax.lax.top_k(-d3, min(k, group))   # (m, g, k)
+        base = (jnp.arange(g, dtype=jnp.int32) * group)[None, :, None]
+        cand_idx = (idx_g + base).reshape(d2.shape[0], -1)  # (m, g*k)
+        neg, pos = jax.lax.top_k(neg_g.reshape(d2.shape[0], -1), k)
+        idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+    else:
+        neg, idx = jax.lax.top_k(-d2, k)
     return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx
 
 
@@ -37,9 +54,11 @@ def knn(x, k: int, *, include_self: bool = True, block_size: int = 4096
     for start in range(0, n, block_size):
         q = x[start:start + block_size]
         d, i = _knn_block(q, x, kq)
-        dists.append(np.asarray(d))
-        idxs.append(np.asarray(i))
-    d, i = np.concatenate(dists, 0), np.concatenate(idxs, 0)
+        dists.append(d)
+        idxs.append(i)
+    # concatenate on device, pull once (single host round trip)
+    d = np.asarray(jnp.concatenate(dists, 0))
+    i = np.asarray(jnp.concatenate(idxs, 0))
     if not include_self:
         # drop the self column (distance 0 at position of own index)
         self_col = i == np.arange(n)[:, None]
