@@ -177,6 +177,12 @@ class scHeteroNet(BaseClassificationMethod):
         neg_energy = np.asarray(neg_energy)
         return neg_energy[node_idx] if node_idx is not None else neg_energy
 
+    def evaluate_ood(self, ind_idx, ood_idx, **detect_kwargs):
+        """(auroc, aupr, fpr@95) for OOD detection (parity: scheteronet.py:760)."""
+        from dance_tpu.utils.metrics import ood_measures
+        scores = self.detect(**detect_kwargs)
+        return ood_measures(scores[np.asarray(ind_idx)], scores[np.asarray(ood_idx)])
+
     def predict_proba(self, graph=None):
         adj, x = self._cache
         logits, _ = self.net.apply({"params": self.params}, adj, x)

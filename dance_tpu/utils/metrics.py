@@ -161,3 +161,26 @@ def integration_openproblems_evaluate(emb, cell_type, batch=None):
     score["nmi"] = float(normalized_mutual_info_score(cell_type, pred, average_method="max"))
     score["final_scores"] = sum(score.values()) / len(score)
     return score
+
+
+def ood_measures(ind_scores, ood_scores):
+    """OOD detection measures (parity: scheteronet.py:760 get_measures).
+
+    ``ind_scores``/``ood_scores`` are detector scores where in-distribution
+    nodes score HIGHER (e.g. negative energy). Returns (auroc, aupr, fpr@95):
+    AUROC/AUPR of separating ind from ood, and the false-positive rate on ood
+    at the threshold that keeps 95% recall on ind.
+    """
+    from sklearn.metrics import average_precision_score, roc_auc_score
+    ind = np.asarray(ind_scores, dtype=np.float64).ravel()
+    ood = np.asarray(ood_scores, dtype=np.float64).ravel()
+    if len(ind) == 0 or len(ood) == 0:
+        raise ValueError("ood_measures needs non-empty ind and ood score sets "
+                         f"(got {len(ind)} ind, {len(ood)} ood)")
+    scores = np.concatenate([ind, ood])
+    labels = np.concatenate([np.ones_like(ind), np.zeros_like(ood)])
+    auroc = float(roc_auc_score(labels, scores))
+    aupr = float(average_precision_score(labels, scores))
+    thresh = np.percentile(ind, 5)  # keep 95% of ind above threshold
+    fpr95 = float((ood >= thresh).mean())
+    return auroc, aupr, fpr95

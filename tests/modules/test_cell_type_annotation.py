@@ -100,3 +100,27 @@ def test_scheteronet_e2e(data):
     # OOD scores exist and are finite
     scores = model.detect(node_idx=test_idx)
     assert np.isfinite(scores).all()
+
+
+def test_scheteronet_ood_measures(data):
+    """OOD evaluation: held-out novel cell type scores below in-distribution."""
+    from dance_tpu.modules.single_modality.cell_type_annotation import scHeteroNet
+    from dance_tpu.transforms.graph import HeteronetGraph
+    from dance_tpu.utils.metrics import ood_measures
+    d = data.copy()
+    HeteronetGraph(knn_num=5)(d)
+    g = d.data.uns["HeteronetGraph"]
+    y = d.data.obsm["cell_type"].to_numpy().argmax(1)
+    # treat class 2 as OOD: train only on classes 0/1
+    train_idx = np.asarray([i for i in d.train_idx if y[i] != 2])
+    model = scHeteroNet(hidden_channels=32, num_layers=2, seed=0)
+    model.fit(g, y, x_raw=np.asarray(d.data.X), epochs=120, train_idx=train_idx)
+    test_idx = np.asarray(d.test_idx)
+    ind = test_idx[y[test_idx] != 2]
+    ood = test_idx[y[test_idx] == 2]
+    auroc, aupr, fpr95 = model.evaluate_ood(ind, ood)
+    assert 0 <= aupr <= 1 and 0 <= fpr95 <= 1
+    assert auroc > 0.7, f"OOD AUROC too low: {auroc}"
+    # sanity: metric math on synthetic separable scores
+    a, p, f = ood_measures(np.full(50, 5.0), np.full(50, -5.0))
+    assert a == 1.0 and f == 0.0
