@@ -33,6 +33,73 @@ def get_important_pattern(df: pd.DataFrame, metric: str = "test_acc",
     return sorted(results, key=lambda r: -r[1])
 
 
+
+def get_frequent_itemsets(df: pd.DataFrame, metric: str = "test_acc",
+                          ascending: bool = False, threshold_per: float = 0.1,
+                          min_support: float = 0.5, max_order: int = 2):
+    """Frequent step patterns among the top trials (parity:
+    get_important_pattern.py:117 — apriori over top-quantile configurations;
+    first-party implementation, no mlxtend)."""
+    pipe_cols = [c for c in df.columns if c.startswith("pipeline.")]
+    top_n = max(int(len(df) * threshold_per), 1)
+    top = df.sort_values(metric, ascending=ascending).head(top_n)
+    out, seen = [], set()
+    for order in range(1, max_order + 1):
+        for cols in itertools.combinations(pipe_cols, order):
+            counts = top.groupby(list(cols)).size()
+            for pattern, cnt in counts.items():
+                support = cnt / len(top)
+                if support >= min_support:
+                    key = pattern if isinstance(pattern, tuple) else (pattern,)
+                    item = tuple(zip(cols, key))
+                    if item not in seen:
+                        seen.add(item)
+                        out.append({"pattern": dict(item), "support": float(support)})
+    return sorted(out, key=lambda r: -r["support"])
+
+
+def get_com_all(df: pd.DataFrame, metric: str = "test_acc", ascending: bool = False,
+                alpha: float = 0.05, vis: bool = False):
+    """Patterns whose trials rank significantly above the rest (parity:
+    get_important_pattern.py:203)."""
+    greater = not ascending
+    res = get_important_pattern(df, metric=metric, alpha=alpha, max_order=2) \
+        if greater else _get_important_pattern_min(df, metric, alpha)
+    if vis:
+        for pattern, mean, p in res:
+            print(f"{mean:.4f}  p={p:.3g}  {pattern}")
+    return [tuple(sorted(r[0].items())) for r in res]
+
+
+def _get_important_pattern_min(df, metric, alpha):
+    d2 = df.copy()
+    d2["_neg"] = -d2[metric]
+    return [(p, -m, v) for p, m, v in get_important_pattern(d2, "_neg", alpha)]
+
+
+def get_forest_model_pattern(df: pd.DataFrame, metric: str = "test_acc"):
+    """Random-forest feature importance over one-hot pipeline steps (parity:
+    get_important_pattern.py:227; the reference validates with SHAP +
+    point-biserial — here importances are validated with point-biserial
+    correlation directly, shap being unavailable offline)."""
+    from scipy.stats import pointbiserialr
+    from sklearn.ensemble import RandomForestRegressor
+    pipe_cols = [c for c in df.columns if c.startswith("pipeline.")]
+    X = pd.get_dummies(df[pipe_cols].astype(str))
+    y = df[metric].to_numpy()
+    if X.shape[1] == 0 or len(df) < 5:
+        return {}
+    rf = RandomForestRegressor(n_estimators=200, random_state=0).fit(X, y)
+    out = {}
+    for name, imp in zip(X.columns, rf.feature_importances_):
+        if imp <= 0:
+            continue
+        r, p = pointbiserialr(X[name].to_numpy().astype(float), y)
+        out[name] = {"importance": float(imp), "pointbiserial_r": float(r),
+                     "p_value": float(p)}
+    return dict(sorted(out.items(), key=lambda kv: -kv[1]["importance"]))
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("results_csv", nargs="?", default=None,
