@@ -15,6 +15,7 @@ if __name__ == "__main__":
                                                     "pipeline_params_tuning_config.yaml"))
     p.add_argument("--count", type=int, default=6)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--results_dir", default="results")
     args = p.parse_args()
     set_seed(args.seed)
     planer = PipelinePlaner.from_config_file(args.config)
@@ -33,5 +34,5 @@ if __name__ == "__main__":
 
     runner = planer.sweep_agent(evaluate, count=args.count, method="random",
                                 seed=args.seed,
-                                summary_file_path="results/cta_svm.csv")
+                                summary_file_path=os.path.join(args.results_dir, "cta_svm.csv"))
     print("Best test_acc:", runner.best("test_acc")["test_acc"])
