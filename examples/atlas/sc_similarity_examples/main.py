@@ -32,6 +32,8 @@ if __name__ == "__main__":
                    help="directory of .h5ad files; omitted -> staged demo data")
     p.add_argument("--out_dir", default="results/similarity")
     p.add_argument("--n_runs", type=int, default=2)
+    p.add_argument("--exclude_config", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "configs/exclude_dataset.json"))
     p.add_argument("--sample_size", type=int, default=50)
     args = p.parse_args()
 
@@ -41,7 +43,13 @@ if __name__ == "__main__":
         stage_demo(data_dir)
         print(f"(no --data_dir; staged demo datasets under {data_dir})")
 
-    names = sorted(f for f in os.listdir(data_dir) if f.endswith(".h5ad"))
+    exclude = set()
+    if args.exclude_config and os.path.isfile(args.exclude_config):
+        import json
+        with open(args.exclude_config) as f:
+            exclude = set(json.load(f).get("exclude", []))
+    names = sorted(f for f in os.listdir(data_dir)
+                   if f.endswith(".h5ad") and f not in exclude)
     adatas = {n: read_h5ad(os.path.join(data_dir, n)) for n in names}
     tables = {}
     for a, b in itertools.combinations(names, 2):
