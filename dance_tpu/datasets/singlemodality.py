@@ -159,7 +159,10 @@ class ClusteringDataset(BaseDataset):
     """Clustering benchmark ``.h5`` files with X / Y keys (parity: :398-441)."""
 
     _DISPLAY_ATTRS = ("dataset",)
-    AVAILABLE_DATA = ["10X_PBMC", "mouse_bladder_cell", "mouse_ES_cell",
+    # parity: dance/metadata/clustering.csv:1-12
+    AVAILABLE_DATA = ["10X_PBMC", "human_ILCS", "human_pbmc2_cell", "human_skin_cell",
+                      "mouse_ES_cell", "mouse_bladder_cell", "mouse_kidney_10x",
+                      "mouse_kidney_cell", "mouse_kidney_cl2", "mouse_kidney_drop",
                       "worm_neuron_cell"]
 
     def __init__(self, data_dir: str = "./data", dataset: str = "mouse_bladder_cell",
@@ -205,8 +208,11 @@ class ImputationDataset(BaseDataset):
     """
 
     _DISPLAY_ATTRS = ("dataset", "train_size")
+    # parity: dance/metadata/imputation.csv:1-9
     AVAILABLE_DATA = ["pbmc_data", "mouse_brain_data", "mouse_embryo_data",
-                      "human_stemcell_data"]
+                      "human_stemcell_data", "human_breast_TGFb_data",
+                      "human_breast_Dox_data", "human_melanoma_data",
+                      "mouse_visual_data"]
 
     def __init__(self, data_dir: str = "data", dataset: str = "human_stemcell",
                  train_size: float = 0.1, url_dict: Optional[Dict[str, str]] = None):

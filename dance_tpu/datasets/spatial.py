@@ -61,7 +61,15 @@ class CellTypeDeconvoDataset(BaseDataset):
     """
 
     _DISPLAY_ATTRS = ("dataset",)
-    AVAILABLE_DATA = ["CARD_synthetic", "GSE174746", "SPOTLight_synthetic"]
+    # parity: dance/datasets/spatial.py:161-215 (extended deconvolution set)
+    AVAILABLE_DATA = [
+        "CARD_synthetic", "GSE174746", "SPOTLight_synthetic", "hcc_liver",
+        "human_breast_cancer", "kidney_coronal", "kidney_sagittal", "lung",
+        "lung2", "mouse_brain_1", "mpb", "normal_liver", "pancreatic_cancer",
+        "sub_hcc_liver", "sub_human_breast_cancer", "sub_kidney_coronal",
+        "sub_lung", "sub_mouse_brain_1", "sub_normal_liver",
+        "sub_pancreatic_cancer",
+    ]
 
     def __init__(self, dataset: str = "CARD_synthetic", data_dir: str = "data/spatial",
                  url_dict: Optional[Dict[str, str]] = None):
