@@ -37,23 +37,78 @@ def pca(adata, *, n_comps: int = 50, random_state: int = 0, **kwargs):
     return _pca(adata, n_comps=n_comps, random_state=random_state)
 
 
-def umap(adata, *, n_components: int = 2, random_state: int = 0, **kwargs):
-    """2-d embedding of the neighbor graph.
-
-    Deviation from scanpy: uses spectral embedding of the connectivity
-    Laplacian (UMAP's own initialization) rather than the full UMAP
-    optimization — no umap-learn dependency, deterministic, and adequate for
-    the visualization role it plays in the reference."""
-    conn = sp.csr_matrix(_get_conn(adata)).astype(np.float64)
+def _spectral_init(conn, n_components: int) -> np.ndarray:
     deg = np.asarray(conn.sum(1)).ravel()
     dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
     L = sp.eye(conn.shape[0]) - sp.diags(dinv) @ conn @ sp.diags(dinv)
     from scipy.sparse.linalg import eigsh
     k = n_components + 1
-    vals, vecs = eigsh(L, k=k, sigma=0, which="LM")
+    # fixed start vector: ARPACK's random v0 would make the embedding (and
+    # anything downstream) nondeterministic across calls
+    v0 = np.full(conn.shape[0], 1.0 / np.sqrt(conn.shape[0]))
+    vals, vecs = eigsh(L, k=k, sigma=0, which="LM", v0=v0)
     emb = vecs[:, 1:k]
-    adata.obsm["X_umap"] = (emb / np.maximum(np.abs(emb).max(0), 1e-12) * 10).astype(
-        np.float32)
+    return (emb / np.maximum(np.abs(emb).max(0), 1e-12) * 10).astype(np.float32)
+
+
+def umap(adata, *, n_components: int = 2, random_state: int = 0,
+         n_epochs: int = 200, min_dist: float = 0.5, spread: float = 1.0,
+         learning_rate: float = 1.0, init: str = "spectral", **kwargs):
+    """UMAP layout of the neighbor graph (parity: scanpy sc.tl.umap).
+
+    First-party, TPU-native: spectral initialization (UMAP's own default),
+    then the UMAP cross-entropy layout as a jitted ``lax.scan`` over epochs —
+    per-epoch vectorized attraction over ALL graph edges plus one negative
+    sample per edge, instead of umap-learn's sequential per-edge SGD. The
+    (a, b) curve params are fit from (min_dist, spread) as in umap-learn.
+    """
+    import jax
+    import jax.numpy as jnp
+    conn = sp.csr_matrix(_get_conn(adata)).astype(np.float64)
+    emb0 = _spectral_init(conn, n_components)
+    if init == "spectral" and n_epochs == 0:
+        adata.obsm["X_umap"] = emb0
+        return None
+
+    # fit (a, b) so 1/(1+a d^{2b}) matches exp(-(d-min_dist)/spread) past min_dist
+    from scipy.optimize import curve_fit
+    xv = np.linspace(0, spread * 3, 300)
+    yv = np.where(xv < min_dist, 1.0, np.exp(-(xv - min_dist) / spread))
+    (a, b), _ = curve_fit(lambda x, a, b: 1.0 / (1.0 + a * x ** (2 * b)), xv, yv,
+                          maxfev=10000)
+
+    coo = sp.coo_matrix(sp.triu(conn.maximum(conn.T), k=1))
+    src = jnp.asarray(coo.row, jnp.int32)
+    dst = jnp.asarray(coo.col, jnp.int32)
+    w = jnp.asarray(coo.data / coo.data.max(), jnp.float32)
+    n = conn.shape[0]
+
+    def epoch(carry, inp):
+        emb, key = carry
+        alpha = inp
+        key, nk = jax.random.split(key)
+        d_pos = emb[src] - emb[dst]
+        dist2 = (d_pos ** 2).sum(1)
+        # attractive gradient of the UMAP CE w.r.t. positive pairs
+        grad_coef = (-2.0 * a * b * dist2 ** (b - 1.0)
+                     / (1.0 + a * dist2 ** b))[:, None] * w[:, None]
+        g_pos = jnp.clip(grad_coef * d_pos, -4.0, 4.0)
+        # one negative sample per edge
+        neg = jax.random.randint(nk, src.shape, 0, n)
+        d_neg = emb[src] - emb[neg]
+        nd2 = (d_neg ** 2).sum(1)
+        rep_coef = (2.0 * b / ((0.001 + nd2) * (1.0 + a * nd2 ** b)))[:, None]
+        g_neg = jnp.clip(rep_coef * d_neg, -4.0, 4.0) * w[:, None]
+        upd = (jnp.zeros_like(emb)
+               .at[src].add(alpha * (g_pos + g_neg))
+               .at[dst].add(-alpha * g_pos))
+        return (emb + upd, key), None
+
+    alphas = jnp.asarray(learning_rate * (1.0 - np.arange(n_epochs) / n_epochs),
+                         jnp.float32)
+    key = jax.random.key(random_state)
+    (emb, _), _ = jax.lax.scan(epoch, (jnp.asarray(emb0), key), alphas)
+    adata.obsm["X_umap"] = np.asarray(emb, dtype=np.float32)
     return None
 
 

@@ -135,3 +135,25 @@ def test_hvg_seurat_v3_loess_trend():
     # planted overdispersed genes dominate the selection
     top = set(np.flatnonzero(df["highly_variable"].values))
     assert len(top & set(range(10))) >= 8
+
+
+def test_umap_layout():
+    """UMAP layout separates planted clusters (and is deterministic)."""
+    from sklearn.metrics import silhouette_score
+
+    from dance_tpu.datasets.synthetic import synthetic_expression
+    x, y = synthetic_expression(200, 80, 3, seed=0, effect=5.0)
+    a = AnnData(X=x)
+    sc.pp.normalize_total(a)
+    sc.pp.log1p(a)
+    sc.pp.pca(a, n_comps=10)
+    sc.pp.neighbors(a, n_neighbors=10)
+    sc.tl.umap(a, n_epochs=200, random_state=0)
+    emb = a.obsm["X_umap"]
+    assert emb.shape == (200, 2)
+    assert np.isfinite(emb).all()
+    s = silhouette_score(emb, y)
+    assert s > 0.3, f"UMAP layout silhouette too low: {s}"
+    # determinism
+    sc.tl.umap(a, n_epochs=200, random_state=0)
+    np.testing.assert_array_equal(emb, a.obsm["X_umap"])
