@@ -151,3 +151,21 @@ def score_genes(adata, gene_list, *, score_name: str = "score", ctrl_size: int =
     ctrl = rng.choice(adata.n_vars, size=min(ctrl_size, adata.n_vars), replace=False)
     adata.obs[score_name] = X[:, idx].mean(1) - X[:, ctrl].mean(1)
     return None
+
+
+def score_genes_cell_cycle(adata, s_genes, g2m_genes, *, ctrl_size: int = 50,
+                           random_state: int = 0):
+    """Cell-cycle scoring (scanpy sc.tl.score_genes_cell_cycle parity):
+    score S and G2M gene sets, then assign each cell the phase of its higher
+    score, or G1 when both scores are negative. Writes obs S_score /
+    G2M_score / phase."""
+    score_genes(adata, s_genes, score_name="S_score", ctrl_size=ctrl_size,
+                random_state=random_state)
+    score_genes(adata, g2m_genes, score_name="G2M_score", ctrl_size=ctrl_size,
+                random_state=random_state)
+    s = np.asarray(adata.obs["S_score"], dtype=np.float64)
+    g2m = np.asarray(adata.obs["G2M_score"], dtype=np.float64)
+    phase = np.where(g2m > s, "G2M", "S")
+    phase = np.where((s < 0) & (g2m < 0), "G1", phase)
+    adata.obs["phase"] = phase
+    return None

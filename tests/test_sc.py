@@ -157,3 +157,20 @@ def test_umap_layout():
     # determinism
     sc.tl.umap(a, n_epochs=200, random_state=0)
     np.testing.assert_array_equal(emb, a.obsm["X_umap"])
+
+
+def test_score_genes_cell_cycle():
+    rng = np.random.default_rng(0)
+    n = 120
+    X = rng.random((n, 30)).astype(np.float32)
+    # plant: first 40 cells high on "S" genes 0-2, next 40 high on "G2M" genes 3-5
+    X[:40, 0:3] += 3.0
+    X[40:80, 3:6] += 3.0
+    a = AnnData(X=X)
+    s_genes = list(a.var_names[0:3])
+    g2m_genes = list(a.var_names[3:6])
+    sc.tl.score_genes_cell_cycle(a, s_genes, g2m_genes)
+    phase = np.asarray(a.obs["phase"])
+    assert (phase[:40] == "S").mean() > 0.9
+    assert (phase[40:80] == "G2M").mean() > 0.9
+    assert {"S_score", "G2M_score", "phase"} <= set(a.obs.columns)
