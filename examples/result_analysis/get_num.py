@@ -30,7 +30,7 @@ def count_runs(results_root: str) -> pd.DataFrame:
             continue
         for dataset in sorted(os.listdir(tdir)):
             ddir = os.path.join(tdir, dataset)
-            if not os.path.isdir(ddir):
+            if not os.path.isdir(ddir) or dataset.startswith("_"):
                 continue
             n_trials = n_errors = n_csv = 0
             best = None
