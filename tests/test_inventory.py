@@ -171,3 +171,26 @@ def test_tuning_example_catalog():
     for f in ["handle_sweep.py", "handle_error.py", "step3_default_params.yaml",
               "README.md"]:
         assert os.path.isfile(os.path.join(root, f)), f"missing {f}"
+
+
+def test_round1_late_additions_api():
+    """Public API added late in round 1 stays exported."""
+    from dance_tpu.ops.pallas_kernels import bsr_spmm_ad, bsr_transpose  # noqa: F401
+    from dance_tpu.utils.metrics import ood_measures  # noqa: F401
+    from dance_tpu import sc
+    assert hasattr(sc.tl, "umap") and hasattr(sc.tl, "score_genes_cell_cycle")
+    from dance_tpu.pipeline import PipelinePlaner, SweepRunner
+    assert hasattr(SweepRunner, "load_records")
+    import inspect
+    assert "resume" in inspect.signature(PipelinePlaner.sweep_agent).parameters
+    from dance_tpu.modules.single_modality.cell_type_annotation import scHeteroNet
+    assert hasattr(scHeteroNet, "evaluate_ood")
+    from dance_tpu.modules.single_modality.clustering import GraphSC
+    assert "use_bsr" in inspect.signature(GraphSC.fit).parameters
+    from dance_tpu.data import MuData
+    # var-axis slicing contract
+    import numpy as np
+    from dance_tpu.data import AnnData
+    md = MuData({"a": AnnData(np.ones((3, 2), np.float32)),
+                 "b": AnnData(np.ones((3, 3), np.float32))})
+    assert md[:, [0, 3]]["b"].n_vars == 1
