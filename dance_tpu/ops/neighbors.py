@@ -49,7 +49,11 @@ def knn(x, k: int, *, include_self: bool = True, block_size: int = 4096
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
     kq = k if include_self else k + 1
-    kq = min(kq, n)
+    if kq > n:
+        raise ValueError(
+            f"knn: k={k} (include_self={include_self}) needs at least "
+            f"{kq} points but only {n} are available; clamp k at the call "
+            f"site (e.g. k=min(k, n-1)) to keep the (n, k) result contract")
     dists, idxs = [], []
     for start in range(0, n, block_size):
         q = x[start:start + block_size]

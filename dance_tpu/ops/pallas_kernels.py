@@ -51,7 +51,14 @@ class BSRMatrix:
 
 
 def bsr_from_scipy(adj: sp.spmatrix, block: int = BLOCK) -> BSRMatrix:
-    """Host-side tiling of a scipy sparse matrix into sorted dense blocks."""
+    """Host-side tiling of a scipy sparse matrix into sorted dense blocks.
+
+    Every block-row and block-column is guaranteed covered by at least one
+    tile (zero tiles pad the empties), so the kernel's first-visit
+    zero-initialization reaches every output row — including for the
+    transpose used in the backward pass — and adjacencies without self-loops
+    are safe.
+    """
     adj = sp.csr_matrix(adj)
     n, m = adj.shape
     np_, mp = -(-n // block) * block, -(-m // block) * block
@@ -60,11 +67,25 @@ def bsr_from_scipy(adj: sp.spmatrix, block: int = BLOCK) -> BSRMatrix:
         adj.resize((np_, mp))
     bsr = adj.tobsr(blocksize=(block, block))
     bsr.sort_indices()
-    nb = bsr.indptr[-1]
     block_rows = np.repeat(np.arange(len(bsr.indptr) - 1), np.diff(bsr.indptr))
-    return BSRMatrix(jnp.asarray(bsr.data, jnp.float32),
+    block_cols = np.asarray(bsr.indices)
+    blocks = np.asarray(bsr.data, dtype=np.float32)
+    miss_r = np.setdiff1d(np.arange(np_ // block), block_rows)
+    miss_c = np.setdiff1d(np.arange(mp // block), block_cols)
+    n_extra = max(len(miss_r), len(miss_c))
+    if n_extra:
+        # pair missing rows with missing cols where possible; 0 otherwise
+        er = np.concatenate([miss_r, np.zeros(n_extra - len(miss_r), np.int64)])
+        ec = np.concatenate([miss_c, np.zeros(n_extra - len(miss_c), np.int64)])
+        block_rows = np.concatenate([block_rows, er])
+        block_cols = np.concatenate([block_cols, ec])
+        blocks = np.concatenate(
+            [blocks, np.zeros((n_extra, block, block), np.float32)])
+        order = np.argsort(block_rows, kind="stable")
+        block_rows, block_cols, blocks = block_rows[order], block_cols[order], blocks[order]
+    return BSRMatrix(jnp.asarray(blocks, jnp.float32),
                      jnp.asarray(block_rows, jnp.int32),
-                     jnp.asarray(bsr.indices, jnp.int32), (np_, mp))
+                     jnp.asarray(block_cols, jnp.int32), (np_, mp))
 
 
 def _spmm_kernel(brows_ref, bcols_ref, blocks_ref, b_ref, out_ref):
@@ -132,8 +153,8 @@ def bsr_spmm_ad(bsr: BSRMatrix, b: jax.Array, *, interpret: bool = None) -> jax.
 
     Backward: ``dB = Aᵀ ḡ`` (another BSR SpMM over transposed tiles) and
     ``dA[k] = ḡ[row_k] B[col_k]ᵀ`` (per-block SDDMM) so trainable edge weights
-    also work. Rows/cols not covered by any tile must not carry signal — the
-    graph builders guarantee this via self-loops (see :func:`pallas_spmm`).
+    also work. :func:`bsr_from_scipy` covers every block-row/col with at least
+    one tile, so both directions zero-initialize every output row.
     """
     return _bsr_spmm_core(bsr.blocks, bsr.block_rows, bsr.block_cols, b,
                           bsr.shape, interpret)
@@ -171,11 +192,8 @@ _bsr_spmm_core.defvjp(_bsr_spmm_fwd, _bsr_spmm_bwd)
 def pallas_spmm(adj: sp.spmatrix, h, *, interpret: bool = False):
     """Convenience wrapper: scipy adjacency × dense features via the kernel.
 
-    Note: zero block-rows (nodes whose whole row tile is empty) produce zero
-    outputs by construction since their tiles never appear; the out buffer is
-    zero-initialized per visited tile and unvisited tiles read as whatever the
-    backing buffer held — callers must only use rows covered by the adjacency
-    or add self-loops (the graph builders always do).
+    Safe for adjacencies with empty rows: :func:`bsr_from_scipy` pads every
+    block-row/col with a zero tile, so unvisited-output garbage cannot occur.
     """
     bsr = bsr_from_scipy(adj)
     h = jnp.asarray(h, jnp.float32)

@@ -76,8 +76,8 @@ class tfidfTransform(BaseTransform):
 @jax.jit
 def _tfidf_jit(x):
     tf = x / jnp.maximum(x.sum(axis=1, keepdims=True), 1e-12)
-    idf = x.shape[0] / jnp.maximum((x > 0).sum(axis=0, keepdims=True), 1.0)
-    return tf * jnp.log1p(idf)
+    idf = x.shape[0] / jnp.maximum(x.sum(axis=0, keepdims=True), 1e-12)
+    return tf * idf
 
 
 @register_preprocessor("normalize")

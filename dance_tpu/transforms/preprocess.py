@@ -190,9 +190,10 @@ class SAINTRandomWalkSampler(SubgraphSampler):
         target = self.num_nodes_per_batch
         nodes = list(nodes)
         if len(nodes) < target:
-            extra = self.rng.choice(n, target - len(nodes), replace=False)
-            nodes = list(dict.fromkeys(nodes + extra.tolist()))
-            while len(nodes) < target:
-                nodes.append(int(self.rng.integers(n)))
+            # pad from the complement so the node set stays duplicate-free
+            # (duplicate ids would double-count rows in message passing)
+            pool = np.setdiff1d(np.arange(n), np.asarray(nodes, dtype=np.int64))
+            n_pad = min(target - len(nodes), len(pool))
+            nodes.extend(self.rng.choice(pool, n_pad, replace=False).tolist())
         nodes = np.sort(np.asarray(nodes[:target]))
         return nodes, self.adj[nodes][:, nodes]

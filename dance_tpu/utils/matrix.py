@@ -82,10 +82,18 @@ def _pearson_pdist(x, y):
 
 
 def _rankdata(x):
-    # average-tie ranks along axis 1 via double argsort (adequate for spearman)
-    order = jnp.argsort(x, axis=1)
-    ranks = jnp.argsort(order, axis=1).astype(jnp.float32)
-    return ranks
+    # average-tie ranks along axis 1 (matches scipy.stats.rankdata "average");
+    # rank = (#{< v} + #{<= v} + 1) / 2 via two searchsorted passes per row.
+    # Ties matter: scRNA rows are zero-dominated, and arbitrary distinct ranks
+    # on the zero block systematically bias Spearman distances.
+    sx = jnp.sort(x, axis=1)
+
+    def row_ranks(sorted_row, row):
+        lo = jnp.searchsorted(sorted_row, row, side="left")
+        hi = jnp.searchsorted(sorted_row, row, side="right")
+        return (lo + hi + 1).astype(jnp.float32) / 2.0
+
+    return jax.vmap(row_ranks)(sx, x)
 
 
 @jax.jit

@@ -165,3 +165,20 @@ def test_bsr_transpose():
     out = bsr_spmm(bt, h, interpret=True)[:200]
     np.testing.assert_allclose(np.asarray(out), dense.T @ np.asarray(h)[:300],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_bsr_spmm_empty_rows():
+    """Adjacencies with entirely-empty block-rows return zeros, not garbage."""
+    import scipy.sparse as sp
+
+    from dance_tpu.ops.pallas_kernels import pallas_spmm
+
+    rng = np.random.default_rng(3)
+    n = 300  # >2 block-rows; leave rows 0..149 empty (block-row 0 fully empty)
+    rows = rng.integers(150, n, 500)
+    cols = rng.integers(0, n, 500)
+    adj = sp.csr_matrix((np.ones(500, np.float32), (rows, cols)), shape=(n, n))
+    h = rng.random((n, 16), dtype=np.float32)
+    out = pallas_spmm(adj, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), adj @ h, rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(out)[:150] == 0.0)
