@@ -1,0 +1,576 @@
+"""Head-to-head metric parity: dance_tpu vs the reference implementation.
+
+Runs the reference's torch/sklearn/numpy-only methods (imported from
+/root/reference through :mod:`refshim`) and the dance_tpu rebuild on
+IDENTICAL synthetic datasets, and records the metric each side achieves.
+This is the evidence layer for BASELINE.md's "within tolerance of reference
+metrics" north star — example scripts can't download the real benchmark data
+in this environment (no egress), but the algorithms can be compared directly.
+
+Usage::
+
+    PYTHONPATH=/root/repo python benchmarks/parity.py [--only METHOD] [--csv PATH]
+
+Writes results/parity.csv (method, metric, ref, ours, delta, tol, status)
+and prints a markdown table. Each case uses a fixed seed; tolerances account
+for framework-level training stochasticity (different RNG streams, init
+orders) on top of genuine algorithmic parity. DGL/PyG-backed reference
+methods cannot run here (the real packages are absent) and are out of scope.
+"""
+
+import argparse
+import csv
+import os
+import sys
+import time
+import types
+import warnings
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import refshim  # noqa: E402
+
+CASES = {}
+
+
+def case(name):
+    def deco(fn):
+        CASES[name] = fn
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# synthetic data makers (identical arrays feed both implementations)
+# --------------------------------------------------------------------------
+
+def make_cta(n_train=600, n_test=300, n_genes=100, n_types=4, seed=0, sep=0.35):
+    """Gaussian blob expression with type-specific mean shifts."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, sep, (n_types, n_genes))
+    y_tr = rng.integers(0, n_types, n_train)
+    y_te = rng.integers(0, n_types, n_test)
+    x_tr = centers[y_tr] + rng.normal(0, 1.5, (n_train, n_genes))
+    x_te = centers[y_te] + rng.normal(0, 1.5, (n_test, n_genes))
+    return (x_tr.astype(np.float32), y_tr.astype(np.int64),
+            x_te.astype(np.float32), y_te.astype(np.int64))
+
+
+def make_counts(n_cells=400, n_genes=200, n_types=4, seed=0, libsize=2000,
+                sep=0.12):
+    """Poisson counts with cluster structure (for clustering/imputation).
+
+    Types are log-normal perturbations (scale ``sep``) of one shared profile,
+    keeping the clustering non-trivial (KMeans ARI ≈ 0.95 at sep=0.1)."""
+    rng = np.random.default_rng(seed)
+    base = rng.dirichlet(np.full(n_genes, 1.0))
+    profiles = base[None, :] * np.exp(rng.normal(0, sep, (n_types, n_genes)))
+    profiles /= profiles.sum(1, keepdims=True)
+    y = rng.integers(0, n_types, n_cells)
+    lam = profiles[y] * libsize
+    counts = rng.poisson(lam).astype(np.float32)
+    return counts, y.astype(np.int64)
+
+
+def make_modality(n_train=500, n_test=200, d1=120, d2=40, seed=0):
+    """mod2 = relu(mod1 @ W) + noise, both nonnegative (count-like)."""
+    rng = np.random.default_rng(seed)
+    x = rng.poisson(2.0, (n_train + n_test, d1)).astype(np.float32)
+    w = np.abs(rng.normal(0, 0.15, (d1, d2))) * (rng.random((d1, d2)) < 0.2)
+    y = np.maximum(x @ w + rng.normal(0, 0.1, (n_train + n_test, d2)), 0)
+    y = y.astype(np.float32)
+    return x[:n_train], y[:n_train], x[n_train:], y[n_train:]
+
+
+def make_deconvo(n_spots=100, n_genes=150, n_types=4, seed=0):
+    """Pseudo-spot mixtures from known cell-type expression profiles."""
+    rng = np.random.default_rng(seed)
+    profile = rng.gamma(2.0, 1.0, (n_genes, n_types)).astype(np.float32)
+    props = rng.dirichlet(np.ones(n_types), n_spots).astype(np.float32)
+    x = props @ profile.T
+    x = x * rng.lognormal(0, 0.05, x.shape).astype(np.float32)
+    spatial = rng.random((n_spots, 2)).astype(np.float32)
+    return x, props, profile, spatial
+
+
+def acc(pred, true):
+    return float(np.mean(np.asarray(pred).ravel() == np.asarray(true).ravel()))
+
+
+def ari(pred, true):
+    from sklearn.metrics import adjusted_rand_score
+    return float(adjusted_rand_score(np.asarray(true), np.asarray(pred)))
+
+
+def rmse(pred, true):
+    return float(np.sqrt(np.mean((np.asarray(pred) - np.asarray(true)) ** 2)))
+
+
+# --------------------------------------------------------------------------
+# cell-type annotation
+# --------------------------------------------------------------------------
+
+@case("actinn")
+def run_actinn():
+    import torch
+    x_tr, y_tr, x_te, y_te = make_cta()
+    n_types = int(y_tr.max()) + 1
+    onehot = np.eye(n_types, dtype=np.float32)
+
+    RefACTINN = refshim.import_ref(
+        "dance.modules.single_modality.cell_type_annotation.actinn", "ACTINN")
+    ref = RefACTINN(hidden_dims=(100, 50, 25), lambd=0.01, device="cpu",
+                    random_seed=0)
+    ref.fit(torch.from_numpy(x_tr), torch.from_numpy(onehot[y_tr]),
+            num_epochs=50, batch_size=128, seed=0)
+    ref_acc = acc(ref.predict(torch.from_numpy(x_te)).cpu().numpy(), y_te)
+
+    from dance_tpu.modules.single_modality.cell_type_annotation import ACTINN
+    ours = ACTINN(hidden_dims=(100, 50, 25), lambd=0.01, random_seed=0)
+    ours.fit(x_tr, onehot[y_tr], num_epochs=50, batch_size=128, seed=0)
+    ours_acc = acc(ours.predict(x_te), y_te)
+    return dict(metric="test_acc", ref=ref_acc, ours=ours_acc, tol=0.05)
+
+
+@case("celltypist")
+def run_celltypist():
+    x_tr, y_tr, x_te, y_te = make_cta()
+    RefCT = refshim.import_ref(
+        "dance.modules.single_modality.cell_type_annotation.celltypist",
+        "Celltypist")
+    # the reference passes multi_class="ovr", removed in modern sklearn;
+    # strip it (multinomial default) so the reference can run at all
+    import sklearn.linear_model as sklm
+    ct_mod = sys.modules[
+        "dance.modules.single_modality.cell_type_annotation.celltypist"]
+
+    def _LR(*a, multi_class=None, **kw):
+        return sklm.LogisticRegression(*a, **kw)
+
+    old_lr = ct_mod.LogisticRegression
+    ct_mod.LogisticRegression = _LR
+    try:
+        ref = RefCT(majority_voting=False)
+        ref.fit(indata=x_tr, labels=y_tr)
+    finally:
+        ct_mod.LogisticRegression = old_lr
+    ref_pred = ref.predict(x_te)
+    ref_acc = acc(ref_pred, y_te)
+
+    from dance_tpu.modules.single_modality.cell_type_annotation import Celltypist
+    ours = Celltypist(majority_voting=False)
+    ours.fit(indata=x_tr, labels=y_tr)
+    ours_acc = acc(ours.predict(x_te), y_te)
+    return dict(metric="test_acc", ref=ref_acc, ours=ours_acc, tol=0.05)
+
+
+@case("svm")
+def run_svm():
+    x_tr, y_tr, x_te, y_te = make_cta()
+    RefSVM = refshim.import_ref(
+        "dance.modules.single_modality.cell_type_annotation.svm", "SVM")
+    ref = RefSVM(types.SimpleNamespace(), random_state=0)
+    ref.fit(x_tr, y_tr)
+    ref_acc = acc(ref.predict(x_te), y_te)
+
+    from dance_tpu.modules.single_modality.cell_type_annotation import SVM
+    ours = SVM(random_state=0)
+    ours.fit(x_tr, y_tr)
+    ours_acc = acc(ours.predict(x_te), y_te)
+    return dict(metric="test_acc", ref=ref_acc, ours=ours_acc, tol=0.02)
+
+
+@case("singlecellnet")
+def run_singlecellnet():
+    x_tr, y_tr, x_te, y_te = make_cta()
+    RefSCN = refshim.import_ref(
+        "dance.modules.single_modality.cell_type_annotation.singlecellnet",
+        "SingleCellNet")
+    ref = RefSCN(num_trees=100)
+    ref.fit(x_tr, y_tr, num_rand=50, random_state=0)
+    ref_acc = acc(ref.predict(x_te), y_te)
+
+    from dance_tpu.modules.single_modality.cell_type_annotation import SingleCellNet
+    ours = SingleCellNet(num_trees=100)
+    ours.fit(x_tr, y_tr, num_rand=50, random_state=0)
+    ours_acc = acc(ours.predict(x_te), y_te)
+    return dict(metric="test_acc", ref=ref_acc, ours=ours_acc, tol=0.05)
+
+
+# --------------------------------------------------------------------------
+# imputation (metric: MSE on held-out masked entries, log1p space)
+# --------------------------------------------------------------------------
+
+def _imputation_data(seed=1):
+    counts, _ = make_counts(n_cells=300, n_genes=120, seed=seed)
+    rng = np.random.default_rng(seed)
+    mask = (rng.random(counts.shape) < 0.1) & (counts > 0)  # held-out entries
+    x_masked = counts.copy()
+    x_masked[mask] = 0
+    return counts, x_masked, mask
+
+
+def _masked_mse(imputed, truth, mask):
+    lt = np.log1p(np.asarray(truth)[mask])
+    li = np.log1p(np.maximum(np.asarray(imputed)[mask], 0))
+    return float(np.mean((lt - li) ** 2))
+
+
+@case("deepimpute")
+def run_deepimpute():
+    truth, x_masked, mask = _imputation_data()
+    x_log = np.log1p(x_masked)
+    n_genes = x_log.shape[1]
+    rng = np.random.default_rng(0)
+    # gene blocks: each target block predicted from the complement's top genes
+    block = 40
+    targets = [list(range(i, min(i + block, n_genes)))
+               for i in range(0, n_genes, block)]
+    predictors = [sorted(set(range(n_genes)) - set(t))[:60] for t in targets]
+
+    import tempfile
+
+    import torch
+    RefDI = refshim.import_ref(
+        "dance.modules.single_modality.imputation.deepimpute", "DeepImpute")
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as tmp:
+        os.chdir(tmp)  # the reference checkpoints sub-models into CWD
+        try:
+            ref = RefDI(predictors, targets, "parity", sub_outputdim=block,
+                        hidden_dim=64, seed=1, gpu=-1)
+            xt = torch.from_numpy(x_log)
+            ref.fit(xt, xt, batch_size=64, n_epochs=60, patience=10)
+            ref_imp = np.expm1(ref.predict(xt).cpu().numpy())
+        finally:
+            os.chdir(cwd)
+    ref_mse = _masked_mse(ref_imp, truth, mask)
+
+    from dance_tpu.modules.single_modality.imputation import DeepImpute
+    ours = DeepImpute(predictors, targets, "parity", sub_outputdim=block,
+                      hidden_dim=64, seed=1)
+    ours.fit(x_log, x_log, batch_size=64, n_epochs=60, patience=10)
+    ours_imp = np.expm1(np.asarray(ours.predict(x_log)))
+    ours_mse = _masked_mse(ours_imp, truth, mask)
+    return dict(metric="masked_mse", ref=ref_mse, ours=ours_mse, rel_tol=0.35)
+
+
+@case("magic")
+def run_magic():
+    truth, x_masked, mask = _imputation_data()
+    x_log = np.log1p(x_masked)
+    from sklearn.decomposition import PCA
+    x_pca = PCA(n_components=20, random_state=0).fit_transform(x_log)
+
+    RefMAGIC = refshim.import_ref(
+        "dance.modules.single_modality.imputation.magic", "MAGIC")
+    ref = RefMAGIC(t=3, k=15, ka=4, epsilon=1, rescale=0, gpu=-1)
+    ref_imp = np.expm1(np.asarray(ref.predict(x_log, x_pca)))
+    ref_mse = _masked_mse(ref_imp, truth, mask)
+
+    from dance_tpu.modules.single_modality.imputation import MAGIC
+    ours = MAGIC(t=3, k=15, ka=4, epsilon=1, rescale=0)
+    ours.fit(x_log)
+    ours_imp = np.expm1(np.asarray(ours.predict()))
+    ours_mse = _masked_mse(ours_imp, truth, mask)
+    return dict(metric="masked_mse", ref=ref_mse, ours=ours_mse, rel_tol=0.35)
+
+
+# --------------------------------------------------------------------------
+# clustering (metric: ARI)
+# --------------------------------------------------------------------------
+
+def _clustering_inputs(seed=2):
+    counts, y = make_counts(n_cells=400, n_genes=150, n_types=4, seed=seed,
+                            libsize=1500, sep=0.25)
+    n_counts = counts.sum(1)
+    sf = n_counts / np.median(n_counts)
+    norm = np.log1p(counts / sf[:, None])
+    norm = (norm - norm.mean(0)) / np.maximum(norm.std(0), 1e-8)
+    return norm.astype(np.float32), counts, n_counts.astype(np.float32), y
+
+
+@case("scdeepcluster")
+def run_scdeepcluster():
+    import torch
+    x, raw, n_counts, y = _clustering_inputs()
+    RefSDC = refshim.import_ref(
+        "dance.modules.single_modality.clustering.scdeepcluster",
+        "ScDeepCluster")
+    torch.manual_seed(0)
+    np.random.seed(0)
+    ref = RefSDC(input_dim=x.shape[1], z_dim=16, encodeLayer=[64, 32],
+                 decodeLayer=[32, 64], sigma=2.5, device="cpu")
+    ref.fit((x, raw, n_counts), y, n_clusters=4, epochs=10, pt_epochs=100,
+            batch_size=256)
+    ref_ari = ari(ref.predict(), y)
+
+    from dance_tpu.modules.single_modality.clustering import ScDeepCluster
+    ours = ScDeepCluster(input_dim=x.shape[1], z_dim=16, encodeLayer=(64, 32),
+                         decodeLayer=(32, 64), sigma=2.5, seed=0)
+    ours.fit((x, raw, n_counts), y, n_clusters=4, epochs=10, pt_epochs=100,
+             batch_size=256)
+    ours_ari = ari(ours.predict(), y)
+    return dict(metric="ari", ref=ref_ari, ours=ours_ari, tol=0.15)
+
+
+@case("scdcc")
+def run_scdcc():
+    import torch
+    x, raw, n_counts, y = _clustering_inputs(seed=3)
+    rng = np.random.default_rng(0)
+    # constraint pairs from the true labels (as the reference harness does)
+    i1 = rng.integers(0, len(y), 400)
+    i2 = rng.integers(0, len(y), 400)
+    ml = (y[i1] == y[i2])
+    ml1, ml2 = i1[ml][:100], i2[ml][:100]
+    cl1, cl2 = i1[~ml][:100], i2[~ml][:100]
+
+    RefScDCC = refshim.import_ref(
+        "dance.modules.single_modality.clustering.scdcc", "ScDCC")
+    torch.manual_seed(0)
+    np.random.seed(0)
+    ref = RefScDCC(input_dim=x.shape[1], z_dim=16, n_clusters=4,
+                   encodeLayer=[64, 32], decodeLayer=[32, 64], sigma=2.5,
+                   device="cpu")
+    ref.fit((x, raw, n_counts), y, ml_ind1=ml1, ml_ind2=ml2, cl_ind1=cl1,
+            cl_ind2=cl2, epochs=10, pt_epochs=100, batch_size=256)
+    ref_ari = ari(ref.predict(), y)
+
+    from dance_tpu.modules.single_modality.clustering import ScDCC
+    ours = ScDCC(input_dim=x.shape[1], z_dim=16, n_clusters=4,
+                 encodeLayer=(64, 32), decodeLayer=(32, 64), sigma=2.5, seed=0)
+    ours.fit((x, raw, n_counts), y, ml_ind1=ml1, ml_ind2=ml2, cl_ind1=cl1,
+             cl_ind2=cl2, epochs=10, pt_epochs=100, batch_size=256)
+    ours_ari = ari(ours.predict(), y)
+    return dict(metric="ari", ref=ref_ari, ours=ours_ari, tol=0.15)
+
+
+# --------------------------------------------------------------------------
+# modality prediction (metric: test RMSE)
+# --------------------------------------------------------------------------
+
+@case("babel")
+def run_babel():
+    import torch
+    x_tr, y_tr, x_te, y_te = make_modality()
+    args = types.SimpleNamespace(naive=False, hidden=64, seed=0, device="cpu",
+                                 lossweight=1.0, batchsize=64, lr=1e-3,
+                                 outdir="/tmp", earlystop=20)
+    RefBabel = refshim.import_ref(
+        "dance.modules.multi_modality.predict_modality.babel", "BabelWrapper")
+    torch.manual_seed(0)
+    ref = RefBabel(args, dim_in=x_tr.shape[1], dim_out=y_tr.shape[1])
+    ref.fit(torch.from_numpy(x_tr), torch.from_numpy(y_tr), max_epochs=60)
+    ref_rmse = rmse(ref.predict(torch.from_numpy(x_te)).cpu().numpy(), y_te)
+
+    from dance_tpu.modules.multi_modality.predict_modality import BabelWrapper
+    ours = BabelWrapper(dim_in=x_tr.shape[1], dim_out=y_tr.shape[1], hidden=64,
+                        seed=0)
+    ours.fit(x_tr, y_tr, epochs=60)
+    ours_rmse = rmse(ours.predict(x_te), y_te)
+    return dict(metric="rmse", ref=ref_rmse, ours=ours_rmse, rel_tol=0.35)
+
+
+@case("cmae")
+def run_cmae():
+    import torch
+    x_tr, y_tr, x_te, y_te = make_modality(seed=4)
+    config = dict(
+        lr=1e-4, input_dim_a=x_tr.shape[1], input_dim_b=y_tr.shape[1],
+        num_of_classes=2, shared_layer=True, resume=False,
+        gen={"dim": 100, "latent": 50, "activ": "relu"},
+        dis={"dim": 100, "norm": None, "activ": "lrelu", "gan_type": "lsgan"},
+        beta1=0.5, beta2=0.999, weight_decay=1e-4, init="kaiming",
+        lr_policy="step", step_size=100000, gamma=0.5, gan_w=10,
+        recon_x_w=10, recon_h_w=0, recon_kl_w=0, supervise=1, super_w=0.1,
+        batch_size=64, max_epochs=40, device="cpu",
+    )
+    RefCMAE = refshim.import_ref(
+        "dance.modules.multi_modality.predict_modality.cmae", "CMAE")
+    torch.manual_seed(0)
+    ref = RefCMAE(config)
+    batch = torch.zeros(x_tr.shape[0], dtype=torch.long)
+    # the reference hardcodes .cuda() on a few loss tensors (cmae.py:84,388);
+    # neutralize it so the CPU run works
+    old_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        ref.fit(torch.from_numpy(x_tr), torch.from_numpy(y_tr), batch,
+                checkpoint_directory="/tmp/cmae_parity")
+        ref_rmse = rmse(
+            ref.predict(torch.from_numpy(x_te)).detach().cpu().numpy(), y_te)
+    finally:
+        torch.Tensor.cuda = old_cuda
+
+    from dance_tpu.modules.multi_modality.predict_modality import CMAE as OurCMAE
+    ours = OurCMAE(dim1=x_tr.shape[1], dim2=y_tr.shape[1], z_dim=50,
+                   hidden=100, seed=0)
+    ours.fit(x_tr, y_tr, epochs=40)
+    ours_rmse = rmse(ours.predict(x_te), y_te)
+    return dict(metric="rmse", ref=ref_rmse, ours=ours_rmse, rel_tol=0.35)
+
+
+@case("scmm")
+def run_scmm():
+    import torch
+    x_tr, y_tr, x_te, y_te = make_modality(seed=5, d1=100, d2=30)
+    # the protein-modality NB likelihood requires integer counts
+    y_tr, y_te = np.rint(y_tr), np.rint(y_te)
+    params = types.SimpleNamespace(
+        latent_dim=10, num_hidden_layers=2, r_hidden_dim=100, p_hidden_dim=20,
+        learn_prior=True, llik_scaling=1.0, obj="m_elbo_naive_warmup",
+        batch_size=64, epochs=40, lr=1e-4, deterministic_warmup=20,
+        print_freq=0, device="cpu", r_dim=x_tr.shape[1], p_dim=y_tr.shape[1],
+        seed=0,
+    )
+    RefMMVAE = refshim.import_ref(
+        "dance.modules.multi_modality.predict_modality.scmm", "MMVAE")
+    torch.manual_seed(0)
+    np.random.seed(0)
+    ref = RefMMVAE("rna-protein", params)
+    ref.fit(torch.from_numpy(x_tr), torch.from_numpy(y_tr))
+    ref_rmse = rmse(ref.predict(torch.from_numpy(x_te)).detach().cpu().numpy(),
+                    y_te)
+
+    from dance_tpu.modules.multi_modality.predict_modality import MMVAE as OurMMVAE
+    ours = OurMMVAE("rna-protein", z_dim=10, seed=0)
+    ours.fit(x_tr, y_tr, epochs=40)
+    ours_rmse = rmse(ours.predict(x_te), y_te)
+    return dict(metric="rmse", ref=ref_rmse, ours=ours_rmse, rel_tol=0.35)
+
+
+# --------------------------------------------------------------------------
+# deconvolution (metric: MSE between predicted and true proportions)
+# --------------------------------------------------------------------------
+
+@case("spatialdecon")
+def run_spatialdecon():
+    import pandas as pd
+    import torch
+    x, props, profile, _ = make_deconvo()
+    ct_names = [f"t{i}" for i in range(props.shape[1])]
+    ct_profile = pd.DataFrame(profile, columns=ct_names)
+
+    RefSD = refshim.import_ref(
+        "dance.modules.spatial.cell_type_deconvo.spatialdecon", "SpatialDecon")
+    torch.manual_seed(0)
+    # the reference fit expects ct_profile as a torch tensor (genes x types)
+    ref = RefSD(torch.from_numpy(profile), ct_select=ct_names, bias=False,
+                device="cpu")
+    ref.fit(torch.from_numpy(x), lr=1e-2, max_iter=2000, print_period=10000)
+    ref_pred = np.asarray(ref.predict())
+    ref_pred = ref_pred / np.maximum(ref_pred.sum(1, keepdims=True), 1e-12)
+    ref_mse = float(np.mean((ref_pred - props) ** 2))
+
+    from dance_tpu.modules.spatial.cell_type_deconvo import SpatialDecon
+    ours = SpatialDecon(ct_profile, ct_select=ct_names, bias=False)
+    ours.fit(x, lr=1e-2, max_iter=2000, print_period=10000)
+    ours_pred = np.asarray(ours.predict())
+    ours_pred = ours_pred / np.maximum(ours_pred.sum(1, keepdims=True), 1e-12)
+    ours_mse = float(np.mean((ours_pred - props) ** 2))
+    return dict(metric="prop_mse", ref=ref_mse, ours=ours_mse, tol=0.01)
+
+
+@case("card")
+def run_card():
+    import pandas as pd
+    x, props, profile, spatial = make_deconvo(seed=7)
+    ct_names = [f"t{i}" for i in range(props.shape[1])]
+    basis = pd.DataFrame(profile, columns=ct_names)
+
+    RefCard = refshim.import_ref(
+        "dance.modules.spatial.cell_type_deconvo.card", "Card")
+    ref = RefCard(basis, random_state=42)
+    ref.fit((x, spatial), max_iter=100)
+    ref_pred = np.asarray(ref.predict())
+    ref_pred = ref_pred / np.maximum(ref_pred.sum(1, keepdims=True), 1e-12)
+    ref_mse = float(np.mean((ref_pred - props) ** 2))
+
+    from dance_tpu.modules.spatial.cell_type_deconvo import Card
+    ours = Card(basis, random_state=42)
+    ours.fit((x, spatial), max_iter=100)
+    ours_pred = np.asarray(ours.predict())
+    ours_pred = ours_pred / np.maximum(ours_pred.sum(1, keepdims=True), 1e-12)
+    ours_mse = float(np.mean((ours_pred - props) ** 2))
+    return dict(metric="prop_mse", ref=ref_mse, ours=ours_mse, tol=0.01)
+
+
+# --------------------------------------------------------------------------
+# driver
+# --------------------------------------------------------------------------
+
+def evaluate(record):
+    """Attach delta + pass/fail. Higher-is-better metrics use abs tol; error
+    metrics use rel_tol (ours may also simply be BETTER: lower error/higher
+    score than the reference always passes)."""
+    ref, ours = record["ref"], record["ours"]
+    record["delta"] = ours - ref
+    if "rel_tol" in record:  # error metric: lower is better
+        lim = ref * (1 + record["rel_tol"])
+        record["tol_repr"] = f"rel {record['rel_tol']}"
+        record["ok"] = ours <= lim
+    else:  # score metric: higher is better
+        record["tol_repr"] = f"abs {record['tol']}"
+        record["ok"] = (ours >= ref - record["tol"]
+                        if record["metric"] in ("test_acc", "ari")
+                        else abs(ours - ref) <= record["tol"])
+    if record["metric"] == "prop_mse":  # both absolute-error metrics
+        record["ok"] = ours <= ref + record["tol"]
+    return record
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--only", default=None, help="run a single case")
+    parser.add_argument("--csv", default=None,
+                        help="output CSV path (default results/parity.csv)")
+    args = parser.parse_args(argv)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_csv = args.csv or os.path.join(repo, "results", "parity.csv")
+
+    names = [args.only] if args.only else list(CASES)
+    rows = []
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                rec = evaluate(CASES[name]())
+            rec.update(method=name, seconds=round(time.perf_counter() - t0, 1),
+                       error="")
+        except Exception as exc:  # noqa: BLE001 - record and continue
+            import traceback
+            traceback.print_exc()
+            rec = dict(method=name, metric="", ref=float("nan"),
+                       ours=float("nan"), delta=float("nan"), tol_repr="",
+                       ok=False, seconds=round(time.perf_counter() - t0, 1),
+                       error=f"{type(exc).__name__}: {exc}")
+        rows.append(rec)
+        status = "PASS" if rec["ok"] else "FAIL"
+        print(f"[{status}] {name:>14}  {rec.get('metric', ''):>10}  "
+              f"ref={rec['ref']:.4f} ours={rec['ours']:.4f} "
+              f"({rec['seconds']}s) {rec['error']}")
+
+    os.makedirs(os.path.dirname(out_csv), exist_ok=True)
+    with open(out_csv, "w", newline="") as fh:
+        writer = csv.DictWriter(fh, fieldnames=[
+            "method", "metric", "ref", "ours", "delta", "tol_repr", "ok",
+            "seconds", "error"])
+        writer.writeheader()
+        for rec in rows:
+            writer.writerow({k: rec.get(k, "") for k in writer.fieldnames})
+    n_pass = sum(r["ok"] for r in rows)
+    print(f"\n{n_pass}/{len(rows)} parity cases pass -> {out_csv}")
+    if refshim.STUBBED:
+        print(f"stubbed import-only deps: {sorted(refshim.STUBBED)}")
+    return 0 if n_pass == len(rows) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -29,7 +29,8 @@ def _take_rows(v, idx):
 
 def _as_df(x, n: int, prefix: str) -> pd.DataFrame:
     if x is None:
-        return pd.DataFrame(index=pd.Index([f"{prefix}{i}" for i in range(n)]))
+        # anndata's default axis index is stringified integers
+        return pd.DataFrame(index=pd.Index([str(i) for i in range(n)]))
     if isinstance(x, pd.DataFrame):
         df = x.copy()
         df.index = df.index.astype(str)
@@ -166,6 +167,23 @@ class AnnData:
     @var_names.setter
     def var_names(self, names):
         self.var.index = pd.Index(names).astype(str)
+
+    @staticmethod
+    def _make_unique(index: pd.Index) -> pd.Index:
+        """De-duplicate by suffixing repeats: a, a-1, a-2, ... (anndata parity)."""
+        counts = {}
+        out = []
+        for name in index.astype(str):
+            k = counts.get(name, 0)
+            counts[name] = k + 1
+            out.append(name if k == 0 else f"{name}-{k}")
+        return pd.Index(out)
+
+    def obs_names_make_unique(self):
+        self.obs.index = self._make_unique(self.obs.index)
+
+    def var_names_make_unique(self):
+        self.var.index = self._make_unique(self.var.index)
 
     def raw_to(self):
         self.raw = Raw(self)

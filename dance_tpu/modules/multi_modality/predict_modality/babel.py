@@ -19,6 +19,7 @@ from dance_tpu.modules.base import BaseRegressionMethod
 from dance_tpu.nn.vae import NBDecoder
 from dance_tpu.nn.zinb_ae import MLPStack
 from dance_tpu.settings import logger
+from dance_tpu.utils.batch import epoch_batches
 from dance_tpu.transforms import SetConfig
 from dance_tpu.typing import LogLevel, Optional
 from dance_tpu.utils.loss import nb_nll
@@ -82,11 +83,9 @@ class BabelWrapper(BaseRegressionMethod):
     @partial(jax.jit, static_argnames=("self", "batch_size"))
     def _train_epoch(self, params, opt_state, x1, x2, lib1, key, batch_size: int):
         n = x1.shape[0]
-        nb = max(n // batch_size, 1)
-        perm = jax.random.permutation(key, n)[:nb * batch_size]
-        b1 = x1[perm].reshape(nb, batch_size, -1)
-        b2 = x2[perm].reshape(nb, batch_size, -1)
-        bl = lib1[perm].reshape(nb, batch_size, 1)
+        # full pass incl. partial batch (reference DataLoader drop_last=False)
+        idx = epoch_batches(key, n, batch_size)
+        b1, b2, bl = x1[idx], x2[idx], lib1[idx][..., None]
 
         def loss_fn(params, bx1, bx2, blib):
             out, z1, z2 = self.net.apply({"params": params}, bx1, bx2, blib)

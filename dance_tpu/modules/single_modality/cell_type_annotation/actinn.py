@@ -21,6 +21,7 @@ from dance_tpu.nn.mlp import VanillaMLP
 from dance_tpu.transforms import (AnnDataTransform, Compose, FilterGenesPercentile,
                                   SetConfig)
 from dance_tpu.typing import LogLevel, Optional, Tuple
+from dance_tpu.utils.batch import epoch_batches_masked
 from dance_tpu.utils.wrappers import as_numpy
 
 
@@ -79,11 +80,11 @@ class ACTINN(BaseClassificationMethod):
     @partial(jax.jit, static_argnames=("self", "batch_size"))
     def _train_epoch(self, params, opt_state, x, y, key, batch_size: int):
         n = x.shape[0]
-        n_batches = n // batch_size  # drop remainder like a shuffled loader
-        perm = jax.random.permutation(key, n)[:n_batches * batch_size]
-        xb = x[perm].reshape(n_batches, batch_size, -1)
-        yb = y[perm].reshape(n_batches, batch_size)
-        mask = jnp.ones((n_batches, batch_size), self.dtype)
+        # keep the partial final batch like the reference's random_batches
+        # (actinn.py:108-112); padded slots carry zero loss weight
+        idx, mask = epoch_batches_masked(key, n, batch_size)
+        xb, yb = x[idx], y[idx]
+        mask = mask.astype(self.dtype)
 
         def step(carry, batch):
             params, opt_state = carry

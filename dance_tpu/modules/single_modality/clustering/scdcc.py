@@ -96,6 +96,7 @@ class ScDCC(ScDeepCluster):
         bs = min(batch_size, x.shape[0])
 
         aris, snapshots = [], []
+        key = jax.random.fold_in(jax.random.key(self.seed), 13)
         for epoch in range(epochs):
             if epoch % update_interval == 0:
                 latent = self._encode(self.params, x)
@@ -106,8 +107,9 @@ class ScDCC(ScDeepCluster):
                 snapshots.append((self.q, self.z, self.y_pred))
                 if y is not None:
                     aris.append(self.score(None, y))
+            key, ek = jax.random.split(key)
             self.params, self.mu, opt_state, loss = self._cluster_epoch(
-                self.params, self.mu, opt_state, x, xr, sf, p, bs)
+                self.params, self.mu, opt_state, x, xr, sf, p, ek, bs)
             if ml1.shape[0] or cl1.shape[0]:
                 grads = jax.grad(self._constraint_loss, argnums=(0, 1))(
                     self.params, self.mu, x, ml1, ml2, cl1, cl2)

@@ -19,6 +19,7 @@ from dance_tpu.nn.zinb_ae import ZINBAutoencoder
 from dance_tpu.settings import logger
 from dance_tpu.transforms import AnnDataTransform, Compose, SaveRaw, SetConfig
 from dance_tpu.typing import LogLevel, Optional, Tuple
+from dance_tpu.utils.batch import epoch_batches
 from dance_tpu.utils.loss import cluster_kl_loss, soft_assign, target_distribution, zinb_nll
 from dance_tpu.utils.wrappers import as_numpy
 
@@ -66,11 +67,9 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
     @partial(jax.jit, static_argnames=("self", "batch_size"))
     def _pretrain_epoch(self, params, opt_state, x, x_raw, sf, key, batch_size: int):
         n = x.shape[0]
-        nb = max(n // batch_size, 1)
-        perm = jax.random.permutation(key, n)[:nb * batch_size]
-        data = (x[perm].reshape(nb, batch_size, -1),
-                x_raw[perm].reshape(nb, batch_size, -1),
-                sf[perm].reshape(nb, batch_size),
+        idx = epoch_batches(key, n, batch_size)
+        nb = idx.shape[0]
+        data = (x[idx], x_raw[idx], sf[idx],
                 jax.random.split(jax.random.fold_in(key, 1), nb))
 
         def loss_fn(params, bx, braw, bsf, rng):
@@ -87,19 +86,20 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
         return params, opt_state, losses.mean()
 
     @partial(jax.jit, static_argnames=("self", "batch_size"))
-    def _cluster_epoch(self, params, mu, opt_state, x, x_raw, sf, p, batch_size: int):
+    def _cluster_epoch(self, params, mu, opt_state, x, x_raw, sf, p, key,
+                       batch_size: int):
         n = x.shape[0]
-        nb = max(n // batch_size, 1)
-        m = nb * batch_size
-        data = (x[:m].reshape(nb, batch_size, -1), x_raw[:m].reshape(nb, batch_size, -1),
-                sf[:m].reshape(nb, batch_size), p[:m].reshape(nb, batch_size, -1))
+        idx = epoch_batches(jax.random.key(0), n, batch_size)  # fixed order, full pass
+        data = (x[idx], x_raw[idx], sf[idx], p[idx],
+                jax.random.split(key, idx.shape[0]))
 
-        def loss_fn(theta, bx, braw, bsf, bp):
+        def loss_fn(theta, bx, braw, bsf, bp, rng):
             params, mu = theta
-            z = self.model.apply({"params": params}, bx, method=self.model.encode)
-            mean, disp, pi = self.model.apply({"params": params}, z,
-                                              method=self.model.decode_heads)
-            q = soft_assign(z, mu, self.alpha)
+            # reference forward(): ZINB heads from the NOISY encoder path,
+            # soft assignments from the clean embedding (scdeepcluster.py:222)
+            z_clean, mean, disp, pi = self.model.apply({"params": params}, bx,
+                                                       noise_rng=rng)
+            q = soft_assign(z_clean, mu, self.alpha)
             return (self.gamma * cluster_kl_loss(bp, q)
                     + zinb_nll(braw, mean, disp, pi, scale_factor=bsf[:, None]))
 
@@ -127,7 +127,7 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
         key = jax.random.key(self.seed)
         if self.params is None:
             self.params = self.model.init(jax.random.split(key)[0], x[:1])["params"]
-        self._pt_tx = optax.adam(lr)  # reference uses amsgrad-adam
+        self._pt_tx = optax.amsgrad(lr)  # reference: Adam(amsgrad=True)
         opt_state = self._pt_tx.init(self.params)
         bs = min(batch_size, x.shape[0])
         for epoch in range(epochs):
@@ -168,6 +168,7 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
 
         bs = min(batch_size, x.shape[0])
         aris, snapshots = [], []
+        key = jax.random.fold_in(jax.random.key(self.seed), 13)
         for epoch in range(epochs):
             if epoch % update_interval == 0:
                 latent = self._encode(self.params, x)
@@ -178,8 +179,9 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
                 snapshots.append((self.q, self.z, self.y_pred))
                 if y is not None:
                     aris.append(self.score(None, y))
+            key, ek = jax.random.split(key)
             self.params, self.mu, opt_state, loss = self._cluster_epoch(
-                self.params, self.mu, opt_state, x, x_raw, sf, p, bs)
+                self.params, self.mu, opt_state, x, x_raw, sf, p, ek, bs)
             if epoch % 50 == 0:
                 logger.info("Epoch %3d: loss %.6f", epoch + 1, float(loss))
         if aris:

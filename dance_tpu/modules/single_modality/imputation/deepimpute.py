@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from dance_tpu.utils.batch import epoch_batches
 from dance_tpu.modules.base import BaseRegressionMethod
 from dance_tpu.settings import logger
 from dance_tpu.transforms import (AnnDataTransform, CellwiseMaskData, Compose,
@@ -110,11 +111,10 @@ class DeepImpute(BaseRegressionMethod):
     def _train_epoch(self, params, opt_state, X, Y, loss_mask, key, batch_size: int):
         pred_idx, targ_idx, targ_mask = self._idx
         n = X.shape[0]
-        nb = max(n // batch_size, 1)
-        perm = jax.random.permutation(key, n)[:nb * batch_size]
-        Xb = X[perm].reshape(nb, batch_size, -1)
-        Yb = Y[perm].reshape(nb, batch_size, -1)
-        Mb = loss_mask[perm].reshape(nb, batch_size, -1)
+        # full pass incl. partial batch (reference DataLoader drop_last=False)
+        idx = epoch_batches(key, n, batch_size)
+        nb = idx.shape[0]
+        Xb, Yb, Mb = X[idx], Y[idx], loss_mask[idx]
         keys = jax.random.split(jax.random.fold_in(key, 7), nb)
 
         def loss_fn(params, bx, by, bm, rng):

@@ -22,6 +22,30 @@ def disp_act(x):
     return jnp.clip(jax.nn.softplus(x), 1e-4, 1e4)
 
 
+class TorchDense(nn.Module):
+    """Dense layer with torch.nn.Linear's default init.
+
+    Kernel: kaiming-uniform(a=sqrt(5)) == U(±sqrt(1/fan_in)); bias:
+    U(±1/sqrt(fan_in)). Matching the reference's init closes a measurable
+    convergence-speed gap in the ZINB pretrain (benchmarks/parity.py).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        bound = 1.0 / float(fan_in) ** 0.5
+        kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in",
+                                                       "uniform")
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        return nn.Dense(self.features, kernel_init=kernel_init,
+                        bias_init=bias_init)(x)
+
+
 class MLPStack(nn.Module):
     dims: Tuple[int, ...]
     activation: Callable = nn.relu
@@ -29,7 +53,7 @@ class MLPStack(nn.Module):
     @nn.compact
     def __call__(self, x):
         for d in self.dims:
-            x = nn.Dense(d)(x)
+            x = TorchDense(d)(x)
             x = self.activation(x)
         return x
 
@@ -51,11 +75,11 @@ class ZINBAutoencoder(nn.Module):
 
     def setup(self):
         self.encoder = MLPStack(self.encode_layers, self.activation)
-        self.enc_mu = nn.Dense(self.z_dim)
+        self.enc_mu = TorchDense(self.z_dim)
         self.decoder = MLPStack(self.decode_layers, self.activation)
-        self.dec_mean = nn.Dense(self.input_dim)
-        self.dec_disp = nn.Dense(self.input_dim)
-        self.dec_pi = nn.Dense(self.input_dim)
+        self.dec_mean = TorchDense(self.input_dim)
+        self.dec_disp = TorchDense(self.input_dim)
+        self.dec_pi = TorchDense(self.input_dim)
 
     def encode(self, x):
         return self.enc_mu(self.encoder(x))
@@ -77,4 +101,4 @@ class ZINBAutoencoder(nn.Module):
         return z_clean, mean, disp, pi
 
 
-__all__ = ["MLPStack", "ZINBAutoencoder", "disp_act", "mean_act"]
+__all__ = ["MLPStack", "TorchDense", "ZINBAutoencoder", "disp_act", "mean_act"]
