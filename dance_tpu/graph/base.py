@@ -130,8 +130,12 @@ class Graph:
         return sub
 
     def to_device(self, dtype=jnp.float32) -> DeviceGraph:
+        # inside fit_distributed's dp_context, node features shard their node
+        # axis over the mesh (no padding: rows must stay in sync with adj);
+        # adjacency arrays replicate and XLA gathers feature rows as needed
+        from dance_tpu.parallel.mesh import to_device as place
         return DeviceGraph(csr_from_scipy(self.adj, dtype=dtype),
-                           {k: jnp.asarray(v) for k, v in self.ndata.items()
+                           {k: place(v, pad=False) for k, v in self.ndata.items()
                             if np.asarray(v).dtype.kind in "fiub"})
 
     def to_bsr(self, block: int = 128):

@@ -43,6 +43,23 @@ class BaseMethod(ABC):
     def fit(self, x, y=None, **kwargs):
         ...
 
+    def fit_distributed(self, *args, mesh=None, **kwargs):
+        """Data-parallel fit over a device mesh (shared scale-out path).
+
+        Runs the model's standard ``fit`` inside
+        :func:`dance_tpu.parallel.mesh.dp_context`: every input array the
+        model moves to device through ``to_device`` gets its cells axis
+        sharded over the mesh's ``dp`` axis, parameters stay replicated, and
+        XLA's GSPMD partitioner inserts the gradient all-reduce. Identical
+        math to ``fit`` (modulo ≤dp-1 wrap-padded rows when the cell count is
+        not divisible by the dp size). Host-side (sklearn-backed) methods
+        simply run unsharded.
+        """
+        from dance_tpu.parallel.mesh import current_mesh, dp_context
+        mesh = mesh or current_mesh()
+        with dp_context(mesh):
+            return self.fit(*args, **kwargs)
+
     def predict_proba(self, x):
         raise NotImplementedError
 

@@ -21,6 +21,7 @@ from dance_tpu.settings import logger
 from dance_tpu.transforms import SetConfig
 from dance_tpu.typing import LogLevel, Optional
 from dance_tpu.utils.wrappers import as_numpy
+from dance_tpu.parallel.mesh import to_device
 
 
 class _CMAENet(nn.Module):
@@ -118,8 +119,8 @@ class CMAE(BaseRegressionMethod):
 
     def fit(self, x_train, y_train, epochs: int = 200, lr: float = 1e-3,
             checkpoint_directory: Optional[str] = None):
-        x1 = jnp.asarray(as_numpy(x_train), jnp.float32)
-        x2 = jnp.asarray(as_numpy(y_train), jnp.float32)
+        x1 = to_device(as_numpy(x_train), jnp.float32)
+        x2 = to_device(as_numpy(y_train), jnp.float32)
         self.net = _CMAENet(dim1=x1.shape[1], dim2=x2.shape[1], z_dim=self.z_dim,
                             hidden=self.hidden)
         self.disc = _Disc()

@@ -23,6 +23,7 @@ from dance_tpu.transforms import SetConfig
 from dance_tpu.typing import LogLevel, Optional
 from dance_tpu.utils.loss import nb_nll
 from dance_tpu.utils.wrappers import as_numpy
+from dance_tpu.parallel.mesh import to_device
 
 
 class _MMVAENet(nn.Module):
@@ -102,8 +103,8 @@ class MMVAE(BaseRegressionMethod):
 
     def fit(self, x_train, y_train, epochs: int = 100, lr: float = 1e-3,
             batch_size: int = 64):
-        x1 = jnp.asarray(as_numpy(x_train), jnp.float32)
-        x2 = jnp.asarray(as_numpy(y_train), jnp.float32)
+        x1 = to_device(as_numpy(x_train), jnp.float32)
+        x2 = to_device(as_numpy(y_train), jnp.float32)
         self.net = _MMVAENet(dim1=x1.shape[1], dim2=x2.shape[1], z_dim=self.z_dim)
         key = jax.random.key(self.seed)
         if self.params is None:

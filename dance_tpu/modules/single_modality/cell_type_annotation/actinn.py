@@ -23,6 +23,7 @@ from dance_tpu.transforms import (AnnDataTransform, Compose, FilterGenesPercenti
 from dance_tpu.typing import LogLevel, Optional, Tuple
 from dance_tpu.utils.batch import epoch_batches_masked
 from dance_tpu.utils.wrappers import as_numpy
+from dance_tpu.parallel.mesh import to_device
 
 
 class ACTINN(BaseClassificationMethod):
@@ -103,10 +104,10 @@ class ACTINN(BaseClassificationMethod):
     def fit(self, x_train, y_train, *, batch_size: int = 128, lr: float = 0.01,
             num_epochs: int = 50, print_cost: bool = False, seed: Optional[int] = None):
         """Fit on (cells × genes) features and one-hot (cells × types) labels."""
-        x = jnp.asarray(as_numpy(x_train), dtype=self.dtype)
+        x = to_device(as_numpy(x_train), dtype=self.dtype)
         y_onehot = as_numpy(y_train)
-        y = jnp.asarray(np.argmax(y_onehot, axis=1) if y_onehot.ndim == 2
-                        else y_onehot.astype(np.int32), dtype=jnp.int32)
+        y = to_device(np.argmax(y_onehot, axis=1) if y_onehot.ndim == 2
+                      else y_onehot.astype(np.int32), dtype=jnp.int32)
         output_dim = int(y_onehot.shape[1]) if y_onehot.ndim == 2 else int(y.max()) + 1
 
         seed = self.random_seed if seed is None else seed

@@ -22,6 +22,7 @@ from dance_tpu.typing import LogLevel, Optional, Tuple
 from dance_tpu.utils.batch import epoch_batches
 from dance_tpu.utils.loss import cluster_kl_loss, soft_assign, target_distribution, zinb_nll
 from dance_tpu.utils.wrappers import as_numpy
+from dance_tpu.parallel.mesh import to_device
 
 
 class ScDeepCluster(NNPretrain, BaseClusteringMethod):
@@ -121,9 +122,9 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
 
     def pretrain(self, x, x_raw, n_counts, batch_size: int = 256, lr: float = 0.001,
                  epochs: int = 400):
-        x = jnp.asarray(x, jnp.float32)
-        x_raw = jnp.asarray(x_raw, jnp.float32)
-        sf = jnp.asarray(n_counts / np.median(np.asarray(n_counts)), jnp.float32)
+        x = to_device(x, jnp.float32)
+        x_raw = to_device(x_raw, jnp.float32)
+        sf = to_device(n_counts / np.median(np.asarray(n_counts)), jnp.float32)
         key = jax.random.key(self.seed)
         if self.params is None:
             self.params = self.model.init(jax.random.split(key)[0], x[:1])["params"]
@@ -146,9 +147,9 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
         self._pretrain(x, x_raw, n_counts, batch_size=pt_batch_size, lr=pt_lr,
                        epochs=pt_epochs, force_pretrain=True)
 
-        x = jnp.asarray(x, jnp.float32)
-        x_raw = jnp.asarray(x_raw, jnp.float32)
-        sf = jnp.asarray(n_counts / np.median(n_counts), jnp.float32)
+        x = to_device(x, jnp.float32)
+        x_raw = to_device(x_raw, jnp.float32)
+        sf = to_device(n_counts / np.median(n_counts), jnp.float32)
 
         if init_centroid is None:
             from dance_tpu.ops.cluster import kmeans

@@ -24,6 +24,7 @@ from dance_tpu.transforms import (AnnDataTransform, CellwiseMaskData, Compose,
                                   SaveRaw, SetConfig)
 from dance_tpu.typing import LogLevel, Optional
 from dance_tpu.utils.wrappers import as_numpy
+from dance_tpu.parallel.mesh import to_device
 
 
 class _SubNet(nn.Module):
@@ -170,7 +171,7 @@ class DeepImpute(BaseRegressionMethod):
         self._tx = optax.adam(lr)
         opt_state = self._tx.init(self.params)
 
-        Xj, Yj, Mj = jnp.asarray(X), jnp.asarray(Y), jnp.asarray(mask_arr)
+        Xj, Yj, Mj = to_device(X), to_device(Y), to_device(mask_arr)
         bs = min(batch_size, X.shape[0])
         best = np.inf
         for epoch in range(n_epochs):

@@ -1,5 +1,6 @@
 """Mesh construction and sharding rules."""
 
+import contextlib
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -7,6 +8,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _CURRENT_MESH: Optional[Mesh] = None
+_DP_MESH: Optional[Mesh] = None  # active data-parallel fit context
 
 
 def get_mesh(shape: Optional[Tuple[int, ...]] = None,
@@ -80,4 +82,57 @@ def shard_params_for_tp(params, mesh: Optional[Mesh] = None, axis: str = "tp",
     return jax.tree_util.tree_map(place, params)
 
 
-__all__ = ["current_mesh", "get_mesh", "replicate", "shard_batch", "shard_params_for_tp"]
+@contextlib.contextmanager
+def dp_context(mesh: Optional[Mesh] = None):
+    """Activate data-parallel placement for :func:`to_device` calls.
+
+    ``BaseMethod.fit_distributed`` wraps the model's standard ``fit`` in this
+    context; every model converts its input arrays through :func:`to_device`,
+    which inside the context shards the cells axis over ``dp`` instead of
+    placing a replicated array. Outside the context, behavior is identical to
+    ``jnp.asarray``.
+    """
+    global _DP_MESH
+    prev, _DP_MESH = _DP_MESH, (mesh or current_mesh())
+    try:
+        with _DP_MESH:
+            yield _DP_MESH
+    finally:
+        _DP_MESH = prev
+
+
+def to_device(x, dtype=None, *, batch_axis: int = 0, pad: bool = True):
+    """``jnp.asarray`` that dp-shards the batch axis inside :func:`dp_context`.
+
+    With ``pad=True`` (dense training data) the batch axis is padded to a
+    multiple of the dp size by repeating the last row (same policy as
+    :func:`shard_batch`) — negligible for the many-cells regime this targets.
+    With ``pad=False`` (e.g. graph node features whose row count must stay in
+    sync with an adjacency) a non-divisible axis replicates instead.
+    Scalars/1-d-mismatched inputs replicate.
+    """
+    import jax.numpy as jnp
+    if _DP_MESH is None:
+        return jnp.asarray(x, dtype) if dtype is not None else jnp.asarray(x)
+    mesh = _DP_MESH
+    x = np.asarray(x, dtype)
+    if x.ndim <= batch_axis:
+        return jax.device_put(x, NamedSharding(mesh, P()))
+    size = mesh.shape["dp"]
+    if x.shape[batch_axis] % size:
+        if not pad:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        n_pad = size - x.shape[batch_axis] % size
+        tail = np.repeat(np.take(x, [-1], axis=batch_axis), n_pad, axis=batch_axis)
+        x = np.concatenate([x, tail], axis=batch_axis)
+    spec = [None] * x.ndim
+    spec[batch_axis] = "dp"
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def dp_active() -> bool:
+    return _DP_MESH is not None
+
+
+__all__ = ["current_mesh", "dp_active", "dp_context", "get_mesh", "replicate",
+           "shard_batch", "shard_params_for_tp", "to_device"]

@@ -92,3 +92,95 @@ def test_actinn_fit_distributed(cpu_mesh8):
     x_test, y_test = d.get_test_data()
     acc = model.score(x_test, y_test)
     assert acc > 0.85, f"distributed ACTINN acc too low: {acc}"
+
+
+def test_fit_distributed_zoo(cpu_mesh8):
+    """The shared BaseMethod.fit_distributed dp path works across the zoo.
+
+    Each dense-input model runs its standard fit inside dp_context: inputs
+    shard their cells axis over the mesh, parameters replicate, XLA inserts
+    the gradient all-reduce. scMM/CMAE/BABEL run two epochs on tiny shapes —
+    the assertion is that the sharded program compiles, executes, and learns.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    n, d1, d2 = 64, 30, 10  # n divisible by dp=4
+    x = rng.poisson(2.0, (n, d1)).astype(np.float32)
+    w = np.abs(rng.normal(0, 0.2, (d1, d2))).astype(np.float32)
+    y = np.maximum(x @ w, 0)
+
+    from dance_tpu.modules.multi_modality.predict_modality import (
+        CMAE, MMVAE, BabelWrapper)
+
+    for model in (BabelWrapper(dim_in=d1, dim_out=d2, hidden=16, seed=0),
+                  CMAE(dim1=d1, dim2=d2, z_dim=8, hidden=16, seed=0),
+                  MMVAE("rna-protein", z_dim=8, seed=0)):
+        model.fit_distributed(x, y, mesh=cpu_mesh8, epochs=2)
+        pred = model.predict(x[:8])
+        assert np.isfinite(np.asarray(pred)).all(), type(model).__name__
+
+    from dance_tpu.modules.single_modality.imputation import DeepImpute
+    targets = [list(range(0, 15)), list(range(15, 30))]
+    predictors = [list(range(15, 30)), list(range(0, 15))]
+    di = DeepImpute(predictors, targets, "t", sub_outputdim=15, hidden_dim=16)
+    x_log = np.log1p(x)
+    di.fit_distributed(x_log, x_log, mesh=cpu_mesh8, n_epochs=2, batch_size=16)
+    assert np.isfinite(di.predict(x_log)).all()
+
+    from dance_tpu.modules.single_modality.clustering import ScDeepCluster
+    counts = rng.poisson(3.0, (n, d1)).astype(np.float32)
+    norm = (counts - counts.mean(0)) / np.maximum(counts.std(0), 1e-6)
+    sdc = ScDeepCluster(input_dim=d1, z_dim=4, encodeLayer=(16,),
+                        decodeLayer=(16,), sigma=1.0, seed=0)
+    sdc.fit_distributed((norm, counts, counts.sum(1)), None, mesh=cpu_mesh8,
+                        n_clusters=3, epochs=2, pt_epochs=3)
+    assert sdc.predict().shape == (n,)
+
+
+def test_fit_distributed_gnn(cpu_mesh8):
+    """Full-graph scDeepSort trains with node features sharded over cells."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from dance_tpu.graph import Graph
+    from dance_tpu.modules.single_modality.cell_type_annotation import ScDeepSort
+
+    rng = np.random.default_rng(0)
+    n_cells, n_genes, dim = 48, 16, 8  # 64 nodes total, divisible by dp=4
+    expr = sp.random(n_cells, n_genes, density=0.2, random_state=0,
+                     dtype=np.float32, format="csr")
+    g = Graph.from_cell_feature_matrix(
+        expr, rng.random((n_cells, dim), dtype=np.float32),
+        rng.random((n_genes, dim), dtype=np.float32))
+    labels = rng.integers(0, 3, n_cells)
+    model = ScDeepSort(dim_in=dim, dim_hid=16, num_layers=2, species="s",
+                       tissue="t", seed=0)
+    model.fit_distributed(g, labels, mesh=cpu_mesh8, epochs=3)
+    pred = model.predict(g)
+    assert pred.shape == (n_cells,)
+
+
+def test_sweeprunner_with_dp_mesh(cpu_mesh8):
+    """SweepRunner trials each train data-parallel over the mesh."""
+    import numpy as np
+
+    from dance_tpu.datasets.synthetic import annotation_data
+    from dance_tpu.modules.single_modality.cell_type_annotation import ACTINN
+    from dance_tpu.pipeline import SweepRunner
+
+    d = annotation_data(n_cells=160, n_genes=60, n_types=3, seed=0)
+    ACTINN(random_seed=0).preprocess(d)
+    x_train, y_train = d.get_train_data()
+    x_test, y_test = d.get_test_data()
+
+    def trial(cfg):
+        model = ACTINN(hidden_dims=(cfg["hidden"],), random_seed=0)
+        model.fit_distributed(x_train, y_train, mesh=cpu_mesh8, num_epochs=10,
+                              batch_size=32, seed=0)
+        return {"acc": model.score(x_test, y_test)}
+
+    runner = SweepRunner({"hidden": {"values": [16, 32]}}, method="grid")
+    runner.run(trial)
+    accs = [r["acc"] for r in runner.records]
+    assert len(accs) == 2 and all(a > 0.5 for a in accs), accs
