@@ -2,7 +2,7 @@
 //
 // TPU training wants static shapes: the sampler emits FIXED-FANOUT padded
 // neighbor blocks (pad = repeat-sample with replacement) so every minibatch
-// compiles once. Exposed через ctypes from dance_tpu.native.
+// compiles once. Exposed via ctypes from dance_tpu.native.
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libdance_native.so graph_sampler.cpp
 

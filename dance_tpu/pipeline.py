@@ -31,7 +31,37 @@ from dance_tpu.typing import (Any, Callable, ConfigLike, Dict, List, Optional, T
 from dance_tpu.utils import Color, default, try_import
 
 
+def _qualify_scope(scope: Optional[str], full_type: Optional[str]) -> str:
+    """Resolve the effective lookup scope for an action.
+
+    A bare ``_registry_`` scope (or none at all) means "use the registry,
+    scoped by this action's full dotted type"; any other value — a deeper
+    registry path or an importable module path — is taken verbatim.
+    """
+    if scope is None or scope == REGISTRY_PREFIX:
+        return ".".join(filter(None, (REGISTRY_PREFIX, full_type)))
+    return scope
+
+
+def _lookup_callable(target: str, scope: str, type_: Optional[str],
+                     registry: Registry):
+    """Find ``target`` either in the registry (``_registry_``-prefixed scope,
+    completed with the action type when bare) or as a module attribute."""
+    if scope.startswith(REGISTRY_PREFIX):
+        if scope == REGISTRY_PREFIX and type_ is not None:
+            scope = f"{scope}.{type_}"
+        return resolve_from_registry(target, scope, registry=registry)
+    return getattr(importlib.import_module(scope), target)
+
+
 class Action:
+    """One pipeline step: a typed, named reference to a registered callable.
+
+    The config surface (``type``/``desc``/``target``/``scope``/``params`` keys
+    and the ``_skip_`` target flag) is the DANCE 2.0 YAML contract; reference
+    tuning configs parse unchanged. Fields live in a single spec dict and the
+    scope/target resolution is factored into module-level helpers.
+    """
 
     TYPE_KEY = "type"
     DESC_KEY = "desc"
@@ -44,17 +74,20 @@ class Action:
                  target: Optional[str] = None, scope: Optional[str] = None,
                  params: Optional[Dict[str, Any]] = None,
                  _parent_type: Optional[str] = None, _registry: Registry = None):
-        self._type = type_
+        object.__setattr__(self, "_spec", {
+            self.TYPE_KEY: type_,
+            self.DESC_KEY: desc,
+            self.TARGET_KEY: target,
+            self.PARAMS_KEY: dict(params or {}),
+        })
         self._parent_type = _parent_type
-        self._desc = desc
-        self._target = target
         self._registry = REGISTRY if _registry is None else _registry
         self.scope = scope
-        self._params = default(params, {})
 
-    @property
-    def type(self):
-        return self._type
+    type = property(lambda self: self._spec[self.TYPE_KEY])
+    desc = property(lambda self: self._spec[self.DESC_KEY])
+    target = property(lambda self: self._spec[self.TARGET_KEY])
+    params = property(lambda self: self._spec[self.PARAMS_KEY])
 
     @property
     def parent_type(self):
@@ -62,69 +95,45 @@ class Action:
 
     @property
     def full_type(self):
-        if self.type is None and self.parent_type is None:
-            return None
-        return ".".join(filter(None, (self.parent_type, self.type)))
-
-    @property
-    def desc(self):
-        return self._desc
-
-    @property
-    def target(self):
-        return self._target
+        parts = [p for p in (self.parent_type, self.type) if p]
+        return ".".join(parts) if parts else None
 
     @property
     def scope(self) -> str:
-        return self._scope
+        return self._spec[self.SCOPE_KEY]
 
     @scope.setter
     def scope(self, val: Optional[str]):
-        val = default(val, REGISTRY_PREFIX)
-        if val == REGISTRY_PREFIX:
-            val = ".".join(filter(None, (val, self.parent_type, self.type)))
-        self._scope = val
-
-    @property
-    def params(self) -> Dict[str, Any]:
-        return self._params
+        self._spec[self.SCOPE_KEY] = _qualify_scope(val, self.full_type)
 
     @property
     def skip(self) -> bool:
         return self.target == self.SKIP_FLAG
 
-    def _get_target(self):
-        if self.scope.startswith(REGISTRY_PREFIX):
-            scope = self.scope
-            if scope == REGISTRY_PREFIX and self.type is not None:
-                scope = ".".join((scope, self.type))
-            return resolve_from_registry(self.target, scope, registry=self._registry)
-        mod = importlib.import_module(self.scope)
-        return getattr(mod, self.target)
-
     @property
     def functional(self) -> Callable:
-        return self._get_target()(**self.params)
+        cls = _lookup_callable(self.target, self.scope, self.type, self._registry)
+        return cls(**self.params)
 
     def __call__(self, *args, **kwargs):
         return self.functional(*args, **kwargs)
 
     def __repr__(self):
-        return f"{self.__class__.__name__}({default(self.target, '')})"
+        return f"{self.__class__.__name__}({self.target or ''})"
 
     def copy(self):
         return deepcopy(self)
 
     @classmethod
     def from_config(cls, cfg: ConfigLike, **kwargs):
-        return cls(type_=cfg.get(cls.TYPE_KEY), desc=cfg.get(cls.DESC_KEY),
-                   target=cfg.get(cls.TARGET_KEY), scope=cfg.get(cls.SCOPE_KEY),
-                   params=cfg.get(cls.PARAMS_KEY), **kwargs)
+        fields = {key: cfg.get(getattr(cls, f"{key.upper()}_KEY"))
+                  for key in ("desc", "target", "scope", "params")}
+        return cls(type_=cfg.get(cls.TYPE_KEY), **fields, **kwargs)
 
     def to_config(self) -> Config:
-        return Config({self.TYPE_KEY: self.type, self.DESC_KEY: self.desc,
-                       self.TARGET_KEY: self.target, self.SCOPE_KEY: self.scope,
-                       self.PARAMS_KEY: dict(self.params)})
+        payload = dict(self._spec)
+        payload[self.PARAMS_KEY] = dict(payload[self.PARAMS_KEY])
+        return Config(payload)
 
     def to_dict(self):
         return self.to_config().to_dict()
@@ -140,24 +149,36 @@ class Action:
 
 
 class Pipeline(Action):
+    """Ordered sequence of Actions parsed from a nested config.
+
+    A step config carrying a ``pipeline`` key recurses into a nested Pipeline;
+    anything else is a leaf Action. Steps whose target is the skip flag are
+    excluded from iteration and execution but preserved in indexing/config.
+    """
 
     PIPELINE_KEY = "pipeline"
+
+    @staticmethod
+    def _parse_steps(step_cfgs, parent_type, registry) -> List[Action]:
+        steps = []
+        for step_cfg in step_cfgs:
+            is_nested = Pipeline.PIPELINE_KEY in step_cfg
+            if is_nested and Action.PARAMS_KEY in step_cfg:
+                raise KeyError(f"Cannot specify both {Action.PARAMS_KEY!r} and "
+                               f"{Pipeline.PIPELINE_KEY!r} at the same time")
+            step_cls = Pipeline if is_nested else Action
+            steps.append(step_cls.from_config(step_cfg, _parent_type=parent_type,
+                                              _registry=registry))
+        return steps
 
     def __init__(self, cfg: ConfigLike, *, _parent_type: Optional[str] = None,
                  _registry: Registry = None):
         super().__init__(type_=cfg.get(self.TYPE_KEY), desc=cfg.get(self.DESC_KEY),
                          _parent_type=_parent_type, _registry=_registry)
-        self._pipeline: List[Action] = []
-        sub_cfgs = cfg.get(self.PIPELINE_KEY)
-        if sub_cfgs is None:
+        step_cfgs = cfg.get(self.PIPELINE_KEY)
+        if step_cfgs is None:
             raise ValueError(f"Missing pipeline config; specify {self.PIPELINE_KEY!r}")
-        for sub_cfg in sub_cfgs:
-            if self.PARAMS_KEY in sub_cfg and self.PIPELINE_KEY in sub_cfg:
-                raise KeyError(f"Cannot specify both {self.PARAMS_KEY!r} and "
-                               f"{self.PIPELINE_KEY!r} at the same time")
-            cls = Pipeline if self.PIPELINE_KEY in sub_cfg else Action
-            self._pipeline.append(cls.from_config(sub_cfg, _parent_type=self.full_type,
-                                                  _registry=self._registry))
+        self._pipeline = self._parse_steps(step_cfgs, self.full_type, self._registry)
         self.config = cfg
 
     @property
@@ -177,7 +198,7 @@ class Pipeline(Action):
         return self.config.to_yaml()
 
     def __iter__(self):
-        yield from (p for p in self._pipeline if not p.skip)
+        return iter([step for step in self._pipeline if not step.skip])
 
     def __getitem__(self, idx: int) -> Action:
         return self._pipeline[idx]
@@ -186,24 +207,26 @@ class Pipeline(Action):
         return len(self._pipeline)
 
     def __repr__(self):
-        sep = "\n    "
-        reprs = [repr(i).replace("\n", sep) for i in self]
-        return f"{self.__class__.__name__}({sep}{sep.join(reprs)}\n)"
+        lines = [f"    {repr(step)}".replace("\n", "\n    ") for step in self]
+        return "{}(\n{}\n)".format(self.__class__.__name__, "\n".join(lines))
 
     @property
     def functional(self) -> Callable:
-        for a in self:  # skipped elements excluded (SKIP_FLAG is not resolvable)
+        # resolve every active step eagerly so misconfigurations fail here,
+        # not midway through a run
+        for step in self:
             try:
-                a.functional
+                step.functional
             except KeyError as e:
-                raise KeyError(f"Failed to resolve for {a}:\n   scope={a.scope}\n   "
-                               f"type={a.type}\n   full_type={a.full_type}") from e
+                raise KeyError(f"Failed to resolve for {step}:\n   scope={step.scope}"
+                               f"\n   type={step.type}\n   "
+                               f"full_type={step.full_type}") from e
 
-        def bounded_functional(*args, **kwargs):
-            for a in self:
-                a(*args, **kwargs)
+        def run_all(*args, **kwargs):
+            for step in self:
+                step(*args, **kwargs)
 
-        return bounded_functional
+        return run_all
 
     @classmethod
     def from_config(cls, cfg: ConfigLike, **kwargs):
@@ -215,7 +238,7 @@ class Pipeline(Action):
 
     def to_config(self) -> Config:
         return Config({self.TYPE_KEY: self.type, self.DESC_KEY: self.desc,
-                       self.PIPELINE_KEY: [a.to_config() for a in self]})
+                       self.PIPELINE_KEY: [step.to_config() for step in self]})
 
 
 class PipelinePlaner(Pipeline):
@@ -352,41 +375,52 @@ class PipelinePlaner(Pipeline):
             self._wandb_config = self._wandb_config.to_dict()
 
     # --- plan sanitation --------------------------------------------------
+    #
+    # Plans arrive either positionally (list, one entry per pipeline element)
+    # or as a wandb-style flat mapping ("pipeline.3.target": v /
+    # "params.2.<name>.<key>": v). Both normalize to a positional list here.
 
     @staticmethod
-    def _sanitize_pipeline(pipeline, n: int):
-        if isinstance(pipeline, dict):
-            plan = [None] * n
-            for key, val in pipeline.items():
-                idx = int(key.split(f"{Pipeline.PIPELINE_KEY}.", 1)[1].split(".", 1)[0])
+    def _positional_plan(mapping: dict, section: str, n: int):
+        """Flat dotted mapping -> positional list for one plan section.
+
+        ``pipeline.<i>[.target]`` entries set the whole slot to the value;
+        ``params.<i>.<name>.<key>`` entries accumulate ``{key: value}`` dicts
+        per slot (the candidate name level is dropped).
+        """
+        plan: List[Any] = [None] * n
+        for key, val in mapping.items():
+            _, _, tail = key.partition(f"{section}.")
+            idx_str, _, leaf = tail.partition(".")
+            idx = int(idx_str)
+            if section == Pipeline.PIPELINE_KEY:
                 plan[idx] = val
-            pipeline = plan
-        if pipeline is None:
-            return None
-        if len(pipeline) != n:
-            raise ValueError(f"Expecting {n} target specs, got {len(pipeline)}: "
-                             f"{pipeline}")
-        logger.info("Pipeline plan:\n%s", Color("green")(pformat(pipeline)))
-        return pipeline
+            else:
+                _, _, param_key = leaf.partition(".")
+                entry = plan[idx] if isinstance(plan[idx], dict) else {}
+                entry[param_key] = val
+                plan[idx] = entry
+        return plan
 
-    @staticmethod
-    def _sanitize_params(params, n: int):
-        if isinstance(params, dict):
-            plan = [None] * n
-            for key, val in params.items():
-                idx, _, sub_key = key.split(f"{Pipeline.PARAMS_KEY}.", 1)[1].split(
-                    ".", 2)
-                idx = int(idx)
-                if plan[idx] is None:
-                    plan[idx] = {}
-                plan[idx][sub_key] = val
-            params = plan
-        if params is None:
+    @classmethod
+    def _normalize_plan(cls, plan, section: str, n: int, label: str):
+        if isinstance(plan, dict):
+            plan = cls._positional_plan(plan, section, n)
+        if plan is None:
             return None
-        if len(params) != n:
-            raise ValueError(f"Expecting {n} param specs, got {len(params)}: {params}")
-        logger.info("Params plan:\n%s", Color("green")(pformat(params)))
-        return params
+        if len(plan) != n:
+            raise ValueError(f"Expecting {n} {label} specs, got {len(plan)}: {plan}")
+        logger.info("%s plan:\n%s", label.capitalize(),
+                    Color("green")(pformat(plan)))
+        return plan
+
+    @classmethod
+    def _sanitize_pipeline(cls, pipeline, n: int):
+        return cls._normalize_plan(pipeline, cls.PIPELINE_KEY, n, "pipeline")
+
+    @classmethod
+    def _sanitize_params(cls, params, n: int):
+        return cls._normalize_plan(params, cls.PARAMS_KEY, n, "params")
 
     def _validate_pipeline(self, validate, pipeline, i):
         if not validate or self.candidate_pipelines[i] is None:

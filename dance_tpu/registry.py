@@ -15,12 +15,18 @@ from dance_tpu.settings import logger
 REGISTRY_PREFIX = "_registry_"
 
 
-class DotDict(dict):
-    """Dict with dot-compositional key access: ``d.get("a.b") == d["a"]["b"]``."""
+def _split(key: str) -> Tuple[str, ...]:
+    """Dotted key -> path segments; the empty key addresses the root."""
+    return tuple(key.split(".")) if key else ()
 
-    __getattr__ = dict.__getitem__
-    __setattr__ = dict.__setitem__
-    __delattr__ = dict.__delitem__
+
+class DotDict(dict):
+    """Dict with dot-compositional key access: ``d.get("a.b") == d["a"]["b"]``.
+
+    Attribute access mirrors item access (``d.a.b``), and nested plain dicts
+    are promoted to DotDicts on construction so every interior node supports
+    the same protocol.
+    """
 
     def __init__(self, data: Optional[Dict[str, Any]] = None):
         super().__init__()
@@ -29,36 +35,63 @@ class DotDict(dict):
                 raise ValueError(f"DotDict keys may not contain '.': {key!r}")
             self[key] = DotDict(val) if hasattr(val, "keys") else val
 
-    def get(self, key: str, default: Any = None, missed_ok: bool = True,
-            create_on_miss: bool = False):
-        if create_on_miss and not missed_ok:
-            raise ValueError("create_on_miss requires missed_ok")
-        if key == "":
-            return self
+    def __getattr__(self, name: str):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def __setattr__(self, name: str, value: Any):
+        self[name] = value
+
+    def __delattr__(self, name: str):
+        try:
+            del self[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def _descend(self, path: Tuple[str, ...]):
+        """Follow ``path`` from self; raises LookupError at the first miss."""
         node = self
-        for part in key.split("."):
-            try:
-                node = node[part]
-            except (KeyError, TypeError) as e:
-                if create_on_miss:
-                    new = DotDict()
-                    self.set(key, new)
-                    return new
-                if missed_ok:
-                    return default
-                raise KeyError(f"Failed to resolve key {key!r}") from e
+        for segment in path:
+            if not isinstance(node, dict) or segment not in node:
+                raise LookupError(segment)
+            node = node[segment]
         return node
 
+    def get(self, key: str, default: Any = None, missed_ok: bool = True,
+            create_on_miss: bool = False):
+        """Fetch by dotted key; ``""`` addresses the root.
+
+        ``missed_ok`` returns ``default`` on a miss instead of raising;
+        ``create_on_miss`` (requires ``missed_ok``) materializes and returns
+        an empty subtree at the queried path.
+        """
+        if create_on_miss and not missed_ok:
+            raise ValueError("create_on_miss requires missed_ok")
+        try:
+            return self._descend(_split(key))
+        except LookupError as miss:
+            if create_on_miss:
+                node = DotDict()
+                self.set(key, node)
+                return node
+            if missed_ok:
+                return default
+            raise KeyError(f"Failed to resolve key {key!r}") from miss
+
     def set(self, key: str, val: Any, exist_ok: bool = True):
+        """Write by dotted key, materializing interior nodes as needed."""
         if not exist_ok and self.get(key) is not None:
             raise KeyError(f"Key exists: {key}")
-        parts = key.split(".")
+        *interior, leaf = _split(key)
         node = self
-        for i, part in enumerate(parts[:-1]):
-            node = node.setdefault(part, DotDict())
-            if not isinstance(node, DotDict):
-                raise KeyError(f"Level {i} ({part!r}) is a leaf node: {node}")
-        node[parts[-1]] = val
+        for depth, segment in enumerate(interior):
+            nxt = node.setdefault(segment, DotDict())
+            if not isinstance(nxt, DotDict):
+                raise KeyError(f"Level {depth} ({segment!r}) is a leaf node: {nxt}")
+            node = nxt
+        node[leaf] = val
 
 
 class Registry(DotDict):
@@ -67,28 +100,28 @@ class Registry(DotDict):
         return not isinstance(self.get(key), DotDict)
 
     def children(self, key: str = "", leaf_node: bool = True, non_leaf_node: bool = True,
-                 return_val: bool = False, _level: int = 0) -> Iterator[Any]:
-        """Depth-first iteration over children keys (dotted, relative to root)."""
+                 return_val: bool = False) -> Iterator[Any]:
+        """Depth-first iteration over descendant keys (dotted, from root).
+
+        Implemented with an explicit stack; yields pre-order, so a scope name
+        appears before its members when ``non_leaf_node`` is on.
+        """
         if not leaf_node and not non_leaf_node:
             raise ValueError("At least one of leaf_node / non_leaf_node must be True")
-        node = self.get(key, missed_ok=False)
-        if _level == 0 and self.is_leaf_node(key):
+        root = self.get(key, missed_ok=False)
+        if not isinstance(root, DotDict):
             raise KeyError(f"{key} is a leaf node; children requires a non-leaf node")
-
-        def emit(k):
-            return (k, self.get(k)) if return_val else k
-
-        for name in node:
-            full = f"{key}.{name}".lstrip(".")
-            if self.is_leaf_node(full):
-                if leaf_node:
-                    yield emit(full)
-            else:
+        stack = [(key, name, root[name]) for name in reversed(list(root))]
+        while stack:
+            prefix, name, node = stack.pop()
+            full = f"{prefix}.{name}" if prefix else name
+            if isinstance(node, DotDict):
                 if non_leaf_node:
-                    yield emit(full)
-                yield from self.children(full, leaf_node=leaf_node,
-                                         non_leaf_node=non_leaf_node,
-                                         return_val=return_val, _level=_level + 1)
+                    yield (full, node) if return_val else full
+                stack.extend((full, child, node[child])
+                             for child in reversed(list(node)))
+            elif leaf_node:
+                yield (full, node) if return_val else full
 
 
 REGISTRY = Registry()
