@@ -67,7 +67,7 @@ STUB_ROOTS = frozenset({
     "efficientnet_pytorch", "networkx", "openpyxl", "xlrd", "requests",
     "psutil", "seaborn", "matplotlib", "plotly", "scikit_misc", "skmisc",
     "annoy", "pynndescent", "umap", "rpy2", "opencv_python", "numexpr",
-    "tables", "h5py", "patsy",
+    "tables", "h5py", "patsy", "tifffile", "squidpy", "cellstar",
 })
 
 

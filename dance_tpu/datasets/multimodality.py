@@ -11,16 +11,24 @@ import numpy as np
 
 from dance_tpu.data import Data, MuData, read_h5ad
 from dance_tpu.datasets.base import BaseDataset
+from dance_tpu.datasets.catalogs import multimodality_url_dict
 from dance_tpu.registry import register_dataset
 from dance_tpu.settings import logger
 from dance_tpu.typing import Dict, List, Optional
 from dance_tpu.utils.download import download_unzip
 
+# short-name aliases per task (reference SUBTASK_NAME_MAP,
+# multimodality.py:274/:379/:560)
 SUBTASK_ALIASES = {
     "gex2atac": "openproblems_bmmc_multiome_phase2_rna",
     "gex2adt": "openproblems_bmmc_cite_phase2_rna",
     "atac2gex": "openproblems_bmmc_multiome_phase2_mod2",
     "adt2gex": "openproblems_bmmc_cite_phase2_mod2",
+    "gex2adt_subset": "openproblems_bmmc_cite_phase2_rna_subset",
+}
+JE_SUBTASK_ALIASES = {
+    "adt": "openproblems_bmmc_cite_phase2",
+    "atac": "openproblems_bmmc_multiome_phase2",
 }
 
 
@@ -28,14 +36,23 @@ class MultiModalityDataset(BaseDataset):
     """Base loader for paired-modality h5ad bundles (parity: multimodality.py:55)."""
 
     TASK = "predict_modality"
-    AVAILABLE_DATA = sorted(SUBTASK_ALIASES) + sorted(SUBTASK_ALIASES.values())
+    SUBTASK_NAME_MAP = SUBTASK_ALIASES
+    AVAILABLE_DATA = sorted(list(multimodality_url_dict("prediction"))
+                            + list(SUBTASK_ALIASES))
 
     def __init__(self, subtask: str, root: str = "./data",
                  url_dict: Optional[Dict[str, str]] = None):
         super().__init__(root, full_download=False)
-        self.subtask = SUBTASK_ALIASES.get(subtask, subtask)
+        self.subtask = self.SUBTASK_NAME_MAP.get(subtask, subtask)
         self.root = root
-        self.url_dict = url_dict or {}
+        self.url_dict = (url_dict if url_dict is not None
+                         else self._default_url_dict())
+
+    @classmethod
+    def _default_url_dict(cls) -> Dict[str, str]:
+        task = {"predict_modality": "prediction", "match_modality": "matching",
+                "joint_embedding": "joint_embedding"}[cls.TASK]
+        return multimodality_url_dict(task)
 
     def _mod_paths(self) -> List[str]:
         base = osp.join(str(self.root), self.subtask)
@@ -73,6 +90,8 @@ class ModalityPredictionDataset(MultiModalityDataset):
     """Modality prediction subtasks (parity: multimodality.py:224)."""
 
     TASK = "predict_modality"
+    AVAILABLE_DATA = sorted(list(multimodality_url_dict("prediction"))
+                            + list(SUBTASK_ALIASES))
 
 
 @register_dataset("multimodality")
@@ -83,6 +102,8 @@ class ModalityMatchingDataset(MultiModalityDataset):
     (`test_sol`); when present, it is attached under ``uns['test_sol']``."""
 
     TASK = "match_modality"
+    AVAILABLE_DATA = sorted(list(multimodality_url_dict("matching"))
+                            + list(SUBTASK_ALIASES))
 
     def _raw_to_dance(self, raw_data):
         data = super()._raw_to_dance(raw_data)
@@ -98,6 +119,9 @@ class JointEmbeddingNIPSDataset(MultiModalityDataset):
     """Joint embedding subtasks (parity: multimodality.py:542)."""
 
     TASK = "joint_embedding"
+    SUBTASK_NAME_MAP = JE_SUBTASK_ALIASES
+    AVAILABLE_DATA = sorted(list(multimodality_url_dict("joint_embedding"))
+                            + list(JE_SUBTASK_ALIASES))
 
     def _mod_paths(self) -> List[str]:
         base = osp.join(str(self.root), self.subtask)

@@ -17,6 +17,9 @@ import h5py
 
 from dance_tpu.data import AnnData, Data
 from dance_tpu.datasets.base import BaseDataset
+from dance_tpu.datasets.catalogs import (IMPUTATION_DATASET_TO_FILE, clustering_url_dict,
+                                         imputation_url_dict, scdeepsort_catalog,
+                                         scdeepsort_url_dict)
 from dance_tpu.registry import register_dataset
 from dance_tpu.settings import logger
 from dance_tpu.typing import Dict, List, Optional, Set, Tuple
@@ -46,7 +49,12 @@ class CellTypeAnnotationDataset(BaseDataset):
     """
 
     _DISPLAY_ATTRS = ("species", "tissue", "train_dataset", "test_dataset")
-    AVAILABLE_DATA = ["train", "test"]
+    # benchmark namespace from the scdeepsort catalog (Appendix B): one entry
+    # per (split, species, tissue, dataset-id) row
+    AVAILABLE_DATA = [
+        {key: str(row[key]) for key in ("split", "species", "tissue", "dataset")}
+        for _, row in scdeepsort_catalog().iterrows()
+    ]
 
     def __init__(self, full_download: bool = False, train_dataset: Optional[List] = None,
                  test_dataset: Optional[List] = None, valid_dataset: Optional[List] = None,
@@ -68,7 +76,7 @@ class CellTypeAnnotationDataset(BaseDataset):
         self.valid_dir = valid_dir
         self.map_path = map_path
         self.val_size = val_size
-        self.url_dict = url_dict or {}
+        self.url_dict = url_dict if url_dict is not None else scdeepsort_url_dict()
 
     def _paths(self, subdir: str, ids: List[str]) -> List[Tuple[str, str]]:
         base = osp.join(self.data_dir, subdir, self.species)
@@ -92,8 +100,13 @@ class CellTypeAnnotationDataset(BaseDataset):
         for path in self._all_paths():
             if not osp.exists(path):
                 name = osp.basename(path)
-                if name in self.url_dict:
-                    download_file(self.url_dict[name], path)
+                # catalog fnames carry the split-dir prefix (train_/test_/valid_)
+                split = osp.basename(osp.dirname(osp.dirname(path)))
+                candidates = (name, f"{split}_{name}")
+                url = next((self.url_dict[c] for c in candidates
+                            if c in self.url_dict), None)
+                if url is not None:
+                    download_file(url, path)
                 else:
                     raise FileNotFoundError(
                         f"Missing raw file {path} and no download URL provided. "
@@ -159,18 +172,16 @@ class ClusteringDataset(BaseDataset):
     """Clustering benchmark ``.h5`` files with X / Y keys (parity: :398-441)."""
 
     _DISPLAY_ATTRS = ("dataset",)
-    # parity: dance/metadata/clustering.csv:1-12
-    AVAILABLE_DATA = ["10X_PBMC", "human_ILCS", "human_pbmc2_cell", "human_skin_cell",
-                      "mouse_ES_cell", "mouse_bladder_cell", "mouse_kidney_10x",
-                      "mouse_kidney_cell", "mouse_kidney_cl2", "mouse_kidney_drop",
-                      "worm_neuron_cell"]
+    # benchmark names from dance_tpu/metadata/clustering.csv (reference parity:
+    # AVAILABLE_DATA = sorted(URL_DICT), singlemodality.py:412)
+    AVAILABLE_DATA = sorted(clustering_url_dict())
 
     def __init__(self, data_dir: str = "./data", dataset: str = "mouse_bladder_cell",
                  url_dict: Optional[Dict[str, str]] = None):
         super().__init__(data_dir, full_download=False)
         self.data_dir = data_dir
         self.dataset = dataset
-        self.url_dict = url_dict or {}
+        self.url_dict = url_dict if url_dict is not None else clustering_url_dict()
 
     @property
     def data_path(self) -> str:
@@ -208,11 +219,9 @@ class ImputationDataset(BaseDataset):
     """
 
     _DISPLAY_ATTRS = ("dataset", "train_size")
-    # parity: dance/metadata/imputation.csv:1-9
-    AVAILABLE_DATA = ["pbmc_data", "mouse_brain_data", "mouse_embryo_data",
-                      "human_stemcell_data", "human_breast_TGFb_data",
-                      "human_breast_Dox_data", "human_melanoma_data",
-                      "mouse_visual_data"]
+    # benchmark names from dance_tpu/metadata/imputation.csv (reference parity:
+    # AVAILABLE_DATA = sorted(URL), singlemodality.py:448)
+    AVAILABLE_DATA = sorted(imputation_url_dict())
 
     def __init__(self, data_dir: str = "data", dataset: str = "human_stemcell",
                  train_size: float = 0.1, url_dict: Optional[Dict[str, str]] = None):
@@ -220,11 +229,16 @@ class ImputationDataset(BaseDataset):
         self.data_dir = data_dir
         self.dataset = dataset
         self.train_size = train_size
-        self.url_dict = url_dict or {}
+        self.url_dict = url_dict if url_dict is not None else imputation_url_dict()
 
     def _candidate_paths(self) -> List[str]:
         base = osp.join(self.data_dir, self.dataset)
-        return [f"{base}.csv", f"{base}.csv.gz", f"{base}.h5"]
+        paths = [f"{base}.csv", f"{base}.csv.gz", f"{base}.h5"]
+        # staged-file layout after unzip (catalogs.IMPUTATION_DATASET_TO_FILE)
+        staged = IMPUTATION_DATASET_TO_FILE.get(self.dataset, [])
+        for name in ([staged] if isinstance(staged, str) else staged):
+            paths.append(osp.join(self.data_dir, self.dataset, name))
+        return paths
 
     def is_complete(self) -> bool:
         return any(osp.exists(p) for p in self._candidate_paths())

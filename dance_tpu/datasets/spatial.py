@@ -7,6 +7,7 @@ import pandas as pd
 
 from dance_tpu.data import AnnData, Data, read_h5ad
 from dance_tpu.datasets.base import BaseDataset
+from dance_tpu.datasets.catalogs import spatial_deconvo_url_dict, spatial_libd_url_dict
 from dance_tpu.registry import register_dataset
 from dance_tpu.typing import Dict, Optional
 from dance_tpu.utils.download import download_unzip
@@ -21,15 +22,15 @@ class SpatialLIBDDataset(BaseDataset):
     """
 
     _DISPLAY_ATTRS = ("data_id",)
-    AVAILABLE_DATA = [f"1515{i:02d}" for i in range(7, 11)] + [
-        f"1516{i:02d}" for i in range(69, 77)]
+    # benchmark ids from dance_tpu/metadata/spatial_libd.csv
+    AVAILABLE_DATA = sorted(spatial_libd_url_dict())
 
     def __init__(self, data_id: str = "151673", data_dir: str = "data/spatial",
                  url_dict: Optional[Dict[str, str]] = None):
         super().__init__(data_dir, full_download=False)
         self.data_id = str(data_id)
         self.data_dir = data_dir
-        self.url_dict = url_dict or {}
+        self.url_dict = url_dict if url_dict is not None else spatial_libd_url_dict()
 
     @property
     def data_path(self) -> str:
@@ -61,22 +62,16 @@ class CellTypeDeconvoDataset(BaseDataset):
     """
 
     _DISPLAY_ATTRS = ("dataset",)
-    # parity: dance/datasets/spatial.py:161-215 (extended deconvolution set)
-    AVAILABLE_DATA = [
-        "CARD_synthetic", "GSE174746", "SPOTLight_synthetic", "hcc_liver",
-        "human_breast_cancer", "kidney_coronal", "kidney_sagittal", "lung",
-        "lung2", "mouse_brain_1", "mpb", "normal_liver", "pancreatic_cancer",
-        "sub_hcc_liver", "sub_human_breast_cancer", "sub_kidney_coronal",
-        "sub_lung", "sub_mouse_brain_1", "sub_normal_liver",
-        "sub_pancreatic_cancer",
-    ]
+    # benchmark names from dance_tpu/metadata/spatial_deconvo.csv
+    AVAILABLE_DATA = sorted(spatial_deconvo_url_dict())
 
     def __init__(self, dataset: str = "CARD_synthetic", data_dir: str = "data/spatial",
                  url_dict: Optional[Dict[str, str]] = None):
         super().__init__(data_dir, full_download=False)
         self.dataset = dataset
         self.data_dir = data_dir
-        self.url_dict = url_dict or {}
+        self.url_dict = (url_dict if url_dict is not None
+                         else spatial_deconvo_url_dict())
 
     def _paths(self):
         base = osp.join(self.data_dir, self.dataset)

@@ -126,3 +126,90 @@ def test_spatial_datasets(tmp_path):
     data2 = ds2.load_data()
     assert len(data2.get_split_idx("ref")) == 50
     assert len(data2.get_split_idx("test")) == 20
+
+
+def test_dataset_catalogs():
+    """Benchmark dataset name -> source resolution (SURVEY.md Appendix B)."""
+    from dance_tpu.datasets.catalogs import (IMPUTATION_DATASET_TO_FILE,
+                                             clustering_url_dict,
+                                             imputation_url_dict,
+                                             scdeepsort_catalog,
+                                             scdeepsort_url_dict)
+
+    cat = scdeepsort_catalog()
+    assert len(cat) == 206  # 207 lines incl. header
+    assert set(cat.columns) >= {"species", "tissue", "dataset", "split",
+                                "celltype_fname", "celltype_url", "data_fname",
+                                "data_url"}
+    # benchmark triplets used throughout (Appendix B): Spleen 1970,
+    # Brain 753/3285/2695, Kidney 4682/203
+    mouse = cat[cat.species == "mouse"]
+    for tissue, ds in [("Spleen", "1970"), ("Brain", "753"), ("Brain", "3285"),
+                       ("Brain", "2695"), ("Kidney", "4682"), ("Kidney", "203")]:
+        rows = mouse[(mouse.tissue == tissue) & (mouse.dataset == ds)]
+        assert len(rows) >= 1, (tissue, ds)
+    urls = scdeepsort_url_dict()
+    assert "train_mouse_Spleen1970_data.csv" in urls
+    assert all(u.startswith("http") for u in urls.values())
+
+    clu = clustering_url_dict()
+    for name in ("10X_PBMC", "mouse_bladder_cell", "mouse_ES_cell",
+                 "worm_neuron_cell", "mouse_kidney_cell", "human_pbmc2_cell",
+                 "human_skin_cell", "human_ILCS_cell", "mouse_lung_cell",
+                 "mouse_kidney_10x", "mouse_kidney_cl2", "mouse_kidney_drop"):
+        assert name in clu, name
+
+    imp = imputation_url_dict()
+    for name in ("pbmc_data", "mouse_embryo_data", "mouse_brain_data",
+                 "human_stemcell_data", "human_breast_TGFb_data",
+                 "human_breast_Dox_data", "human_melanoma_data",
+                 "mouse_visual_data"):
+        assert name in imp, name
+        assert name in IMPUTATION_DATASET_TO_FILE or name == "pbmc_raw_data"
+
+
+def test_dataset_classes_resolve_catalog_names():
+    """Every catalog name constructs its dataset class with a resolvable url."""
+    from dance_tpu.datasets.catalogs import IMPUTATION_DATASET_TO_FILE
+    from dance_tpu.datasets.singlemodality import (CellTypeAnnotationDataset,
+                                                   ClusteringDataset,
+                                                   ImputationDataset)
+
+    for name in ClusteringDataset.AVAILABLE_DATA:
+        ds = ClusteringDataset(dataset=name)
+        assert name in ds.url_dict
+
+    for name in ImputationDataset.AVAILABLE_DATA:
+        ds = ImputationDataset(dataset=name)
+        assert name in ds.url_dict
+        if name in IMPUTATION_DATASET_TO_FILE:
+            assert len(ds._candidate_paths()) > 3
+
+    entries = CellTypeAnnotationDataset.AVAILABLE_DATA
+    assert len(entries) == 206 and all(
+        set(e) == {"split", "species", "tissue", "dataset"} for e in entries)
+    ds = CellTypeAnnotationDataset(species="mouse", tissue="Spleen",
+                                   train_dataset=["1970"], test_dataset=["1759"])
+    assert "train_mouse_Spleen1970_data.csv" in ds.url_dict
+
+
+def test_multimodality_and_spatial_names():
+    """Appendix-B ids resolve for the multimodality/spatial dataset classes."""
+    from dance_tpu.datasets.multimodality import (JointEmbeddingNIPSDataset,
+                                                  ModalityMatchingDataset,
+                                                  ModalityPredictionDataset)
+    from dance_tpu.datasets.spatial import (CellTypeDeconvoDataset,
+                                            SpatialLIBDDataset)
+
+    for sub in ("openproblems_bmmc_cite_phase2_rna", "gex2atac", "gex2adt",
+                "atac2gex", "adt2gex"):
+        assert sub in ModalityPredictionDataset.AVAILABLE_DATA, sub
+    for sub in ("openproblems_bmmc_cite_phase2_rna",
+                "openproblems_bmmc_multiome_phase2_rna"):
+        assert sub in ModalityMatchingDataset.AVAILABLE_DATA, sub
+    for sub in ("openproblems_bmmc_cite_phase2", "adt", "atac"):
+        assert sub in JointEmbeddingNIPSDataset.AVAILABLE_DATA, sub
+    for slide in ("151507", "151510", "151669", "151676"):
+        assert slide in SpatialLIBDDataset.AVAILABLE_DATA, slide
+    for name in ("CARD_synthetic", "GSE174746", "SPOTLight_synthetic"):
+        assert name in CellTypeDeconvoDataset.AVAILABLE_DATA, name
