@@ -141,11 +141,29 @@ class Graph:
     def to_bsr(self, block: int = 128):
         """Block-sparse device form for the Pallas SpMM fast path.
 
-        Suitable when layers only need weighted-sum aggregation over a static
-        adjacency (GCN/WeightedGraphConv/TAG); edge-level layers (GAT,
-        AdaptiveSAGE) keep the CSR form."""
+        Suitable when layers need weighted-sum (or, with the paired degree
+        vector, mean) aggregation over a static adjacency
+        (GCN/WeightedGraphConv/TAG/SAGE); for scDeepSort's AdaptiveSAGE use
+        :meth:`to_adaptive_bsr`."""
         from dance_tpu.ops.pallas_kernels import bsr_from_scipy
         return bsr_from_scipy(self.adj, block=block)
+
+    def to_adaptive_bsr(self, block: int = 128):
+        """Decomposed block-sparse form for AdaptiveSAGE (see
+        :class:`dance_tpu.ops.sparse.AdaptiveBSR`): Pallas SpMM over the
+        off-diagonal adjacency + per-node alpha scales + self-loop terms.
+        Requires the bipartite ``cell_id`` node labels (gene index or -1)."""
+        from dance_tpu.ops.pallas_kernels import bsr_from_scipy
+        from dance_tpu.ops.sparse import AdaptiveBSR
+        gene_idx = np.asarray(self.ndata["cell_id"], np.int32)
+        adj = self.adj.tocsr()
+        w_diag = np.asarray(adj.diagonal(), np.float32)
+        off = adj - sp.diags(w_diag)
+        off.eliminate_zeros()
+        deg = np.diff(adj.indptr).astype(np.float32)
+        return AdaptiveBSR(bsr_from_scipy(off, block=block),
+                           jnp.asarray(w_diag), jnp.asarray(gene_idx),
+                           jnp.asarray(deg), int(self.info["num_genes"]))
 
     def __repr__(self):
         return (f"Graph(num_nodes={self.num_nodes}, num_edges={self.num_edges}, "

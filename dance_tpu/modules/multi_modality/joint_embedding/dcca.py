@@ -1,9 +1,16 @@
-"""DCCA: dual VAEs with cycle consistency for joint embedding.
+"""DCCA: dual modality VAEs with cycle-consistent attention transfer.
 
-Parity target: dance/modules/multi_modality/joint_embedding/dcca.py (two
-modality VAEs whose latents are tied by cycle/attention-transfer consistency;
-1005 LoC). Compact rebuild: per-modality Gaussian VAEs + symmetric latent
-consistency + cross-reconstruction, trained jointly under jit.
+Parity target: dance/modules/multi_modality/joint_embedding/dcca.py. The
+reference trains a count VAE (NB/ZINB decoder with a log-library scale factor,
+dcca.py:176-237) on modality 1 and a Bernoulli VAE on modality 2, alternating
+"cycles" in which one model is frozen and the other minimizes
+NLL + warmup·KL + sf·attention(latent, frozen latent) (VAE.fit, :377-470;
+DCCA.fit cycle schedule, :733-826). The joint embedding is the concatenation
+of both latent means (:894-1005).
+
+TPU-native: each phase is a jitted full-batch epoch scan; the frozen model's
+latents are precomputed once per phase (the reference re-runs the frozen
+model per batch — same values, since it is in eval mode).
 """
 
 from functools import partial
@@ -15,49 +22,122 @@ import numpy as np
 import optax
 
 from dance_tpu.modules.base import BaseRegressionMethod
-from dance_tpu.nn.vae import (GaussianDecoder, GaussianEncoder, gaussian_kl,
-                              reparameterize)
 from dance_tpu.settings import logger
-from dance_tpu.typing import LogLevel, Optional
+from dance_tpu.typing import LogLevel, Optional, Tuple
+from dance_tpu.utils.loss import nb_nll, zinb_nll
 from dance_tpu.utils.wrappers import as_numpy
 
 
-class _DCCANet(nn.Module):
-    dim1: int
-    dim2: int
-    z_dim: int = 16
+class _MLP(nn.Module):
+    dims: Tuple[int, ...]
+    droprate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        for d in self.dims:
+            x = nn.relu(nn.Dense(d)(x))
+            x = nn.Dropout(self.droprate, deterministic=not training)(x)
+        return x
+
+
+class _ModalityVAE(nn.Module):
+    """One DCCA modality VAE (parity: dcca.py VAE, :277-375).
+
+    ``likelihood``: 'NB' / 'ZINB' (count decoder with softmax scale × library
+    size, per-gene dispersion) or 'Bernoulli' (sigmoid decoder + BCE).
+    """
+
+    input_dim: int
+    hidden: Tuple[int, ...]
+    z_dim: int
+    likelihood: str = "NB"
+    droprate: float = 0.1
 
     def setup(self):
-        self.enc1 = GaussianEncoder((128,), self.z_dim)
-        self.enc2 = GaussianEncoder((128,), self.z_dim)
-        self.dec1 = GaussianDecoder((128,), self.dim1)
-        self.dec2 = GaussianDecoder((128,), self.dim2)
+        self.encoder = _MLP(self.hidden, self.droprate)
+        self.fc_mean = nn.Dense(self.z_dim)
+        self.fc_logvar = nn.Dense(self.z_dim)
+        self.decoder = _MLP(tuple(reversed(self.hidden)), self.droprate)
+        self.dec_scale = nn.Dense(self.input_dim)
+        if self.likelihood in ("NB", "ZINB"):
+            self.dec_disp = nn.Dense(self.input_dim)
+        if self.likelihood == "ZINB":
+            self.dec_drop = nn.Dense(self.input_dim)
 
-    def __call__(self, x1, x2, rng):
-        mu1, lv1 = self.enc1(x1)
-        mu2, lv2 = self.enc2(x2)
-        r1, r2 = jax.random.split(rng)
-        z1 = reparameterize(r1, mu1, lv1)
-        z2 = reparameterize(r2, mu2, lv2)
-        return (self.dec1(z1), self.dec2(z2), self.dec1(z2), self.dec2(z1),
-                (mu1, lv1), (mu2, lv2))
+    def encode(self, x, *, training: bool = False):
+        h = self.encoder(x, training=training)
+        return self.fc_mean(h), self.fc_logvar(h), h
 
-    def embed(self, x1, x2):
-        mu1, _ = self.enc1(x1)
-        mu2, _ = self.enc2(x2)
-        return (mu1 + mu2) / 2
+    def __call__(self, x, log_sf, rng=None, *, training: bool = False):
+        mean, logvar, hidden = self.encode(x, training=training)
+        if training and rng is not None:
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape)
+        else:
+            z = mean
+        h = self.decoder(z, training=training)
+        out = {"mean": mean, "logvar": logvar, "latent": z, "hidden": hidden}
+        if self.likelihood in ("NB", "ZINB"):
+            norm_x = jax.nn.softmax(self.dec_scale(h), axis=1)
+            out["scale_x"] = jnp.exp(log_sf)[:, None] * norm_x
+            out["disp"] = jnp.exp(jnp.clip(self.dec_disp(h), -15, 15))
+            if self.likelihood == "ZINB":
+                out["dropout"] = nn.sigmoid(self.dec_drop(h))
+        else:  # Bernoulli
+            out["scale_x"] = nn.sigmoid(self.dec_scale(h))
+        return out
+
+    def nll(self, out, x_raw):
+        """Per-cell negative log likelihood (summed over features)."""
+        if self.likelihood == "NB":
+            return nb_nll(x_raw, out["scale_x"], out["disp"], reduce=False).sum(1)
+        if self.likelihood == "ZINB":
+            return zinb_nll(x_raw, out["scale_x"], out["disp"], out["dropout"],
+                            reduce=False).sum(1)
+        p = jnp.clip(out["scale_x"], 1e-7, 1 - 1e-7)
+        return -(x_raw * jnp.log(p) + (1 - x_raw) * jnp.log1p(-p)).sum(1)
+
+
+def _gaussian_kl(mean, logvar):
+    """KL(N(mean, exp(logvar)) || N(0, 1)), per cell."""
+    return 0.5 * jnp.sum(jnp.exp(logvar) + mean ** 2 - 1.0 - logvar, axis=1)
+
+
+def _eucli_attention(z, z_pre):
+    """Default 'Eucli' attention-transfer loss (reference Eucli_dis)."""
+    return jnp.sum((z - z_pre) ** 2, axis=1)
 
 
 class DCCA(BaseRegressionMethod):
-    """DCCA model (parity: dcca.py:649)."""
+    """DCCA model (parity: dcca.py:649).
 
-    _DISPLAY_ATTRS = ("z_dim",)
+    Parameters mirror the reference constructor: per-modality encoder stacks
+    (``layer_e_*``), latent sizes, decoder stacks, likelihood types, cycle
+    count, and the attention scale factors ``sf1``/``sf2``.
+    """
 
-    def __init__(self, layer_e_1=None, hidden1_1=None, Zdim_1: int = 16, *args,
-                 z_dim: Optional[int] = None, seed: int = 0, **kwargs):
+    _DISPLAY_ATTRS = ("z_dim", "cycle", "type_1", "type_2")
+
+    def __init__(self, layer_e_1=(128,), hidden1_1: int = 128, Zdim_1: int = 16,
+                 layer_d_1=(128,), hidden2_1: int = 128, layer_e_2=(128,),
+                 hidden1_2: int = 128, Zdim_2: int = 16, layer_d_2=(128,),
+                 hidden2_2: int = 128, args=None, ground_truth1=None,
+                 Type_1: str = "NB", Type_2: str = "Bernoulli", cycle: int = 1,
+                 attention_loss: str = "Eucli", droprate: float = 0.1, *,
+                 z_dim: Optional[int] = None, sf1: float = 2.0, sf2: float = 1.0,
+                 seed: int = 0):
         self.z_dim = z_dim or Zdim_1
+        self.z_dim2 = Zdim_2 if z_dim is None else z_dim
+        self.hidden1 = tuple(layer_e_1)[0:] or (128,)
+        self.hidden2 = tuple(layer_e_2)[0:] or (128,)
+        self.type_1 = Type_1
+        self.type_2 = Type_2
+        self.cycle = cycle
+        self.attention_loss = attention_loss
+        self.droprate = droprate
+        self.sf1 = sf1
+        self.sf2 = sf2
         self.seed = seed
-        self.params = None
+        self.params1 = self.params2 = None
 
     @staticmethod
     def preprocessing_pipeline(log_level: LogLevel = "INFO"):
@@ -68,47 +148,114 @@ class DCCA(BaseRegressionMethod):
                           "label_mod": "mod1", "label_channel": "cell_type",
                           "label_channel_type": "obs"}, log_level=log_level)
 
-    @partial(jax.jit, static_argnames=("self",))
-    def _step(self, params, opt_state, x1, x2, key):
+    # --- jitted phase epoch -------------------------------------------------
+
+    @partial(jax.jit, static_argnames=("self", "which", "use_attention"))
+    def _phase_epoch(self, params, opt_state, x, x_raw, log_sf, z_pre, kl_weight,
+                     key, which: int, use_attention: bool):
+        net = self.net1 if which == 1 else self.net2
+        sf_att = self.sf2 if which == 1 else self.sf1
+
         def loss_fn(params):
-            r1, r2, c1, c2, (mu1, lv1), (mu2, lv2) = self.net.apply(
-                {"params": params}, x1, x2, key)
-            recon = jnp.mean((r1 - x1) ** 2) + jnp.mean((r2 - x2) ** 2)
-            cross = jnp.mean((c1 - x1) ** 2) + jnp.mean((c2 - x2) ** 2)
-            consist = jnp.mean((mu1 - mu2) ** 2)
-            kl = gaussian_kl(mu1, lv1) + gaussian_kl(mu2, lv2)
-            return recon + cross + consist + 1e-3 * kl
+            out = net.apply({"params": params}, x, log_sf, rng=key, training=True,
+                            rngs={"dropout": jax.random.fold_in(key, 3)})
+            loss = net.nll(out, x_raw) + kl_weight * _gaussian_kl(
+                out["mean"], out["logvar"])
+            if use_attention:
+                loss = loss + sf_att * _eucli_attention(out["latent"], z_pre)
+            return jnp.mean(loss)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = self._tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    def fit(self, x_mod1, x_mod2, epochs: int = 200, lr: float = 1e-3):
+    def _latent(self, which: int):
+        net, params = ((self.net1, self.params1) if which == 1
+                       else (self.net2, self.params2))
+        x, log_sf = (self._x1, self._lsf1) if which == 1 else (self._x2, self._lsf2)
+        out = net.apply({"params": params}, x, log_sf)
+        return out["latent"], out["mean"]
+
+    def _run_phase(self, which: int, use_attention: bool, epochs: int, lr: float,
+                   key, anneal_epoch: int = 10):
+        params = self.params1 if which == 1 else self.params2
+        x, xr, lsf = ((self._x1, self._xr1, self._lsf1) if which == 1
+                      else (self._x2, self._xr2, self._lsf2))
+        z_pre = self._latent(2 if which == 1 else 1)[0] if use_attention else (
+            jnp.zeros((x.shape[0], self.z_dim)))
+        self._tx = optax.adamw(lr, weight_decay=5e-4)
+        opt_state = self._tx.init(params)
+        for epoch in range(1, epochs + 1):
+            key, ek = jax.random.split(key)
+            kl_weight = min(1.0, epoch / anneal_epoch)
+            params, opt_state, loss = self._phase_epoch(
+                params, opt_state, x, xr, lsf, z_pre, kl_weight, ek, which,
+                use_attention)
+        if which == 1:
+            self.params1 = params
+        else:
+            self.params2 = params
+        return float(loss)
+
+    def fit(self, x_mod1, x_mod2, x_mod1_raw=None, x_mod2_raw=None, *,
+            epochs: int = 100, lr1: float = 1e-2, lr2: float = 1e-2,
+            first: str = "RNA"):
+        """Cycle training (parity: DCCA.fit, dcca.py:733-826).
+
+        used_cycle 0 initializes the modality-1 VAE alone; odd cycles train
+        the modality-2 VAE with attention transfer from the frozen modality-1
+        latents (twice on cycle 1, mirroring the reference); later even
+        cycles re-train modality 1 with attention from modality 2.
+        """
         x1 = jnp.asarray(as_numpy(x_mod1), jnp.float32)
         x2 = jnp.asarray(as_numpy(x_mod2), jnp.float32)
-        self.net = _DCCANet(dim1=x1.shape[1], dim2=x2.shape[1], z_dim=self.z_dim)
+        xr1 = (jnp.asarray(as_numpy(x_mod1_raw), jnp.float32)
+               if x_mod1_raw is not None else jnp.expm1(jnp.maximum(x1, 0.0)))
+        xr2 = (jnp.asarray(as_numpy(x_mod2_raw), jnp.float32)
+               if x_mod2_raw is not None else (x2 > 0).astype(jnp.float32))
+        self._x1, self._x2, self._xr1, self._xr2 = x1, x2, xr1, xr2
+        self._lsf1 = jnp.log(jnp.maximum(xr1.sum(1), 1.0))
+        self._lsf2 = jnp.log(jnp.maximum(xr2.sum(1), 1.0))
+
+        self.net1 = _ModalityVAE(input_dim=x1.shape[1], hidden=self.hidden1,
+                                 z_dim=self.z_dim, likelihood=self.type_1,
+                                 droprate=self.droprate)
+        self.net2 = _ModalityVAE(input_dim=x2.shape[1], hidden=self.hidden2,
+                                 z_dim=self.z_dim2, likelihood=self.type_2,
+                                 droprate=self.droprate)
         key = jax.random.key(self.seed)
-        self.params = self.net.init(key, x1[:1], x2[:1],
-                                    jax.random.fold_in(key, 5))["params"]
-        self._tx = optax.adam(lr)
-        opt_state = self._tx.init(self.params)
-        for epoch in range(epochs):
-            key, sk = jax.random.split(key)
-            self.params, opt_state, loss = self._step(self.params, opt_state, x1, x2,
-                                                      sk)
-            if epoch % 50 == 0:
-                logger.info("DCCA epoch %d, loss %.5f", epoch, float(loss))
-        self._cache = (x1, x2)
+        k1, k2, key = jax.random.split(key, 3)
+        self.params1 = self.net1.init({"params": k1, "dropout": k1}, x1[:1],
+                                      self._lsf1[:1])["params"]
+        self.params2 = self.net2.init({"params": k2, "dropout": k2}, x2[:1],
+                                      self._lsf2[:1])["params"]
+
+        for used_cycle in range(self.cycle + 1):
+            key, pk = jax.random.split(key)
+            if used_cycle == 0:
+                loss = self._run_phase(1, False, epochs, lr1, pk)
+            elif used_cycle == 1:
+                key, pk2 = jax.random.split(key)
+                loss = self._run_phase(2, False, epochs, lr2, pk)
+                if self.attention_loss is not None:
+                    loss = self._run_phase(2, True, epochs, lr2, pk2)
+            elif used_cycle % 2 == 0:
+                loss = self._run_phase(1, True, epochs, lr1, pk)
+            else:
+                loss = self._run_phase(2, True, epochs, lr2, pk)
+            logger.info("DCCA cycle %d done, loss %.5f", used_cycle, loss)
         return self
 
     def predict(self, x_mod1=None, x_mod2=None):
-        if x_mod1 is None:
-            x1, x2 = self._cache
-        else:
-            x1 = jnp.asarray(as_numpy(x_mod1), jnp.float32)
-            x2 = jnp.asarray(as_numpy(x_mod2), jnp.float32)
-        return np.asarray(self.net.apply({"params": self.params}, x1, x2,
-                                         method=self.net.embed))
+        """Joint embedding: concat of both modality latent means (dcca.py:985)."""
+        if x_mod1 is not None:
+            self._x1 = jnp.asarray(as_numpy(x_mod1), jnp.float32)
+            self._x2 = jnp.asarray(as_numpy(x_mod2), jnp.float32)
+            self._lsf1 = jnp.zeros(self._x1.shape[0])
+            self._lsf2 = jnp.zeros(self._x2.shape[0])
+        z1 = self._latent(1)[1]
+        z2 = self._latent(2)[1]
+        return np.asarray(jnp.concatenate([z1, z2], axis=1))
 
     def score(self, x, y, *, score_func=None, return_pred: bool = False, **kwargs):
         from dance_tpu.utils.metrics import labeled_clustering_evaluate

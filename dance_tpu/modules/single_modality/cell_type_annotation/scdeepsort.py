@@ -95,7 +95,11 @@ class ScDeepSort(BaseClassificationMethod):
                                 alpha_idx=alpha_idx)
 
     def fit(self, graph: Graph, labels, epochs: int = 300, lr: float = 1e-3,
-            weight_decay: float = 0, val_ratio: float = 0.2):
+            weight_decay: float = 0, val_ratio: float = 0.2,
+            use_bsr: bool = False, bsr_block: int = 128):
+        """Full-graph training. ``use_bsr=True`` runs AdaptiveSAGE through the
+        Pallas block-sparse SpMM (ops.sparse.AdaptiveBSR decomposition) —
+        the TPU fast path for large graphs; differentiable end to end."""
         labels = as_numpy(labels)
         if labels.ndim == 2:
             labels = labels.argmax(1)
@@ -104,6 +108,8 @@ class ScDeepSort(BaseClassificationMethod):
         num_genes = int(graph.info["num_genes"])
         num_cells = int(graph.info["num_cells"])
         self.num_labels = int(labels.max()) + 1
+        conv_adj = graph.to_adaptive_bsr(block=bsr_block) if use_bsr else dg.adj
+        self._use_bsr, self._bsr_block = use_bsr, bsr_block
         self._graph_cache = (dg, gene_id)
 
         rng = np.random.default_rng(self.seed)
@@ -121,15 +127,18 @@ class ScDeepSort(BaseClassificationMethod):
                          n_layers=self.n_layers, gene_num=num_genes,
                          dropout=self.dropout)
         # static per-edge alpha index computed once on host (compile-time saver)
-        from dance_tpu.nn.gnn import AdaptiveSAGE as _AS
-        alpha_idx = jnp.asarray(_AS.edge_alpha_index(
-            np.asarray(dg.adj.row_ids()), np.asarray(dg.adj.indices),
-            np.asarray(gene_id), num_genes))
+        if use_bsr:
+            alpha_idx = None  # the AdaptiveBSR decomposition subsumes it
+        else:
+            from dance_tpu.nn.gnn import AdaptiveSAGE as _AS
+            alpha_idx = jnp.asarray(_AS.edge_alpha_index(
+                np.asarray(dg.adj.row_ids()), np.asarray(dg.adj.indices),
+                np.asarray(gene_id), num_genes))
         self._alpha_idx = alpha_idx
         key = jax.random.key(self.seed)
         feats = dg.ndata["features"]
-        self.params = self.model.init({"params": key, "dropout": key}, dg.adj, feats,
-                                      gene_id, alpha_idx=alpha_idx)["params"]
+        self.params = self.model.init({"params": key, "dropout": key}, conv_adj,
+                                      feats, gene_id, alpha_idx=alpha_idx)["params"]
         self._tx = (optax.adamw(lr, weight_decay=weight_decay) if weight_decay
                     else optax.adam(lr))
         opt_state = self._tx.init(self.params)
@@ -139,10 +148,11 @@ class ScDeepSort(BaseClassificationMethod):
         for epoch in range(epochs):
             key, sk = jax.random.split(key)
             self.params, opt_state, loss = self._train_step(
-                self.params, opt_state, dg.adj, feats, gene_id, full_labels,
+                self.params, opt_state, conv_adj, feats, gene_id, full_labels,
                 train_mask, sk, alpha_idx)
             if num_val:
-                logits = self._forward(self.params, dg.adj, feats, gene_id, alpha_idx)
+                logits = self._forward(self.params, conv_adj, feats, gene_id,
+                                       alpha_idx)
                 pred = np.asarray(logits.argmax(1))
                 val_acc = (pred[val_idx] == y_np[val_idx]).mean()
                 if val_acc >= best_val:
@@ -264,7 +274,9 @@ class ScDeepSort(BaseClassificationMethod):
     def predict_proba(self, graph: Graph):
         dg = graph.to_device()
         gene_id = dg.ndata["cell_id"]
-        logits = self._forward(self.params, dg.adj, dg.ndata["features"], gene_id)
+        adj = (graph.to_adaptive_bsr(block=self._bsr_block)
+               if getattr(self, "_use_bsr", False) else dg.adj)
+        logits = self._forward(self.params, adj, dg.ndata["features"], gene_id)
         num_genes = int(graph.info["num_genes"])
         cell_logits = logits[num_genes:]
         return np.asarray(jax.nn.softmax(cell_logits, axis=-1))

@@ -1,12 +1,18 @@
 """scGNN 2.0: iterative multi-autoencoder EM imputation, TPU-native.
 
-Parity target: dance/modules/single_modality/imputation/scgnn2.py (1330 LoC
-EM loop alternating a feature AE, a graph AE over the cell kNN graph built
-from the current embedding, and per-cluster AEs; the final imputation comes
-from the feature AE reconstruction informed by the graph-smoothed embedding).
-This is a behavior-matched compact rebuild: each EM round re-derives the cell
-graph from the embedding, refines embeddings with a GCN AE, clusters them, and
-fine-tunes reconstruction within clusters via a cluster-conditioned decoder.
+Parity target: dance/modules/single_modality/imputation/scgnn2.py (EM loop
+alternating a feature AE (:338), a graph AE over the cell graph built from
+the current embedding (:373), Louvain clustering on that graph (:138-232),
+and per-cluster Cluster AEs warm-started from the feature AE whose
+reconstructions form the next round's imputed matrix (:429, :821-880); the
+cluster stage minimizes the reference "Celltype" objective
+0.3·MSE + ||nonzero(x_dropout − recon)|| + 0.3·graph-regu + 0.1·celltype-regu
+(loss_function_graph, :1298-1330)).
+
+TPU design: the reference trains one Cluster AE per cluster sequentially;
+here all clusters train SIMULTANEOUSLY under one vmapped scan over padded
+fixed-size cluster batches — same math (padding rows carry zero loss weight),
+one compiled program regardless of cluster count.
 """
 
 from functools import partial
@@ -30,6 +36,9 @@ from dance_tpu.utils.wrappers import as_numpy
 
 
 class _FeatureAE(nn.Module):
+    """Feature AE (parity: Feature_AE, scgnn2.py:338); the Cluster AE shares
+    this architecture (Cluster_AE subclasses it verbatim, :429)."""
+
     hidden: Tuple[int, ...] = (512, 128)
 
     @nn.compact
@@ -62,7 +71,8 @@ class ScGNN2(BaseRegressionMethod):
     def __init__(self, total_epoch: int = 3, feature_epoch: int = 100,
                  graph_epoch: int = 50, cluster_epoch: int = 50, n_clusters: int = 10,
                  k: int = 10, hidden: Tuple[int, ...] = (512, 128), lr: float = 1e-3,
-                 seed: int = 0, **kwargs):
+                 cluster_lr: float = 1e-3, regu_strength: float = 0.9,
+                 max_clusters: int = 30, seed: int = 0, **kwargs):
         self.total_epoch = total_epoch
         self.feature_epoch = feature_epoch
         self.graph_epoch = graph_epoch
@@ -71,6 +81,9 @@ class ScGNN2(BaseRegressionMethod):
         self.k = k
         self.hidden = tuple(hidden)
         self.lr = lr
+        self.cluster_lr = cluster_lr
+        self.regu_strength = regu_strength
+        self.max_clusters = max_clusters
         self.seed = seed
 
     @staticmethod
@@ -94,17 +107,13 @@ class ScGNN2(BaseRegressionMethod):
             "label_channel_type": ["X", "raw_X"]}))
         return Compose(*transforms, log_level=log_level)
 
+    # --- jitted stages ------------------------------------------------------
+
     @partial(jax.jit, static_argnames=("self",))
-    def _feature_step(self, params, opt_state, x, mask, cluster_onehot):
+    def _feature_step(self, params, opt_state, x, mask):
         def loss_fn(params):
-            z, x_hat = self.feature_ae.apply({"params": params}, x)
-            recon = jnp.sum(mask * (x - x_hat) ** 2) / jnp.maximum(mask.sum(), 1.0)
-            # cluster-conditioned regularization: pull cells toward their
-            # cluster centroid in latent space (cluster-AE role, compacted)
-            counts = cluster_onehot.sum(0)
-            centroids = (cluster_onehot.T @ z) / jnp.maximum(counts[:, None], 1.0)
-            intra = jnp.mean(jnp.sum((z - cluster_onehot @ centroids) ** 2, axis=1))
-            return recon + 1e-3 * intra
+            _, x_hat = self.feature_ae.apply({"params": params}, x)
+            return jnp.sum(mask * (x - x_hat) ** 2) / jnp.maximum(mask.sum(), 1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = self._f_tx.update(grads, opt_state, params)
@@ -120,60 +129,166 @@ class ScGNN2(BaseRegressionMethod):
         updates, opt_state = self._g_tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    @partial(jax.jit, static_argnames=("self", "n_epochs"))
+    def _cluster_ae_train(self, stacked_params, xr_pad, xd_pad, row_mask, gw_pad,
+                          n_epochs: int):
+        """Train every cluster's AE simultaneously (vmapped over clusters).
+
+        Per-cluster objective follows loss_function_graph "Celltype"
+        (scgnn2.py:1314-1328): 0.3·sum MSE + frobenius of the nonzero
+        (x_dropout − recon) residual + 0.3·graph-weighted row MSE +
+        0.1·celltype-weighted row MSE (weights = column sums of the
+        within-cluster adjacency / all-ones matrices — the matmuls in the
+        reference reduce to exactly these row weights).
+        """
+        tx = optax.adam(self.cluster_lr)
+
+        def cluster_loss(params, xr, xd, m, gw):
+            _, recon = self.feature_ae.apply({"params": params}, xr)
+            se = (recon - xr) ** 2 * m[:, None]
+            mse_rows = se.sum(1)
+            bce = mse_rows.sum()
+            nz = (xd - recon) * (xd != 0) * m[:, None]
+            nonzero_regu = jnp.sqrt(jnp.maximum(jnp.sum(nz ** 2), 1e-12))
+            csize = m.sum()
+            graph_regu = jnp.sum(gw * mse_rows)
+            celltype_regu = csize * mse_rows.sum()
+            return 0.3 * bce + nonzero_regu + 0.3 * graph_regu + 0.1 * celltype_regu
+
+        def one_cluster(params, xr, xd, m, gw):
+            opt_state = tx.init(params)
+
+            def step(carry, _):
+                params, opt_state = carry
+                loss, grads = jax.value_and_grad(cluster_loss)(params, xr, xd, m, gw)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state), loss
+
+            (params, _), losses = jax.lax.scan(step, (params, opt_state), None,
+                                               length=n_epochs)
+            _, recon = self.feature_ae.apply({"params": params}, xr)
+            return recon, losses[-1]
+
+        return jax.vmap(one_cluster)(stacked_params, xr_pad, xd_pad, row_mask,
+                                     gw_pad)
+
+    # --- cluster bookkeeping -------------------------------------------------
+
+    def _cluster_labels(self, z, adj, n: int) -> np.ndarray:
+        """Louvain communities on the embedding kNN graph with the reference's
+        trimming (clusters <5 cells or >max_clusters collapse, scgnn2.py:229)."""
+        from dance_tpu.ops.cluster import kmeans, louvain
+        labels = np.asarray(louvain(adj, seed=self.seed))
+        uniq, counts = np.unique(labels, return_counts=True)
+        if len(uniq) < 2 or len(uniq) > self.max_clusters:
+            k_cl = min(self.n_clusters, max(n // 10, 2))
+            labels = np.asarray(kmeans(np.asarray(z), k_cl, n_init=3,
+                                       seed=self.seed).labels)
+        # trim: merge tiny clusters into the largest one
+        uniq, counts = np.unique(labels, return_counts=True)
+        tiny = uniq[counts < min(5, max(n // 20, 1))]
+        if len(tiny) and len(uniq) - len(tiny) >= 1:
+            labels = np.where(np.isin(labels, tiny), uniq[np.argmax(counts)], labels)
+        # re-index consecutively
+        _, labels = np.unique(labels, return_inverse=True)
+        return labels
+
+    def _cluster_ae_stage(self, f_params, x_recon, x_dropout, labels, adj):
+        """Pad clusters to one fixed size, warm-start every cluster AE from the
+        feature AE, train them all under one vmapped scan, and scatter the
+        reconstructions back (parity: cluster_AE_handler, scgnn2.py:821-880)."""
+        n = x_recon.shape[0]
+        k_cl = int(labels.max()) + 1
+        sizes = np.bincount(labels, minlength=k_cl)
+        m = int(sizes.max())
+        idx_mat = np.zeros((k_cl, m), np.int32)
+        row_mask = np.zeros((k_cl, m), np.float32)
+        adj_csr = adj.tocsr()
+        gw = np.zeros((k_cl, m), np.float32)
+        for c in range(k_cl):
+            members = np.where(labels == c)[0]
+            idx_mat[c, :len(members)] = members
+            row_mask[c, :len(members)] = 1.0
+            sub = adj_csr[members][:, members]
+            gw[c, :len(members)] = np.asarray(sub.sum(0)).ravel()
+        stacked = jax.tree_util.tree_map(
+            lambda leaf: jnp.broadcast_to(leaf, (k_cl,) + leaf.shape), f_params)
+        xr_pad = jnp.asarray(np.asarray(x_recon)[idx_mat])
+        xd_pad = jnp.asarray(np.asarray(x_dropout)[idx_mat])
+        recon_pad, losses = self._cluster_ae_train(
+            stacked, xr_pad, xd_pad, jnp.asarray(row_mask), jnp.asarray(gw),
+            n_epochs=self.cluster_epoch)
+        out = np.zeros_like(np.asarray(x_recon))
+        recon_np = np.asarray(recon_pad)
+        for c in range(k_cl):
+            members = idx_mat[c][row_mask[c] > 0]
+            out[members] = recon_np[c, :len(members)]
+        return out
+
+    # --- EM loop --------------------------------------------------------------
+
     def fit(self, x, x_raw=None, mask=None):
-        from dance_tpu.ops.cluster import kmeans
         from dance_tpu.ops.neighbors import knn_graph
+        import scipy.sparse as sp
 
         x = as_numpy(x).astype(np.float32)
         mask_arr = (as_numpy(mask).astype(np.float32) if mask is not None
                     else np.ones_like(x))
-        xj = jnp.asarray(x * mask_arr)
+        x_dropout = x * mask_arr  # observed entries only (reference x_dropout)
         mj = jnp.asarray(mask_arr)
+        n = x.shape[0]
 
         self.feature_ae = _FeatureAE(hidden=self.hidden)
         self.graph_ae = _GraphAE(z_dim=self.hidden[-1])
         key = jax.random.key(self.seed)
-        f_params = self.feature_ae.init(key, xj[:1])["params"]
+        f_params = self.feature_ae.init(key, jnp.asarray(x_dropout[:1]))["params"]
         self._f_tx = optax.adam(self.lr)
-        f_state = self._f_tx.init(f_params)
         g_params = None
 
-        n = x.shape[0]
-        k_cl = min(self.n_clusters, max(n // 10, 2))
-        cluster_onehot = jnp.ones((n, 1), jnp.float32)  # single cluster, round 0
-
-        for em in range(self.total_epoch):
-            # (1) feature AE
+        def feature_stage(x_in, params, train_mask):
+            state = self._f_tx.init(params)
+            xj = jnp.asarray(x_in)
             for _ in range(self.feature_epoch):
-                f_params, f_state, f_loss = self._feature_step(
-                    f_params, f_state, xj, mj, cluster_onehot)
-            z, x_hat = self.feature_ae.apply({"params": f_params}, xj)
-            # (2) cell graph from current embedding + graph AE smoothing
-            adj = knn_graph(np.asarray(z), min(self.k, n - 1), mode="connectivity",
-                            include_self=False)
-            import scipy.sparse as sp
-            adj = adj + sp.eye(n, format="csr", dtype=np.float32)
-            deg = np.asarray(adj.sum(1)).ravel()
-            import scipy.sparse as sp2
-            dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
-            adj_n = csr_from_scipy(sp2.diags(dinv) @ adj @ sp2.diags(dinv))
+                params, state, loss = self._feature_step(params, state, xj,
+                                                         train_mask)
+            z, x_hat = self.feature_ae.apply({"params": params}, xj)
+            return params, z, np.asarray(x_hat), float(loss)
+
+        def graph_stage(z, g_params, em):
+            adj = knn_graph(np.asarray(z), min(self.k, n - 1),
+                            mode="connectivity", include_self=False)
+            adj_sl = adj + sp.eye(n, format="csr", dtype=np.float32)
+            dinv = 1.0 / np.sqrt(np.maximum(np.asarray(adj_sl.sum(1)).ravel(), 1e-12))
+            adj_n = csr_from_scipy(sp.diags(dinv) @ adj_sl @ sp.diags(dinv))
             if g_params is None:
                 g_params = self.graph_ae.init(jax.random.fold_in(key, em), adj_n,
                                               z)["params"]
                 self._g_tx = optax.adam(self.lr)
-                g_state = self._g_tx.init(g_params)
+            g_state = self._g_tx.init(g_params)
             for _ in range(self.graph_epoch):
-                g_params, g_state, g_loss = self._graph_step(g_params, g_state, adj_n, z)
+                g_params, g_state, g_loss = self._graph_step(g_params, g_state,
+                                                             adj_n, z)
             z_g = self.graph_ae.apply({"params": g_params}, adj_n, z)
-            # (3) cluster the graph-smoothed embedding
-            labels = np.asarray(kmeans(np.asarray(z_g), k_cl, n_init=3,
-                                       seed=self.seed).labels)
-            cluster_onehot = jnp.asarray(np.eye(k_cl, dtype=np.float32)[labels])
-            logger.info("EM round %d: recon %.5f graph %.5f", em, float(f_loss),
-                        float(g_loss))
+            return g_params, z_g, adj, float(g_loss)
 
-        _, x_hat = self.feature_ae.apply({"params": f_params}, xj)
-        imputed = np.asarray(x_hat)
+        # pre-EM: feature AE on the observed matrix, then the first graph
+        f_params, z, x_recon, f_loss = feature_stage(x_dropout, f_params, mj)
+        g_params, z_g, adj, g_loss = graph_stage(z, g_params, 0)
+
+        labels = np.zeros(n, np.int64)
+        x_imputed = x_recon
+        for em in range(self.total_epoch):
+            labels = self._cluster_labels(z_g, adj, n)
+            x_imputed = self._cluster_ae_stage(f_params, x_recon, x_dropout,
+                                               labels, adj)
+            # next round: feature AE retrains on the imputed matrix (EM "M" step)
+            f_params, z, x_recon, f_loss = feature_stage(
+                x_imputed, f_params, jnp.ones_like(mj))
+            g_params, z_g, adj, g_loss = graph_stage(z, g_params, em + 1)
+            logger.info("EM round %d: %d clusters, recon %.5f graph %.5f", em,
+                        int(labels.max()) + 1, f_loss, g_loss)
+
+        imputed = np.asarray(x_imputed)
         out = x.copy()
         out[mask_arr == 0] = imputed[mask_arr == 0]
         self.imputed = out
@@ -182,3 +297,16 @@ class ScGNN2(BaseRegressionMethod):
 
     def predict(self, x=None, mask=None):
         return self.imputed
+
+    def score(self, true_expr, imputed_expr, mask=None, metric: str = "MSE",
+              test_idx=None):
+        true = as_numpy(true_expr).astype(np.float32)
+        imp = as_numpy(imputed_expr).astype(np.float32)
+        if mask is not None:
+            m = as_numpy(mask).astype(bool)
+            true, imp = true[m], imp[m]
+        if metric == "MSE":
+            return float(np.mean((np.log1p(true) - np.log1p(np.maximum(imp, 0))) ** 2))
+        if metric == "PCC":
+            return float(np.corrcoef(true.ravel(), imp.ravel())[0, 1])
+        raise ValueError(f"Unknown metric {metric!r}")

@@ -36,6 +36,17 @@ def _edge_attention(adj, feat, attn_l, attn_r, negative_slope: float = 0.2):
     return edge_softmax(adj, logits)
 
 
+def _fused_gat(adj, feat_logits, attn_l, attn_r, h):
+    """Fused SDDMM+softmax+SpMM on the Pallas BSR kernel: attention logits
+    from ``feat_logits`` (same tied coefficients as the CSR path), messages
+    from ``h``."""
+    from dance_tpu.ops.pallas_kernels import bsr_gat_ad
+    el = (feat_logits * attn_l).sum(-1)
+    er = (feat_logits * attn_r).sum(-1)
+    n = h.shape[0]
+    return bsr_gat_ad(adj, er, el, h)[:n]
+
+
 def _att_aggregate(adj, feat, att):
     from dance_tpu.ops.segment import aggregate
     msgs = jnp.take(feat, adj.indices, axis=0) * att[:, None]
@@ -51,6 +62,7 @@ class _StagateNet(nn.Module):
 
     @nn.compact
     def __call__(self, adj, x):
+        from dance_tpu.ops.pallas_kernels import BSRMatrix
         in_dim, h_dim, z_dim = self.hidden_dims
         w1 = self.param("w1", nn.initializers.glorot_uniform(), (in_dim, h_dim))
         w2 = self.param("w2", nn.initializers.glorot_uniform(), (h_dim, z_dim))
@@ -59,6 +71,15 @@ class _StagateNet(nn.Module):
         a2l = self.param("a2l", nn.initializers.glorot_uniform(), (1, z_dim))
         a2r = self.param("a2r", nn.initializers.glorot_uniform(), (1, z_dim))
         f1 = x @ w1
+        if isinstance(adj, BSRMatrix):
+            # Pallas fast path: attention never materializes per edge; each
+            # aggregation is one fused streaming kernel over the BSR tiles
+            h1 = nn.elu(_fused_gat(adj, f1, a1l, a1r, f1))
+            f2 = h1 @ w2
+            z = _fused_gat(adj, f2, a2l, a2r, f2)
+            h2 = nn.elu(_fused_gat(adj, f2, a2l, a2r, z @ w2.T))
+            x_hat = _fused_gat(adj, f1, a1l, a1r, h2 @ w1.T)
+            return z, x_hat
         att1 = _edge_attention(adj, f1, a1l, a1r)
         h1 = nn.elu(_att_aggregate(adj, f1, att1))
         f2 = h1 @ w2
@@ -111,11 +132,17 @@ class Stagate(BasePretrain, BaseClusteringMethod):
 
     def fit(self, inputs, y=None, *, epochs: int = 500, lr: float = 1e-3,
             gradient_clipping: float = 5.0, weight_decay: float = 1e-4,
-            n_clusters: int = 7):
+            n_clusters: int = 7, use_bsr: bool = False, bsr_block: int = 128):
+        """``use_bsr=True`` routes every attention aggregation through the
+        fused Pallas GAT kernel (SDDMM + edge softmax + SpMM in one pass)."""
         x, adj = inputs
         x = np.asarray(x, dtype=np.float32)
         adj = sp.csr_matrix(adj) + sp.eye(adj.shape[0], format="csr", dtype=np.float32)
-        self.adj = csr_from_scipy(adj)
+        if use_bsr:
+            from dance_tpu.ops.pallas_kernels import bsr_from_scipy
+            self.adj = bsr_from_scipy(adj, block=bsr_block)
+        else:
+            self.adj = csr_from_scipy(adj)
         self.n_clusters = n_clusters
         xj = jnp.asarray(x)
         if self.params is None:

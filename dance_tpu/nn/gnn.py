@@ -11,9 +11,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from dance_tpu.ops.pallas_kernels import bsr_spmm_ad
 from dance_tpu.ops.segment import (aggregate, edge_softmax, gather_src, in_degrees,
                                    out_degrees, spmm)
-from dance_tpu.ops.sparse import CSRMatrix
+from dance_tpu.ops.sparse import AdaptiveBSR, CSRMatrix
 
 
 class GCNConv(nn.Module):
@@ -103,9 +104,31 @@ class AdaptiveSAGE(nn.Module):
         return idx
 
     @nn.compact
-    def __call__(self, adj: CSRMatrix, h, gene_id, alpha, *, training: bool = False,
+    def __call__(self, adj, h, gene_id, alpha, *, training: bool = False,
                  alpha_idx=None):
         n_genes = alpha.shape[0] - 2
+        if isinstance(adj, AdaptiveBSR):
+            # Pallas fast path: the per-edge alpha factor is a node property
+            # on the bipartite graph, so the edge gather collapses into one
+            # block-sparse SpMM (see ops.sparse.AdaptiveBSR).
+            gidx = adj.gene_idx
+            s = jnp.where(gidx >= 0, jnp.take(alpha, jnp.clip(gidx, 0)), 1.0)
+            self_alpha = jnp.where(gidx >= 0, alpha[n_genes], alpha[n_genes + 1])
+            n = h.shape[0]
+            hp = jnp.pad(s[:, None] * h, ((0, adj.bsr.shape[1] - n), (0, 0)))
+            neigh = s[:, None] * bsr_spmm_ad(adj.bsr, hp)[:n]
+            z = (neigh + (adj.w_diag * self_alpha)[:, None] * h)
+            z = z / jnp.maximum(adj.deg, 1.0)[:, None]
+        else:
+            z = self._csr_aggregate(adj, h, gene_id, alpha, n_genes, alpha_idx)
+        z = nn.Dropout(self.dropout, deterministic=not training)(z)
+        z = nn.Dense(self.out_dim, kernel_init=nn.initializers.xavier_uniform())(z)
+        z = nn.relu(z)
+        if self.use_norm:
+            z = nn.LayerNorm()(z)
+        return z
+
+    def _csr_aggregate(self, adj: CSRMatrix, h, gene_id, alpha, n_genes, alpha_idx):
         if alpha_idx is None:
             # traced fallback (small graphs / no precompute)
             src_id = jnp.take(gene_id, adj.indices)
@@ -117,13 +140,7 @@ class AdaptiveSAGE(nn.Module):
         else:
             idx = alpha_idx
         msgs = gather_src(adj, h) * jnp.take(alpha, idx)[:, None] * adj.data[:, None]
-        z = aggregate(adj, msgs, op="mean")
-        z = nn.Dropout(self.dropout, deterministic=not training)(z)
-        z = nn.Dense(self.out_dim, kernel_init=nn.initializers.xavier_uniform())(z)
-        z = nn.relu(z)
-        if self.use_norm:
-            z = nn.LayerNorm()(z)
-        return z
+        return aggregate(adj, msgs, op="mean")
 
 
 class GATConv(nn.Module):
@@ -135,7 +152,7 @@ class GATConv(nn.Module):
     concat: bool = True
 
     @nn.compact
-    def __call__(self, adj: CSRMatrix, h, *, return_attention: bool = False):
+    def __call__(self, adj, h, *, return_attention: bool = False):
         H, D = self.num_heads, self.out_dim
         feat = nn.Dense(H * D, use_bias=False,
                         kernel_init=nn.initializers.glorot_uniform())(h)
@@ -144,6 +161,18 @@ class GATConv(nn.Module):
         attn_r = self.param("attn_r", nn.initializers.glorot_uniform(), (1, H, D))
         el = (feat * attn_l).sum(-1)  # (n, H)
         er = (feat * attn_r).sum(-1)
+        from dance_tpu.ops.pallas_kernels import BSRMatrix, bsr_gat_ad
+        if isinstance(adj, BSRMatrix):
+            # fused Pallas path (per head): SDDMM + edge softmax + SpMM in one
+            # streaming kernel; attention coefficients never hit HBM
+            if return_attention:
+                raise ValueError("return_attention requires the CSR adjacency")
+            n = h.shape[0]
+            outs = [bsr_gat_ad(adj, er[:, k], el[:, k], feat[:, k, :],
+                               negative_slope=self.negative_slope)[:n]
+                    for k in range(H)]
+            out = jnp.stack(outs, axis=1)
+            return out.reshape(-1, H * D) if self.concat else out.mean(1)
         rows = adj.row_ids()
         logits = nn.leaky_relu(jnp.take(el, adj.indices, axis=0)
                                + jnp.take(er, rows, axis=0), self.negative_slope)

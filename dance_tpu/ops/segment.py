@@ -32,24 +32,31 @@ def aggregate(adj: CSRMatrix, messages: jax.Array, op: str = "sum") -> jax.Array
     raise ValueError(f"Unknown aggregation {op!r}")
 
 
-def spmm(adj, h: jax.Array, *, weighted: bool = True, op: str = "sum") -> jax.Array:
+def spmm(adj, h: jax.Array, *, weighted: bool = True, op: str = "sum",
+         degrees: jax.Array = None) -> jax.Array:
     """A @ H with optional edge weights — the core message-passing op.
 
     Accepts either a :class:`CSRMatrix` (gather + segment_sum, fully general)
     or a :class:`~dance_tpu.ops.pallas_kernels.BSRMatrix` (Pallas block-sparse
-    kernel — ~10× faster on chip for weighted-sum aggregation). BSR handles
-    weighted sums natively; 'mean' divides by the row-sums of |A|>0 pattern is
-    not recoverable from BSR alone, so mean/unweighted requests on BSR require
-    the paired degree vectors produced by :func:`to_bsr_graph`.
+    kernel — ~10× faster on chip). BSR handles weighted sums natively; for
+    ``op='mean'`` pass ``degrees`` (the per-row incoming-edge counts; the |A|>0
+    pattern is not recoverable from the dense tiles alone — graph builders
+    know it statically).
     """
     from dance_tpu.ops.pallas_kernels import BSRMatrix, bsr_spmm_ad
     if isinstance(adj, BSRMatrix):
-        if not weighted or op != "sum":
-            raise ValueError("BSR path supports weighted sum aggregation; use the "
-                             "CSR adjacency for mean/max or unweighted ops")
+        if not weighted or op not in ("sum", "mean"):
+            raise ValueError("BSR path supports weighted sum/mean aggregation; use "
+                             "the CSR adjacency for max or unweighted ops")
+        if op == "mean" and degrees is None:
+            raise ValueError("BSR mean aggregation needs the per-row edge-count "
+                             "vector (degrees=...) from the graph builder")
         n = h.shape[0]
         hp = jnp.pad(h, ((0, adj.shape[1] - n), (0, 0)))
-        return bsr_spmm_ad(adj, hp)[:n]
+        out = bsr_spmm_ad(adj, hp)[:n]
+        if op == "mean":
+            out = out / jnp.maximum(degrees[:n], 1.0)[:, None]
+        return out
     msgs = gather_src(adj, h)
     if weighted:
         msgs = msgs * adj.data[:, None]

@@ -121,6 +121,42 @@ def csr_scale_cols(mat: CSRMatrix, scale: jax.Array) -> CSRMatrix:
     return mat._replace(data=mat.data * jnp.take(scale, mat.indices))
 
 
-__all__ = ["CSRMatrix", "csr_col_sums", "csr_from_dense", "csr_from_scipy", "csr_matmat",
+__all__ = ["AdaptiveBSR", "CSRMatrix", "csr_col_sums", "csr_from_dense", "csr_from_scipy", "csr_matmat",
            "csr_matvec", "csr_rmatmat", "csr_row_sums", "csr_scale_cols", "csr_scale_rows",
            "csr_to_dense", "csr_to_scipy"]
+
+
+@jax.tree_util.register_pytree_node_class
+class AdaptiveBSR:
+    """Static decomposition of AdaptiveSAGE message passing onto the Pallas
+    block-sparse SpMM (the scDeepSort fast path).
+
+    On the bipartite cell-gene graph every off-diagonal edge's alpha factor is
+    a property of its gene endpoint: gene->cell edges use alpha[src_gene],
+    cell->gene edges use alpha[dst_gene] (reference models/nn/gnn.py:62-83).
+    With node scale ``s[v] = alpha[gene_idx[v]]`` for genes and 1 for cells,
+
+        sum_e w_e * alpha_e * h_src  ==  s ⊙ (A_off @ (s ⊙ h)) + w_diag * alpha_self * h
+
+    so the whole edge-gather collapses into ONE block-sparse matmul over the
+    static off-diagonal adjacency plus elementwise terms. ``deg`` holds the
+    incoming-edge counts (incl. self-loops) for the mean aggregation.
+    """
+
+    def __init__(self, bsr, w_diag, gene_idx, deg, n_genes: int):
+        self.bsr = bsr
+        self.w_diag = w_diag    # (n,) self-loop weight per node (0 if absent)
+        self.gene_idx = gene_idx  # (n,) gene index per node, -1 for cells
+        self.deg = deg          # (n,) incoming edge counts incl self-loops
+        self.n_genes = n_genes
+
+    def tree_flatten(self):
+        return (self.bsr, self.w_diag, self.gene_idx, self.deg), self.n_genes
+
+    @classmethod
+    def tree_unflatten(cls, n_genes, children):
+        return cls(*children, n_genes)
+
+    @property
+    def shape(self):
+        return (self.w_diag.shape[0], self.w_diag.shape[0])

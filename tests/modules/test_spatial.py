@@ -151,3 +151,31 @@ def test_stdgcn_e2e(deconvo_data):
     pred = model.predict()[n_pseudo:]
     mse = ((pred - portions) ** 2).mean()
     assert mse < 0.1, f"stdGCN portion MSE too high: {mse}"
+
+
+def test_stagate_bsr_parity():
+    """STAGATE's fused Pallas GAT path matches the CSR attention path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.sparse as sp
+
+    from dance_tpu.modules.spatial.spatial_domain.stagate import _StagateNet
+    from dance_tpu.ops.pallas_kernels import bsr_from_scipy
+    from dance_tpu.ops.sparse import csr_from_scipy
+
+    rng = np.random.default_rng(0)
+    n, d = 150, 20
+    adj = sp.random(n, n, density=0.05, random_state=0, dtype=np.float32,
+                    format="csr")
+    adj.data[:] = 1.0
+    adj = adj + sp.eye(n, format="csr", dtype=np.float32)
+    x = jnp.asarray(rng.random((n, d), dtype=np.float32))
+    net = _StagateNet(hidden_dims=(d, 16, 4))
+    params = net.init(jax.random.key(0), csr_from_scipy(adj), x)["params"]
+    z_csr, xh_csr = net.apply({"params": params}, csr_from_scipy(adj), x)
+    z_bsr, xh_bsr = net.apply({"params": params}, bsr_from_scipy(adj), x)
+    np.testing.assert_allclose(np.asarray(z_bsr), np.asarray(z_csr), rtol=2e-3,
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(xh_bsr), np.asarray(xh_csr),
+                               rtol=2e-3, atol=2e-3)
