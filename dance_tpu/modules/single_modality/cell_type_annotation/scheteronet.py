@@ -1,9 +1,15 @@
 """scHeteroNet: heterophily-aware GNN annotation with OOD detection.
 
 Parity target: dance/modules/single_modality/cell_type_annotation/
-scheteronet.py (HeteroNet encoder combining ego embeddings with low/high-pass
-neighbor aggregations, auxiliary ZINB decoder, and energy-belief-propagation
-OOD scoring :611-673).
+scheteronet.py. The HeteroNet encoder concatenates one-hop and STRICT
+two-hop GCN-normalized aggregations per layer (HetConv, :374-387; adjacency
+construction :507-540), collects every layer's output with jumping-knowledge
+concatenation (:541-575), and feeds the concatenated representation to both
+the classifier head and an auxiliary ZINB decoder (:389-444). Training adds
+a masked-view contrastive term (:281-287); OOD scoring is energy belief
+propagation over the one-hop OR strict two-hop row-normalized adjacency
+(:611-656). BatchNorm uses per-call batch statistics — exact for full-graph
+training where the "batch" is always all nodes.
 """
 
 from functools import partial
@@ -31,42 +37,117 @@ from dance_tpu.utils.loss import zinb_nll
 from dance_tpu.utils.wrappers import as_numpy
 
 
+def _gcn_norm(adj: sp.spmatrix) -> sp.csr_matrix:
+    """D^-1/2 A D^-1/2 without self loops (reference gcn_norm usage, :535)."""
+    adj = sp.csr_matrix(adj)
+    deg = np.asarray(adj.sum(1)).ravel()
+    dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+    dinv[deg == 0] = 0.0
+    return sp.diags(dinv) @ adj @ sp.diags(dinv)
+
+
+def build_hop_adjacencies(adj: sp.spmatrix):
+    """(normalized one-hop, normalized STRICT two-hop) without self loops
+    (parity: HeteroNet.init_adj, scheteronet.py:507-540)."""
+    a = sp.csr_matrix(adj)
+    a.data[:] = 1.0
+    a.setdiag(0)
+    a.eliminate_zeros()
+    a2 = a @ a
+    a2.setdiag(0)
+    a2 = a2 - a
+    a2.data = np.where(a2.data > 0, 1.0, 0.0).astype(np.float32)
+    a2.eliminate_zeros()
+    return _gcn_norm(a), _gcn_norm(a2)
+
+
+def contrastive_loss(z1, z2, temperature: float = 0.5):
+    """InfoNCE between matched rows (parity: scheteronet.py:281-287)."""
+    z1 = z1 / jnp.maximum(jnp.linalg.norm(z1, axis=-1, keepdims=True), 1e-12)
+    z2 = z2 / jnp.maximum(jnp.linalg.norm(z2, axis=-1, keepdims=True), 1e-12)
+    logits = z1 @ z2.T / temperature
+    labels = jnp.arange(z1.shape[0])
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+class _ZINBDecoder(nn.Module):
+    """Parity: ZINBDecoder (scheteronet.py:389-444; dec_2 maps straight to
+    n_dec_3 — the intermediate dec_3 layer is unused in the reference too)."""
+
+    n_genes: int
+    dec_dims: Tuple[int, ...] = (32, 64, 128)
+
+    @nn.compact
+    def __call__(self, z):
+        h = nn.relu(nn.Dense(self.dec_dims[0])(z))
+        h = nn.relu(nn.Dense(self.dec_dims[2])(h))
+        return (mean_act(nn.Dense(self.n_genes)(h)),
+                disp_act(nn.Dense(self.n_genes)(h)),
+                nn.sigmoid(nn.Dense(self.n_genes)(h)))
+
+
+class _FullBatchNorm(nn.Module):
+    """Stateless batch norm: full-graph batches make per-call statistics exact
+    (identical train/eval batch = all nodes), so no running averages needed."""
+
+    @nn.compact
+    def __call__(self, x):
+        mean, var = x.mean(0), x.var(0)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        return (x - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+
+
 class _HeteroNet(nn.Module):
-    """Ego + low-pass (A h) + high-pass (h − A h) channel mixing per layer."""
+    """HetConv stack + jumping-knowledge concat (parity: :465-575).
+
+    Each layer maps h -> [A1 h ; A2 h] (dims double); every stage's output is
+    concatenated for the final projection: last_dim = hidden*(2^(L+1)-1).
+    """
 
     n_classes: int
     hidden: int = 64
     num_layers: int = 2
-    dec_dims: Tuple[int, ...] = (32, 64, 128)
+    dropout: float = 0.2
+    use_bn: bool = True
     n_genes: int = 0
 
     def setup(self):
-        self.ego = [nn.Dense(self.hidden) for _ in range(self.num_layers)]
-        self.low = [nn.Dense(self.hidden) for _ in range(self.num_layers)]
-        self.high = [nn.Dense(self.hidden) for _ in range(self.num_layers)]
-        self.head = nn.Dense(self.n_classes)
-        self.dec_stack = [nn.Dense(d) for d in self.dec_dims]
-        self.dec_mean = nn.Dense(self.n_genes)
-        self.dec_disp = nn.Dense(self.n_genes)
-        self.dec_pi = nn.Dense(self.n_genes)
+        self.feature_embed = nn.Dense(self.hidden)
+        self.bns = [_FullBatchNorm() for _ in range(max(self.num_layers - 1, 0))]
+        self.final_project = nn.Dense(self.n_classes)
+        self.decoder = _ZINBDecoder(n_genes=self.n_genes)
 
-    def embed(self, adj: CSRMatrix, x):
-        h = x
-        for ego, low, high in zip(self.ego, self.low, self.high):
-            ah = spmm(adj, h, op="mean")
-            h = nn.relu(ego(h) + low(ah) + high(h - ah))
-        return h
+    def embed(self, adj1: CSRMatrix, adj2: CSRMatrix, x, *, training: bool = False,
+              rng=None):
+        def drop(h, i):
+            if not training or rng is None or self.dropout == 0.0:
+                return h
+            keep = jax.random.bernoulli(jax.random.fold_in(rng, i),
+                                        1.0 - self.dropout, h.shape)
+            return jnp.where(keep, h / (1.0 - self.dropout), 0.0)
+        h = nn.relu(self.feature_embed(x))
+        collected = [h]
+        h = drop(h, 0)
+        for i in range(self.num_layers):
+            h = jnp.concatenate([spmm(adj1, h), spmm(adj2, h)], axis=1)
+            if i != self.num_layers - 1:
+                if self.use_bn:
+                    h = self.bns[i](h)
+                collected.append(h)
+                h = drop(h, i + 1)
+            else:
+                h = drop(h, i + 1)
+                collected.append(h)
+        return jnp.concatenate(collected, axis=1)  # jumping knowledge 'cat'
 
     def zinb(self, h):
-        d = h
-        for layer in self.dec_stack:
-            d = nn.relu(layer(d))
-        return mean_act(self.dec_mean(d)), disp_act(self.dec_disp(d)), nn.sigmoid(
-            self.dec_pi(d))
+        return self.decoder(h)
 
-    def __call__(self, adj: CSRMatrix, x):
-        h = self.embed(adj, x)
-        return self.head(h), h
+    def __call__(self, adj1: CSRMatrix, adj2: CSRMatrix, x, *,
+                 training: bool = False, rng=None):
+        h = self.embed(adj1, adj2, x, training=training, rng=rng)
+        return self.final_project(h), h
 
 
 class scHeteroNet(BaseClassificationMethod):
@@ -75,11 +156,13 @@ class scHeteroNet(BaseClassificationMethod):
     _DISPLAY_ATTRS = ("hidden_channels", "num_layers")
 
     def __init__(self, d: int = 0, c: int = 0, edge_index=None, num_nodes: int = 0,
-                 hidden_channels: int = 64, num_layers: int = 2, dropout: float = 0.0,
-                 use_bn: bool = False, device: str = "auto", min_loss: float = np.inf,
-                 seed: int = 0):
+                 hidden_channels: int = 64, num_layers: int = 2, dropout: float = 0.2,
+                 use_bn: bool = True, device: str = "auto",
+                 min_loss: float = np.inf, seed: int = 0):
         self.hidden_channels = hidden_channels
         self.num_layers = num_layers
+        self.dropout = dropout
+        self.use_bn = use_bn
         self.seed = seed
         self.params = None
 
@@ -100,19 +183,31 @@ class scHeteroNet(BaseClassificationMethod):
             log_level=log_level,
         )
 
-    @partial(jax.jit, static_argnames=("self", "use_zinb"))
-    def _step(self, params, opt_state, adj, x, x_raw, sf, y, mask, zinb_weight,
-              use_zinb: bool):
+    @partial(jax.jit, static_argnames=("self", "use_zinb", "use_cl"))
+    def _step(self, params, opt_state, adj1, adj2, x, x_raw, sf, y, mask,
+              zinb_weight, cl_weight, mask_ratio, key, use_zinb: bool,
+              use_cl: bool):
         def loss_fn(params):
-            logits, h = self.net.apply({"params": params}, adj, x)
+            logits, h = self.net.apply({"params": params}, adj1, adj2, x,
+                                       training=True, rng=jax.random.fold_in(key, 1))
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 logits, jnp.maximum(y, 0))
             loss = (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
             if use_zinb:
                 mean, disp, pi = self.net.apply({"params": params}, h,
                                                 method=self.net.zinb)
-                loss = loss + zinb_weight * zinb_nll(x_raw, mean, disp, pi,
-                                                     scale_factor=sf[:, None])
+                nll = zinb_nll(x_raw, mean, disp, pi, scale_factor=sf[:, None],
+                               reduce=False).sum(1)
+                loss = loss + zinb_weight * (nll * mask).sum() / jnp.maximum(
+                    mask.sum(), 1.0)
+            if use_cl:
+                # masked-view contrastive regularizer (scheteronet.py:693-699)
+                view_mask = (jax.random.uniform(jax.random.fold_in(key, 2), x.shape)
+                             > mask_ratio).astype(x.dtype)
+                z1, _ = self.net.apply({"params": params}, adj1, adj2,
+                                       x * view_mask, training=True,
+                                       rng=jax.random.fold_in(key, 3))
+                loss = loss + cl_weight * contrastive_loss(logits, z1)
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -120,7 +215,8 @@ class scHeteroNet(BaseClassificationMethod):
         return optax.apply_updates(params, updates), opt_state, loss
 
     def fit(self, graph, y, x_raw=None, size_factors=None, use_zinb: bool = True,
-            zinb_weight: float = 0.1, epochs: int = 200, lr: float = 1e-2,
+            zinb_weight: float = 0.1, cl_weight: float = 0.0,
+            mask_ratio: float = 0.2, epochs: int = 200, lr: float = 1e-2,
             train_idx=None):
         from dance_tpu.graph import Graph
         assert isinstance(graph, Graph)
@@ -130,9 +226,14 @@ class scHeteroNet(BaseClassificationMethod):
             y = y.argmax(1)
         n = x.shape[0]
         self.num_labels = int(y.max()) + 1
-        adj = csr_from_scipy(graph.adj + sp.eye(n, format="csr", dtype=np.float32))
+        a1, a2 = build_hop_adjacencies(graph.adj)
+        adj1, adj2 = csr_from_scipy(a1), csr_from_scipy(a2)
+        # row-normalized one-hop adjacency for energy propagation (:611-640)
+        self._prop_adj = csr_from_scipy(graph.adj)
         if x_raw is None:
             x_raw, use_zinb = np.zeros_like(x), False
+        else:
+            x_raw = as_numpy(x_raw).astype(np.float32)
         if size_factors is None:
             counts = np.maximum(np.asarray(x_raw).sum(1), 1.0)
             size_factors = counts / np.median(counts)
@@ -140,40 +241,61 @@ class scHeteroNet(BaseClassificationMethod):
         mask[np.asarray(train_idx if train_idx is not None else np.arange(n))] = 1
 
         self.net = _HeteroNet(n_classes=self.num_labels, hidden=self.hidden_channels,
-                              num_layers=self.num_layers, n_genes=x.shape[1])
+                              num_layers=self.num_layers, dropout=self.dropout,
+                              use_bn=self.use_bn, n_genes=x.shape[1])
         key = jax.random.key(self.seed)
         # init must reach the ZINB decoder branch too, not just the classifier
         self.params = self.net.init(
-            key, adj, jnp.asarray(x),
-            method=lambda m, a, xx: (m(a, xx), m.zinb(m.embed(a, xx))))["params"]
+            key, adj1, adj2, jnp.asarray(x),
+            method=lambda m, a, b, xx: (m(a, b, xx),
+                                        m.zinb(m.embed(a, b, xx))))["params"]
         self._tx = optax.adam(lr)
         opt_state = self._tx.init(self.params)
         for epoch in range(epochs):
+            key, ek = jax.random.split(key)
             self.params, opt_state, loss = self._step(
-                self.params, opt_state, adj, jnp.asarray(x),
-                jnp.asarray(x_raw, jnp.float32), jnp.asarray(size_factors, jnp.float32),
-                jnp.asarray(y, jnp.int32), jnp.asarray(mask), zinb_weight, use_zinb)
+                self.params, opt_state, adj1, adj2, jnp.asarray(x),
+                jnp.asarray(x_raw, jnp.float32),
+                jnp.asarray(size_factors, jnp.float32), jnp.asarray(y, jnp.int32),
+                jnp.asarray(mask), zinb_weight, cl_weight, mask_ratio, ek,
+                use_zinb, cl_weight != 0.0)
             if epoch % 50 == 0:
                 logger.info("scHeteroNet epoch %d, loss %.5f", epoch, float(loss))
-        self._cache = (adj, jnp.asarray(x))
+        self._cache = (adj1, adj2, jnp.asarray(x))
         return self
 
-    def propagation(self, e, adj: CSRMatrix, prop_layers: int = 1, alpha: float = 0.5):
-        """Energy belief propagation over the row-normalized adjacency
+    # --- OOD machinery ------------------------------------------------------
+
+    def propagation(self, e, adj: CSRMatrix, prop_layers: int = 1,
+                    alpha: float = 0.5):
+        """One-hop energy belief propagation over the row-normalized adjacency
         (parity: scheteronet.py:611)."""
         e = jnp.asarray(e)[:, None]
         for _ in range(prop_layers):
             e = e * alpha + spmm(adj, e, weighted=False, op="mean") * (1 - alpha)
         return np.asarray(e[:, 0])
 
-    def detect(self, graph=None, node_idx=None, T: float = 1.0, use_prop: bool = True,
-               oodprop: int = 2, oodalpha: float = 0.5, **kwargs):
+    def two_hop_propagation(self, e, adj: CSRMatrix, prop_layers: int = 1,
+                            alpha: float = 0.5):
+        """Two-hop variant: propagate through the SQUARED row-normalized
+        adjacency (parity: scheteronet.py:625-640)."""
+        e = jnp.asarray(e)[:, None]
+        for _ in range(prop_layers):
+            hop = spmm(adj, spmm(adj, e, weighted=False, op="mean"),
+                       weighted=False, op="mean")
+            e = e * alpha + hop * (1 - alpha)
+        return np.asarray(e[:, 0])
+
+    def detect(self, graph=None, node_idx=None, T: float = 1.0,
+               use_prop: bool = True, use_2hop: bool = False, oodprop: int = 2,
+               oodalpha: float = 0.5, **kwargs):
         """Negative-energy OOD score per node (higher = in-distribution)."""
-        adj, x = self._cache
-        logits, _ = self.net.apply({"params": self.params}, adj, x)
+        adj1, adj2, x = self._cache
+        logits, _ = self.net.apply({"params": self.params}, adj1, adj2, x)
         neg_energy = T * jax.scipy.special.logsumexp(logits / T, axis=-1)
         if use_prop:
-            neg_energy = self.propagation(neg_energy, adj, oodprop, oodalpha)
+            prop = (self.two_hop_propagation if use_2hop else self.propagation)
+            neg_energy = prop(neg_energy, self._prop_adj, oodprop, oodalpha)
         neg_energy = np.asarray(neg_energy)
         return neg_energy[node_idx] if node_idx is not None else neg_energy
 
@@ -184,8 +306,8 @@ class scHeteroNet(BaseClassificationMethod):
         return ood_measures(scores[np.asarray(ind_idx)], scores[np.asarray(ood_idx)])
 
     def predict_proba(self, graph=None):
-        adj, x = self._cache
-        logits, _ = self.net.apply({"params": self.params}, adj, x)
+        adj1, adj2, x = self._cache
+        logits, _ = self.net.apply({"params": self.params}, adj1, adj2, x)
         return np.asarray(jax.nn.softmax(logits, axis=-1))
 
     def predict(self, graph=None, idx=None):

@@ -14,12 +14,14 @@ from dance_tpu.utils.status import experimental
 class MorphologyFeatureCNN(BaseTransform):
     """CNN image features from H&E tiles (parity: spatial_feature.py:19).
 
-    Deviation: the reference loads torchvision's pretrained resnet50/vgg16; no
-    pretrained weights are available in this environment, so features come from
-    a fixed-seed random convolutional feature extractor (3 strided conv blocks
-    + global average pool) run batched under jit — random conv features
-    preserve texture/color statistics which is what the downstream SME graph
-    consumes — followed by PCA to ``n_components``.
+    Deviation: the reference loads torchvision's pretrained resnet50/vgg16;
+    no pretrained weights are downloadable in this environment. Instead a
+    small strided convolutional autoencoder is TRAINED on the tiles
+    themselves (``train_epochs`` of masked-reconstruction, self-supervised
+    and offline-initializable) and its encoder bottleneck provides the
+    morphology embedding; ``train_epochs=0`` falls back to the fixed-seed
+    random conv features (texture/color statistics only). Both paths run
+    batched under jit, followed by PCA to ``n_components``.
     """
 
     _DISPLAY_ATTRS = ("model_name", "n_components", "crop_size", "target_size")
@@ -27,7 +29,7 @@ class MorphologyFeatureCNN(BaseTransform):
 
     def __init__(self, *, model_name: str = "resnet50", n_components: int = 50,
                  random_state: int = 0, crop_size: int = 20, target_size: int = 64,
-                 device: str = "auto",
+                 device: str = "auto", train_epochs: int = 30, lr: float = 1e-3,
                  channels: Sequence[str] = ("spatial_pixel", "image"),
                  channel_types: Sequence[str] = ("obsm", "uns"), **kwargs):
         super().__init__(**kwargs)
@@ -38,10 +40,48 @@ class MorphologyFeatureCNN(BaseTransform):
         self.random_state = random_state
         self.crop_size = crop_size
         self.target_size = target_size
+        self.train_epochs = train_epochs
+        self.lr = lr
         self.channels = channels
         self.channel_types = channel_types
         self.mean = np.array([0.406, 0.485, 0.456])
         self.std = np.array([0.225, 0.229, 0.224])
+
+    def _train_encoder(self, kernels, patches, encode, key):
+        """Self-supervised fit of the conv encoder on the tiles: a linear
+        decoder reconstructs downsampled tiles from the bottleneck map, so the
+        encoder kernels adapt to the slide's actual morphology instead of
+        staying random. Offline-initializable (no pretrained weights)."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        ts8 = self.target_size // 8  # bottleneck spatial resolution
+        dec = jax.random.normal(jax.random.fold_in(key, 9), (128, 3),
+                                jnp.float32) * 0.05
+        params = {"kernels": kernels, "dec": dec}
+        tx = optax.adam(self.lr)
+        opt_state = tx.init(params)
+        x_all = jnp.asarray(patches[: min(len(patches), 1024)])
+        # reconstruction target: 8x-downsampled tiles (one pixel per
+        # bottleneck cell, 8x8 mean pooling)
+        tgt = x_all.reshape(x_all.shape[0], ts8, 8, ts8, 8, 3).mean((2, 4))
+
+        @jax.jit
+        def step(params, opt_state, x, t):
+            def loss_fn(params):
+                h = encode(params["kernels"], x)  # (n, ts8, ts8, 128)
+                rec = h @ params["dec"]           # linear per-cell decoder
+                return jnp.mean((rec - t) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        for _ in range(self.train_epochs):
+            params, opt_state, loss = step(params, opt_state, x_all, tgt)
+        self.logger.info("Morphology encoder trained: recon MSE %.5f", float(loss))
+        return params["kernels"]
 
     def _crop(self, image, x, y):
         cs = self.crop_size
@@ -72,14 +112,20 @@ class MorphologyFeatureCNN(BaseTransform):
         kernels = [jax.random.normal(k, (3, 3, chans[i], chans[i + 1]), jnp.float32)
                    * np.sqrt(2.0 / (9 * chans[i])) for i, k in enumerate(keys)]
 
-        @jax.jit
-        def extract(x):
-            for w in kernels:
+        def encode(ks, x):
+            for w in ks:
                 x = jax.lax.conv_general_dilated(x, w, (2, 2), "SAME",
                                                  dimension_numbers=("NHWC", "HWIO",
                                                                     "NHWC"))
                 x = jax.nn.relu(x)
-            return x.mean(axis=(1, 2))
+            return x
+
+        if self.train_epochs > 0:
+            kernels = self._train_encoder(kernels, patches, encode, key)
+
+        @jax.jit
+        def extract(x):
+            return encode(kernels, x).mean(axis=(1, 2))
 
         feats = []
         for start in range(0, len(patches), 256):

@@ -242,3 +242,29 @@ def test_seed_determinism(data):
         m.fit(x, y, num_epochs=10, seed=7)
         preds.append(m.predict_proba(dd.get_x("test")))
     np.testing.assert_array_equal(preds[0], preds[1])
+
+
+def test_morphology_feature_cnn_trains():
+    """Trained morphology encoder adapts to the tiles (loss decreases vs random)."""
+    import numpy as np
+
+    from dance_tpu.data import AnnData, Data
+    from dance_tpu.transforms import MorphologyFeatureCNN, SetConfig
+
+    rng = np.random.default_rng(0)
+    n = 40
+    image = rng.random((300, 300, 3)).astype(np.float32)
+    xy = rng.integers(30, 270, (n, 2)).astype(np.float32)
+    adata = AnnData(rng.random((n, 10), dtype=np.float32))
+    adata.obsm["spatial_pixel"] = xy
+    adata.uns["image"] = image
+    data = Data(adata, train_size="all")
+    MorphologyFeatureCNN(n_components=8, train_epochs=10)(data)
+    feat = data.data.obsm["MorphologyFeatureCNN"]
+    assert feat.shape == (n, 8)
+    assert np.isfinite(feat).all()
+
+    # train_epochs=0 keeps the random-feature fallback and differs
+    data2 = Data(adata.copy(), train_size="all")
+    MorphologyFeatureCNN(n_components=8, train_epochs=0)(data2)
+    assert not np.allclose(feat, data2.data.obsm["MorphologyFeatureCNN"])
