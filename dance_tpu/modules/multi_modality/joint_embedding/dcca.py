@@ -257,9 +257,17 @@ class DCCA(BaseRegressionMethod):
         z2 = self._latent(2)[1]
         return np.asarray(jnp.concatenate([z1, z2], axis=1))
 
-    def score(self, x, y, *, score_func=None, return_pred: bool = False, **kwargs):
-        from dance_tpu.utils.metrics import labeled_clustering_evaluate
+    def score(self, x, y, *, score_func=None, return_pred: bool = False,
+              metric: str = "clustering", batch=None, **kwargs):
+        """Joint-embedding quality. ``metric='clustering'`` reproduces the
+        reference's KMeans NMI/ARI (labeled_clustering_evaluate); 'openproblems'
+        runs the full first-party scIB suite (utils.scib_metrics)."""
+        from dance_tpu.utils.metrics import (integration_openproblems_evaluate,
+                                             labeled_clustering_evaluate)
         emb = self.predict()
         y = as_numpy(y)
+        if metric == "openproblems":
+            scores = integration_openproblems_evaluate(emb, y, batch, **kwargs)
+            return (scores, emb) if return_pred else scores["final_scores"]
         scores = labeled_clustering_evaluate(emb, y, n_clusters=len(np.unique(y)))
         return (scores, emb) if return_pred else scores["dance_nmi"]

@@ -115,13 +115,19 @@ class JAEWrapper(BaseRegressionMethod):
         return np.asarray(self.net.apply({"params": self.params}, x,
                                          method=self.net.encode))
 
-    def score(self, x, y, *, score_func=None, return_pred: bool = False, **kwargs):
-        """Joint-embedding quality via KMeans-NMI/silhouette on the embedding."""
-        from dance_tpu.utils.metrics import labeled_clustering_evaluate
+    def score(self, x, y, *, score_func=None, return_pred: bool = False,
+              metric: str = "clustering", batch=None, **kwargs):
+        """Joint-embedding quality. ``metric='clustering'`` reproduces the
+        reference's KMeans NMI/ARI (labeled_clustering_evaluate); 'openproblems'
+        runs the full first-party scIB suite (utils.scib_metrics)."""
+        from dance_tpu.utils.metrics import (integration_openproblems_evaluate,
+                                             labeled_clustering_evaluate)
         emb = self.predict()
         y = as_numpy(y)
-        scores = labeled_clustering_evaluate(emb, y,
-                                             n_clusters=len(np.unique(y)))
+        if metric == "openproblems":
+            scores = integration_openproblems_evaluate(emb, y, batch, **kwargs)
+            return (scores, emb) if return_pred else scores["final_scores"]
+        scores = labeled_clustering_evaluate(emb, y, n_clusters=len(np.unique(y)))
         return (scores, emb) if return_pred else scores["dance_nmi"]
 
 

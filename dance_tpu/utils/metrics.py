@@ -140,27 +140,18 @@ def labeled_clustering_evaluate(emb, true_labels, n_clusters: int = 10, random_s
     return scores
 
 
-def integration_openproblems_evaluate(emb, cell_type, batch=None):
+def integration_openproblems_evaluate(emb, cell_type, batch=None, **kwargs):
     """Joint-embedding quality suite (parity: dance/utils/metrics.py:151).
 
-    The reference delegates to scIB (silhouette/NMI/cell-cycle/trajectory).
-    scIB is unavailable here; this computes the embedding-intrinsic subset
-    (label/batch silhouette, KMeans-NMI) which covers the metrics that depend
-    only on (embedding, labels, batch) and averages them the same way.
+    Delegates to the first-party scIB reimplementation in
+    :mod:`dance_tpu.utils.scib_metrics`: label/batch silhouettes, optimized-
+    Louvain NMI, graph connectivity, and (when inputs are supplied) cell-cycle
+    and trajectory conservation — averaged into ``final_scores`` the same way
+    as the reference. Extra inputs pass through as keyword arguments
+    (``emb_pre``, ``s_score``, ``g2m_score``, ``pseudotime``).
     """
-    emb = np.asarray(emb)
-    cell_type = np.asarray(cell_type).ravel()
-    score = {}
-    score["asw_label"] = float((silhouette_score(emb, cell_type) + 1) / 2)
-    if batch is not None:
-        batch = np.asarray(batch).ravel()
-        if len(np.unique(batch)) > 1:
-            score["asw_batch"] = float(1 - abs(silhouette_score(emb, batch)))
-    k = len(np.unique(cell_type))
-    pred = KMeans(n_clusters=k, n_init=5, random_state=0).fit_predict(emb)
-    score["nmi"] = float(normalized_mutual_info_score(cell_type, pred, average_method="max"))
-    score["final_scores"] = sum(score.values()) / len(score)
-    return score
+    from dance_tpu.utils.scib_metrics import integration_openproblems_suite
+    return integration_openproblems_suite(emb, cell_type, batch, **kwargs)
 
 
 def ood_measures(ind_scores, ood_scores):

@@ -83,6 +83,11 @@ def test_jae_joint_embedding(data):
     model.fit(x1_tr, x2_tr, cell_type=ct, epochs=150)
     nmi = model.score(None, ct)
     assert nmi > 0.5, f"JAE NMI too low: {nmi}"
+    # scIB-parity suite scoring (reference utils/metrics.py:151-190)
+    suite = model.score(None, ct, metric="openproblems", return_pred=True)[0]
+    for key in ("asw_label", "nmi", "graph_conn", "final_scores"):
+        assert key in suite and np.isfinite(suite[key]), key
+    assert suite["final_scores"] > 0.5, suite
 
 
 def test_dcca_joint_embedding(data):
