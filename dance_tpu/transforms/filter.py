@@ -767,7 +767,7 @@ class FilterCellTransform(BaseTransform):
         adata = data.data
         X = adata.X.toarray() if sp.issparse(adata.X) else np.asarray(adata.X)
         names = adata.var_names.astype(str)
-        mt = names.str.startswith("MT-" if self.species == "human" else "Mt-").to_numpy()
+        mt = np.asarray(names.str.startswith("MT-" if self.species == "human" else "Mt-"))
         total = X.sum(1)
         n_genes = (X > 0).sum(1)
         pct_mt = X[:, mt].sum(1) / np.maximum(total, 1e-12) * 100 if mt.any() else np.zeros(
