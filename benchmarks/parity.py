@@ -500,6 +500,279 @@ def run_card():
     return dict(metric="prop_mse", ref=ref_mse, ours=ours_mse, tol=0.01)
 
 
+
+
+# --------------------------------------------------------------------------
+# joint embedding (metric: KMeans NMI of the joint embedding vs true labels)
+# --------------------------------------------------------------------------
+
+def make_je(n_cells=400, g1=120, g2=60, n_types=4, seed=8):
+    """Counts modality 1 + binary modality 2 with shared cluster structure."""
+    rng = np.random.default_rng(seed)
+    base = rng.dirichlet(np.full(g1, 1.0))
+    prof = base[None, :] * np.exp(rng.normal(0, 0.4, (n_types, g1)))
+    prof /= prof.sum(1, keepdims=True)
+    y = rng.integers(0, n_types, n_cells)
+    counts = rng.poisson(prof[y] * 2000).astype(np.float32)
+    p2 = rng.beta(2, 5, (n_types, g2))
+    x2 = (rng.random((n_cells, g2)) < p2[y]).astype(np.float32)
+    return counts, x2, y
+
+
+def _je_nmi(emb, y):
+    from sklearn.cluster import KMeans
+    from sklearn.metrics import normalized_mutual_info_score
+    pred = KMeans(n_clusters=len(np.unique(y)), n_init=5,
+                  random_state=200).fit_predict(np.asarray(emb))
+    return float(normalized_mutual_info_score(y, pred, average_method="max"))
+
+
+@case("dcca")
+def run_dcca():
+    import torch
+    from torch.utils.data import DataLoader, TensorDataset
+
+    counts, x2, y = make_je()
+    lib = counts.sum(1, keepdims=True)
+    x1 = np.log1p(counts / np.maximum(lib, 1) * 1e4).astype(np.float32)
+    sf1 = np.log(np.maximum(lib.ravel(), 1.0)).astype(np.float32)
+    sf2 = np.ones(len(y), np.float32)
+
+    args = types.SimpleNamespace(
+        lr=1e-3, weight_decay=1e-6, eps=0.01, batch_size=64, seed=1, latent=10,
+        max_epoch=15, max_iteration=3000, anneal_epoch=200, epoch_per_test=5,
+        max_ARI=-200, final_rate=1e-4, scale_factor=4, device="cpu",
+        sf1=5, sf2=1, lr1=0.01, flr1=0.001, lr2=0.005, flr2=0.0005,
+        cluster1=4, cluster2=4)
+    RefDCCA = refshim.import_ref(
+        "dance.modules.multi_modality.joint_embedding.dcca", "DCCA")
+    torch.manual_seed(0)
+    np.random.seed(0)
+    tensors = [torch.from_numpy(a) for a in
+               (x1, counts, sf1, x2, x2, sf2)]
+    ds = TensorDataset(*tensors)
+    train = DataLoader(ds, batch_size=64, shuffle=True)
+    total = DataLoader(ds, batch_size=len(y))
+    ref = RefDCCA(layer_e_1=[x1.shape[1], 128], hidden1_1=128, Zdim_1=16,
+                  layer_d_1=[16, 128], hidden2_1=128,
+                  layer_e_2=[x2.shape[1], 128], hidden1_2=128, Zdim_2=16,
+                  layer_d_2=[16], hidden2_2=16, args=args,
+                  ground_truth1=torch.from_numpy(y), Type_1="NB",
+                  Type_2="Bernoulli", cycle=1, attention_loss="Eucli")
+    ref.fit(train, total, total)
+    emb1, emb2 = ref.predict(total)
+    ref_nmi = _je_nmi(np.concatenate([emb1, emb2], 1), y)
+
+    from dance_tpu.modules.multi_modality.joint_embedding import DCCA
+    ours = DCCA(layer_e_1=(128,), Zdim_1=16, layer_e_2=(128,), Zdim_2=16,
+                Type_1="NB", Type_2="Bernoulli", cycle=1, seed=0)
+    ours.fit(x1, x2, x_mod1_raw=counts, x_mod2_raw=x2, epochs=60)
+    ours_nmi = _je_nmi(ours.predict(), y)
+    return dict(metric="nmi", ref=ref_nmi, ours=ours_nmi, tol=0.15)
+
+
+@case("scgnn2")
+def run_scgnn2():
+    truth, x_masked, mask = _imputation_data(seed=9)
+    x_log = np.log1p(x_masked).astype(np.float32)
+
+    args = types.SimpleNamespace(
+        seed=0, total_epoch=2, alpha=0.5, ari_threshold=0.95,
+        graph_change_threshold=0.01, run_LTMG=False, use_CCC=False,
+        use_bulk=False, output_dir=None, dropout_prob=0.1,
+        feature_AE_batch_size=12800, feature_AE_epoch=[60, 60],
+        feature_AE_learning_rate=1e-3, feature_AE_regu_strength=0.9,
+        feature_AE_dropout_prob=0, feature_AE_concat_prev_embed=None,
+        graph_AE_use_GAT=False, graph_AE_learning_rate=1e-2,
+        graph_AE_epoch=60, graph_AE_embedding_size=16,
+        graph_AE_concat_prev_embed=False, graph_AE_normalize_embed=None,
+        graph_AE_GAT_dropout=0, graph_AE_neighborhood_factor=0.05,
+        graph_AE_retain_weights=False, graph_AE_graph_construction="v2",
+        gat_multi_heads=2, gat_hid_embed=64,
+        clustering_embed="graph", clustering_method="KMeans",
+        clustering_louvain_only=False, clustering_use_flexible_k=False,
+        cluster_AE_epoch=60, cluster_AE_batch_size=12800,
+        cluster_AE_learning_rate=1e-3, cluster_AE_regu_strength=0.9,
+        cluster_AE_dropout_prob=0)
+    RefScGNN2 = refshim.import_ref(
+        "dance.modules.single_modality.imputation.scgnn2", "ScGNN2")
+    # the reference's Louvain backend is igraph (absent); substitute the
+    # first-party Louvain over the same weighted edge list
+    scgnn2_mod = sys.modules["dance.modules.single_modality.imputation.scgnn2"]
+
+    def _louvain_backend(edge_list):
+        import scipy.sparse as ssp
+
+        from dance_tpu.ops.cluster import louvain
+        src, dst, w = zip(*edge_list)
+        n = max(max(src), max(dst)) + 1
+        adj = ssp.csr_matrix((np.asarray(w, np.float64), (src, dst)), shape=(n, n))
+        adj = adj + adj.T
+        labels = louvain(adj, seed=0)
+        return list(labels), int(labels.max()) + 1
+
+    scgnn2_mod.generateLouvainCluster = _louvain_backend
+    # modern scipy rejects the unbound csr_matrix.todense(coo) call at
+    # scgnn2.py:717; normalize the input type first
+    _orig_regu = scgnn2_mod.graph_celltype_regu_handler
+
+    def _regu(adj, labels):
+        import scipy.sparse as ssp
+        return _orig_regu(ssp.csr_matrix(adj), labels)
+
+    scgnn2_mod.graph_celltype_regu_handler = _regu
+    import torch
+    torch.manual_seed(0)
+    np.random.seed(0)
+    ref = RefScGNN2(args, device="cpu")
+    ref.fit(x_log)
+    ref_mse = _masked_mse(np.expm1(np.maximum(ref.predict(), 0)), truth, mask)
+
+    from dance_tpu.modules.single_modality.imputation import ScGNN2
+    ours = ScGNN2(total_epoch=2, feature_epoch=60, graph_epoch=60,
+                  cluster_epoch=60, seed=0)
+    ours.fit(x_log)
+    ours_imp = np.expm1(np.maximum(np.asarray(ours.predict()), 0))
+    ours_mse = _masked_mse(ours_imp, truth, mask)
+    return dict(metric="masked_mse", ref=ref_mse, ours=ours_mse, rel_tol=0.35)
+
+
+# --------------------------------------------------------------------------
+# spatial domain / clustering extras
+# --------------------------------------------------------------------------
+
+@case("louvain")
+def run_louvain():
+    from sklearn.neighbors import kneighbors_graph
+
+    counts, y = make_counts(n_cells=300, n_genes=100, n_types=4, seed=10,
+                            libsize=1500, sep=0.3)
+    norm = np.log1p(counts)
+    adj = kneighbors_graph(norm, 15, mode="connectivity", include_self=False)
+    adj = ((adj + adj.T) > 0).astype(np.float64)
+
+    RefLouvain = refshim.import_ref(
+        "dance.modules.spatial.spatial_domain.louvain", "Louvain")
+    ref = RefLouvain(resolution=1.0)
+    ref.fit(np.asarray(adj.todense()), random_state=0)
+    ref_ari = ari(ref.predict(), y)
+
+    from dance_tpu.modules.spatial.spatial_domain import Louvain
+    ours = Louvain(resolution=1.0, seed=0)
+    ours.fit(adj)
+    ours_ari = ari(ours.predict(), y)
+    return dict(metric="ari", ref=ref_ari, ours=ours_ari, tol=0.15)
+
+
+@case("scdsc")
+def run_scdsc():
+    import tempfile
+
+    import torch
+    from sklearn.neighbors import kneighbors_graph
+
+    x_norm, raw, n_counts, y = _clustering_inputs(seed=11)
+    adj = kneighbors_graph(x_norm, 10, mode="connectivity", include_self=False)
+    adj = ((adj + adj.T) > 0).astype(np.float32)
+
+    RefScDSC = refshim.import_ref(
+        "dance.modules.single_modality.clustering.scdsc", "ScDSC")
+    torch.manual_seed(0)
+    np.random.seed(0)
+    with tempfile.TemporaryDirectory() as tmp:
+        ref = RefScDSC(pretrain_path=f"{tmp}/pre.pt", n_clusters=4,
+                       n_input=x_norm.shape[1], n_enc_1=64, n_enc_2=32,
+                       n_enc_3=32, n_dec_1=32, n_dec_2=32, n_dec_3=64,
+                       n_z1=32, n_z2=16, n_z3=8, device="cpu")
+        ref.fit((adj, x_norm, raw, n_counts), y, epochs=10, pt_epochs=50,
+                pt_batch_size=256)
+        ref_ari = ari(ref.predict(), y)
+
+    from dance_tpu.modules.single_modality.clustering import ScDSC
+    ours = ScDSC(n_clusters=4, n_input=x_norm.shape[1], n_enc_1=64, n_enc_2=32,
+                 n_enc_3=32, n_dec_1=32, n_dec_2=32, n_dec_3=64, n_z1=32,
+                 n_z2=16, n_z3=8, seed=0)
+    ours.fit((adj, x_norm, raw, n_counts), y, epochs=10, pt_epochs=50)
+    ours_ari = ari(ours.predict(), y)
+    return dict(metric="ari", ref=ref_ari, ours=ours_ari, tol=0.15)
+
+
+@case("dstg")
+def run_dstg():
+    import torch
+    from sklearn.neighbors import kneighbors_graph
+
+    x, props, profile, _ = make_deconvo(n_spots=150, seed=12)
+    rng = np.random.default_rng(12)
+    # pseudo spots (labeled, train) + real spots (evaluate)
+    p_props = rng.dirichlet(np.ones(props.shape[1]), 300).astype(np.float32)
+    p_x = (p_props @ profile.T).astype(np.float32)
+    feats = np.log1p(np.concatenate([p_x, x]))
+    labels = np.concatenate([p_props, np.zeros_like(props)])
+    train_mask = np.zeros(len(feats), bool)
+    train_mask[:300] = True
+    adj = kneighbors_graph(feats, 10, mode="connectivity", include_self=True)
+    adj = ((adj + adj.T) > 0).astype(np.float32)
+    deg = np.asarray(adj.sum(1)).ravel()
+    import scipy.sparse as ssp
+    dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+    adj_n = ssp.diags(dinv) @ adj @ ssp.diags(dinv)
+
+    RefDSTG = refshim.import_ref(
+        "dance.modules.spatial.cell_type_deconvo.dstg", "DSTG")
+    torch.manual_seed(0)
+    ref = RefDSTG(nhid=32, device="cpu")
+    coo = adj_n.tocoo()
+    adj_t = torch.sparse_coo_tensor(
+        np.stack([coo.row, coo.col]), coo.data.astype(np.float32), coo.shape)
+    ref.fit((adj_t, torch.from_numpy(feats), torch.from_numpy(train_mask)),
+            torch.from_numpy(labels), lr=0.01, max_epochs=200)
+    ref_pred = ref.predict(None).detach().cpu().numpy()[300:]
+    ref_mse = float(np.mean((ref_pred - props) ** 2))
+
+    from dance_tpu.modules.spatial.cell_type_deconvo import DSTG
+    ours = DSTG(nhid=32, seed=0)
+    ours.fit((feats, adj_n), labels, lr=0.01, max_epochs=200,
+             train_mask=train_mask)
+    ours_pred = np.asarray(ours.predict())[300:]
+    ours_mse = float(np.mean((ours_pred - props) ** 2))
+    return dict(metric="prop_mse", ref=ref_mse, ours=ours_mse, tol=0.01)
+
+
+
+
+@case("jae")
+def run_jae():
+    import torch
+
+    counts, x2, y = make_je(seed=13)
+    lib = counts.sum(1, keepdims=True)
+    x1 = np.log1p(counts / np.maximum(lib, 1) * 1e4).astype(np.float32)
+    feats = np.concatenate([x1, x2], axis=1).astype(np.float32)
+    n = len(y)
+    rng = np.random.default_rng(13)
+    batch = rng.integers(0, 2, n)
+    phase = rng.random((n, 2)).astype(np.float32)
+
+    args = types.SimpleNamespace(device="cpu", batch_size=64, seed=0)
+    RefJAE = refshim.import_ref(
+        "dance.modules.multi_modality.joint_embedding.jae", "JAEWrapper")
+    torch.manual_seed(0)
+    np.random.seed(0)
+    ref = RefJAE(args, num_celL_types=int(y.max()) + 1, num_batches=2,
+                 num_phases=2, num_features=feats.shape[1])
+    ref.fit(torch.from_numpy(feats), torch.from_numpy(y),
+            torch.from_numpy(batch), torch.from_numpy(phase), max_epochs=40)
+    emb = ref.predict(torch.from_numpy(feats), np.arange(n)).cpu().numpy()
+    ref_nmi = _je_nmi(emb, y)
+
+    from dance_tpu.modules.multi_modality.joint_embedding import JAEWrapper
+    ours = JAEWrapper(z_dim=32, seed=0)
+    ours.fit(x1, x2, cell_type=y, epochs=120)
+    ours_nmi = _je_nmi(ours.predict(), y)
+    return dict(metric="nmi", ref=ref_nmi, ours=ours_nmi, tol=0.15)
+
+
 # --------------------------------------------------------------------------
 # driver
 # --------------------------------------------------------------------------

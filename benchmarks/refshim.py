@@ -68,6 +68,7 @@ STUB_ROOTS = frozenset({
     "psutil", "seaborn", "matplotlib", "plotly", "scikit_misc", "skmisc",
     "annoy", "pynndescent", "umap", "rpy2", "opencv_python", "numexpr",
     "tables", "h5py", "patsy", "tifffile", "squidpy", "cellstar",
+    "torch_geometric", "torch_sparse", "torch_scatter", "torch_cluster",
 })
 
 

@@ -289,9 +289,15 @@ class ScGNN2(BaseRegressionMethod):
                         int(labels.max()) + 1, f_loss, g_loss)
 
         imputed = np.asarray(x_imputed)
-        out = x.copy()
-        out[mask_arr == 0] = imputed[mask_arr == 0]
-        self.imputed = out
+        if mask is None:
+            # reference parity: ScGNN2.fit returns the fully imputed matrix
+            # (scgnn2.py:67); without an observed-entry mask there is nothing
+            # to splice back
+            self.imputed = imputed
+        else:
+            out = x.copy()
+            out[mask_arr == 0] = imputed[mask_arr == 0]
+            self.imputed = out
         self.labels = labels
         return self
 
