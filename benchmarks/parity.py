@@ -773,6 +773,59 @@ def run_jae():
     return dict(metric="nmi", ref=ref_nmi, ours=ours_nmi, tol=0.15)
 
 
+
+
+@case("stdgcn")
+def run_stdgcn():
+    import torch
+
+    from dance_tpu.modules.spatial.cell_type_deconvo.stdgcn import (
+        StdGCN, build_stdgcn_adjacencies)
+
+    x, props, profile, spatial = make_deconvo(n_spots=120, seed=14)
+    rng = np.random.default_rng(14)
+    p_props = rng.dirichlet(np.ones(props.shape[1]), 360).astype(np.float32)
+    p_x = (p_props @ profile.T).astype(np.float32)
+    feats = np.log1p(np.concatenate([p_x, x])).astype(np.float32)
+    labels = np.concatenate([p_props, np.zeros_like(props)]).astype(np.float32)
+    n_pseudo = 360
+    # identical three-source adjacencies feed both implementations (the
+    # comparison targets the conGCN towers + KL training, not the builders)
+    adj_exp, adj_sp = build_stdgcn_adjacencies(feats, spatial, n_pseudo,
+                                               space_k=20, seed=0)
+    from dance_tpu.ops.sparse import csr_to_scipy
+    a_exp, a_sp = csr_to_scipy(adj_exp), csr_to_scipy(adj_sp)
+
+    mod = refshim.import_ref(
+        "dance.modules.spatial.cell_type_deconvo.stdgcn", "conGCN").__module__
+    stdgcn_mod = sys.modules["dance.modules.spatial.cell_type_deconvo.stdgcn"]
+    torch.manual_seed(0)
+    np.random.seed(0)
+    model = stdgcn_mod.conGCN(nfeat=feats.shape[1], nhid=64,
+                              common_hid_layers_num=1, fcnn_hid_layers_num=1,
+                              dropout=0.1, nout1=props.shape[1])
+    adjs = [torch.sparse_coo_tensor(
+        np.stack([a.tocoo().row, a.tocoo().col]), a.tocoo().data.astype(np.float32),
+        a.shape) for a in (a_exp, a_sp)]
+    n_tr = int(n_pseudo * 0.9)
+    out, _, _ = stdgcn_mod.conGCN_train(
+        model, range(n_tr), range(n_tr, n_pseudo),
+        range(n_pseudo, len(feats)), torch.from_numpy(feats), adjs,
+        torch.from_numpy(labels), epoch_n=200,
+        loss_fn=torch.nn.KLDivLoss(reduction="mean"),
+        optimizer=torch.optim.Adam(model.parameters(), lr=1e-2),
+        early_stopping_patience=5, print_epoch_step=1000)
+    ref_pred = torch.exp(out).detach().numpy()[n_pseudo:]
+    ref_pred /= np.maximum(ref_pred.sum(1, keepdims=True), 1e-12)
+    ref_mse = float(np.mean((ref_pred - props) ** 2))
+
+    ours = StdGCN(nhid=64, dropout=0.1, seed=0)
+    ours.fit((feats, spatial), labels, max_epochs=200, space_k=20)
+    ours_pred = np.asarray(ours.predict())[n_pseudo:]
+    ours_mse = float(np.mean((ours_pred - props) ** 2))
+    return dict(metric="prop_mse", ref=ref_mse, ours=ours_mse, tol=0.01)
+
+
 # --------------------------------------------------------------------------
 # driver
 # --------------------------------------------------------------------------

@@ -1,11 +1,19 @@
-"""stdGCN: dual-adjacency conditional GCN deconvolution.
+"""stdGCN: two-tower conditional GCN deconvolution over three adjacencies.
 
-Parity target: dance/modules/spatial/cell_type_deconvo/stdgcn.py (1954 LoC:
-conGCN :95 consuming an expression kNN adjacency and a spatial adjacency whose
-contributions are mixed by learned weights, trained on pseudo-spots and
-inferred on real spots; the embedded pseudo-spot/marker-gene sub-pipeline
-:581-1373 maps onto the framework transforms PseudoMixture +
-FilterGenesMarker + graph builders).
+Parity target: dance/modules/spatial/cell_type_deconvo/stdgcn.py. The
+reference conGCN runs TWO PARALLEL GCN TOWERS — an expression tower over
+``adj_exp`` and a spatial tower over ``adj_sp`` (each layer:
+GCN→BatchNorm→ELU→dropout, conGCN :95-188) — concatenates them into an FCNN
+head, and outputs log-softmax proportions trained with KL divergence, early
+stopping on a pseudo-spot validation split (conGCN_train :201-300).
+
+The adjacencies combine three sources (:1423-1470):
+``adj_exp = (A_inter + A_pseudo_intra + A_real_intra) / (3·20) + I`` where
+A_inter is the mutual-NN graph between real and pseudo spots (:303-375) and
+the intra terms are per-split expression kNN graphs over PCA (:412-470);
+``adj_sp = A_space / 20 + I`` is the inverse-distance spatial kNN graph
+(:376-411). Both are symmetrically normalized. BatchNorm uses per-call batch
+statistics — exact for the full-graph batches this model always trains on.
 """
 
 from functools import partial
@@ -27,46 +35,190 @@ from dance_tpu.utils.metrics import resolve_score_func
 from dance_tpu.utils.wrappers import as_numpy
 
 
-class _ConGCN(nn.Module):
-    """GCN whose propagation mixes two adjacencies with learned weights
-    (parity: stdgcn.py conGraphConvolutionlayer :63)."""
+# --------------------------------------------------------------------------
+# adjacency builders (parity: stdgcn.py:303-540)
+# --------------------------------------------------------------------------
 
-    hidden: Tuple[int, ...]
+def _knn_indices(query: np.ndarray, base: np.ndarray, k: int) -> np.ndarray:
+    from dance_tpu.ops.neighbors import _knn_block  # exact top-k on device
+    import jax.numpy as _jnp
+    d, idx = _knn_block(_jnp.asarray(query, _jnp.float32),
+                        _jnp.asarray(base, _jnp.float32), min(k, base.shape[0]))
+    return np.asarray(idx)
+
+
+def find_mutual_nn(data1: np.ndarray, data2: np.ndarray, k1: int, k2: int):
+    """Mutual nearest neighbors between two point sets (parity: :303-330)."""
+    k_index_1 = _knn_indices(data2, data1, k2)  # for each row of data2: NNs in data1
+    k_index_2 = _knn_indices(data1, data2, k1)  # for each row of data1: NNs in data2
+    in_2 = np.zeros((data1.shape[0], data2.shape[0]), bool)
+    np.put_along_axis(in_2, k_index_2, True, axis=1)
+    pairs = []
+    for j in range(data2.shape[0]):
+        for i in k_index_1[j]:
+            if in_2[i, j]:
+                pairs.append((int(i), int(j)))
+    return pairs
+
+
+def inter_adj(real_emb: np.ndarray, pseudo_emb: np.ndarray,
+              corr_dist_neighbors: int = 20) -> np.ndarray:
+    """Mutual-NN link graph between real and pseudo spots in the integrated
+    space, as a dense block matrix ordered [pseudo; real] (parity: :331-375)."""
+    n_p, n_r = pseudo_emb.shape[0], real_emb.shape[0]
+    n = n_p + n_r
+    adj = np.zeros((n, n), np.float32)
+    for i, j in find_mutual_nn(real_emb, pseudo_emb, corr_dist_neighbors,
+                               corr_dist_neighbors):
+        adj[n_p + i, j] = 1.0
+        adj[j, n_p + i] = 1.0
+    return adj
+
+
+def intra_exp_adj(feat: np.ndarray, corr_dist_neighbors: int = 10,
+                  pca_dim: int = 50, seed: int = 0) -> np.ndarray:
+    """Expression kNN graph over PCA within one split (parity: :412-470)."""
+    from dance_tpu.ops.linalg import pca
+    x = np.asarray(feat, np.float32)
+    if pca_dim and min(x.shape) > pca_dim + 1:
+        x = np.asarray(pca(x, pca_dim, seed=seed).embedding)
+    idx = _knn_indices(x, x, min(corr_dist_neighbors + 1, x.shape[0]))[:, 1:]
+    n = x.shape[0]
+    adj = np.zeros((n, n), np.float32)
+    rows = np.repeat(np.arange(n), idx.shape[1])
+    adj[rows, idx.ravel()] = 1.0
+    return np.maximum(adj, adj.T)
+
+
+def intra_dist_adj(coords: np.ndarray, space_dist_neighbors: int = 27,
+                   link_method: str = "soft",
+                   space_dist_threshold: Optional[float] = None) -> np.ndarray:
+    """Spatial kNN graph; 'soft' weights links by inverse distance (:376-411)."""
+    x = np.asarray(coords, np.float32)
+    n = x.shape[0]
+    k = min(space_dist_neighbors + 1, n)
+    from dance_tpu.ops.neighbors import _knn_block
+    import jax.numpy as _jnp
+    d, idx = _knn_block(_jnp.asarray(x), _jnp.asarray(x), k)
+    d, idx = np.asarray(d)[:, 1:], np.asarray(idx)[:, 1:]  # drop self column
+    adj = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for j in range(idx.shape[1]):
+            if space_dist_threshold is not None and d[i, j] >= space_dist_threshold:
+                continue
+            w = 1.0 if link_method == "hard" else 1.0 / max(d[i, j], 1e-12)
+            adj[i, idx[i, j]] = w
+            adj[idx[i, j], i] = w
+    return adj
+
+
+def _expand_block(adj: np.ndarray, which: str, n_pseudo: int, n_real: int):
+    """Place a per-split adjacency into the full [pseudo; real] layout
+    (parity: A_intra_transfer, :489-499)."""
+    n = n_pseudo + n_real
+    out = np.zeros((n, n), np.float32)
+    if which == "pseudo":
+        out[:n_pseudo, :n_pseudo] = adj
+    else:
+        out[n_pseudo:, n_pseudo:] = adj
+    return out
+
+
+def _sym_normalize(adj: np.ndarray) -> CSRMatrix:
+    deg = np.maximum(adj.sum(1), 1e-12)
+    dinv = 1.0 / np.sqrt(deg)
+    return csr_from_scipy(sp.csr_matrix(adj * dinv[:, None] * dinv[None, :]))
+
+
+def build_stdgcn_adjacencies(feat: np.ndarray, coords_real: np.ndarray,
+                             n_pseudo: int, *, inter_k: int = 20,
+                             intra_exp_k: int = 10, space_k: int = 27,
+                             adj_alpha: float = 1.0, adj_beta: float = 1.0,
+                             diag_power: float = 20.0, seed: int = 0):
+    """The reference's three-source adjacency assembly (:1423-1470).
+
+    ``feat`` is ordered [pseudo; real]; the spatial graph exists only among
+    real spots (pseudo spots keep just the identity connection)."""
+    n = feat.shape[0]
+    n_real = n - n_pseudo
+    pseudo_feat, real_feat = feat[:n_pseudo], feat[n_pseudo:]
+    a_inter = inter_adj(real_feat, pseudo_feat, inter_k)
+    a_p = _expand_block(intra_exp_adj(pseudo_feat, intra_exp_k, seed=seed),
+                        "pseudo", n_pseudo, n_real)
+    a_r = _expand_block(intra_exp_adj(real_feat, intra_exp_k, seed=seed),
+                        "real", n_pseudo, n_real)
+    a_sp = _expand_block(intra_dist_adj(coords_real, space_k), "real",
+                         n_pseudo, n_real)
+    balance = (1 + adj_alpha + adj_beta) * diag_power
+    adj_exp = ((a_inter + adj_alpha * a_p + adj_beta * a_r) / balance
+               + np.eye(n, dtype=np.float32))
+    adj_sp = a_sp / diag_power + np.eye(n, dtype=np.float32)
+    return _sym_normalize(adj_exp), _sym_normalize(adj_sp)
+
+
+# --------------------------------------------------------------------------
+# model
+# --------------------------------------------------------------------------
+
+class _FullBatchNorm(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        mean, var = x.mean(0), x.var(0)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        return (x - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+
+
+class _ConGCN(nn.Module):
+    """Two GCN towers (expression / spatial) + FCNN head (parity: conGCN :95).
+
+    Each tower layer: GCN matmul → BatchNorm → ELU → dropout; the towers'
+    outputs are concatenated and projected to log-softmax proportions."""
+
+    nhid: int
     out_dim: int
+    common_hid_layers_num: int = 1
+    fcnn_hid_layers_num: int = 1
     dropout: float = 0.1
 
     @nn.compact
     def __call__(self, adj_exp: CSRMatrix, adj_sp: CSRMatrix, x, *,
-                 training: bool = False):
-        mix = self.param("adj_mix", nn.initializers.constant(0.5), (len(self.hidden) + 1,))
-        h = x
-        for i, d in enumerate(self.hidden):
-            m = nn.sigmoid(mix[i])
-            h = nn.Dense(d, use_bias=False)(h)
-            h = m * spmm(adj_exp, h) + (1 - m) * spmm(adj_sp, h)
-            h = nn.relu(h)
-            h = nn.Dropout(self.dropout, deterministic=not training)(h)
-        m = nn.sigmoid(mix[-1])
-        h = nn.Dense(self.out_dim, use_bias=False)(h)
-        h = m * spmm(adj_exp, h) + (1 - m) * spmm(adj_sp, h)
-        return nn.softmax(h, axis=-1)
+                 training: bool = False, rng=None):
+        def drop(h, i):
+            if not training or rng is None or self.dropout == 0.0:
+                return h
+            keep = jax.random.bernoulli(jax.random.fold_in(rng, i),
+                                        1.0 - self.dropout, h.shape)
+            return jnp.where(keep, h / (1.0 - self.dropout), 0.0)
 
+        def gcn(adj, h, width):
+            return spmm(adj, nn.Dense(width, use_bias=True)(h))
 
-def _norm_adj(adj: sp.spmatrix) -> CSRMatrix:
-    adj = sp.csr_matrix(adj) + sp.eye(adj.shape[0], format="csr", dtype=np.float32)
-    deg = np.asarray(adj.sum(1)).ravel()
-    dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
-    return csr_from_scipy(sp.diags(dinv) @ adj @ sp.diags(dinv))
+        h_exp = drop(nn.elu(_FullBatchNorm()(gcn(adj_exp, x, self.nhid))), 0)
+        h_sp = drop(nn.elu(_FullBatchNorm()(gcn(adj_sp, x, self.nhid))), 1)
+        for i in range(self.common_hid_layers_num):
+            h_exp = drop(nn.elu(_FullBatchNorm()(gcn(adj_exp, h_exp, self.nhid))),
+                         2 + 2 * i)
+            h_sp = drop(nn.elu(_FullBatchNorm()(gcn(adj_sp, h_sp, self.nhid))),
+                        3 + 2 * i)
+        h = jnp.concatenate([h_exp, h_sp], axis=1)
+        h = drop(nn.elu(_FullBatchNorm()(nn.Dense(self.nhid)(h))), 100)
+        for i in range(self.fcnn_hid_layers_num):
+            h = drop(nn.elu(_FullBatchNorm()(nn.Dense(self.nhid)(h))), 101 + i)
+        return jax.nn.log_softmax(nn.Dense(self.out_dim)(h), axis=-1)
 
 
 class StdGCN(BaseRegressionMethod):
     """stdGCN model (parity: stdgcn.py)."""
 
-    _DISPLAY_ATTRS = ("hidden", "dropout")
+    _DISPLAY_ATTRS = ("nhid", "dropout")
 
-    def __init__(self, hidden: Tuple[int, ...] = (256, 128), dropout: float = 0.1,
-                 seed: int = 0):
-        self.hidden = tuple(hidden)
+    def __init__(self, hidden: Tuple[int, ...] = (256,), nhid: Optional[int] = None,
+                 common_hid_layers_num: int = 1, fcnn_hid_layers_num: int = 1,
+                 dropout: float = 0.1, seed: int = 0):
+        self.nhid = nhid or (hidden[0] if hidden else 256)
+        self.common_hid_layers_num = common_hid_layers_num
+        self.fcnn_hid_layers_num = fcnn_hid_layers_num
         self.dropout = dropout
         self.seed = seed
         self.params = None
@@ -87,65 +239,96 @@ class StdGCN(BaseRegressionMethod):
         )
 
     @partial(jax.jit, static_argnames=("self",))
-    def _step(self, params, opt_state, adj_exp, adj_sp, x, y, mask, key):
+    def _step(self, params, opt_state, adj_exp, adj_sp, x, y, mask, vmask, key):
+        def kl(logp, target, m):
+            # torch KLDivLoss(reduction="mean"): mean over ALL elements of
+            # target * (log target - logp) (conGCN_train loss, :1869)
+            elem = target * (jnp.log(jnp.maximum(target, 1e-10)) - logp)
+            return (elem * m[:, None]).sum() / jnp.maximum(
+                m.sum() * target.shape[1], 1.0)
+
         def loss_fn(params):
-            pred = self.net.apply({"params": params}, adj_exp, adj_sp, x, training=True,
-                                  rngs={"dropout": key})
-            ce = -(y * jnp.log(pred + 1e-10)).sum(1)
-            return (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+            logp = self.net.apply({"params": params}, adj_exp, adj_sp, x,
+                                  training=True, rng=key)
+            return kl(logp, y, mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = self._tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        params = optax.apply_updates(params, updates)
+        logp_eval = self.net.apply({"params": params}, adj_exp, adj_sp, x)
+        val = kl(logp_eval, y, vmask)
+        return params, opt_state, loss, val
 
     def fit(self, inputs, y, train_mask=None, lr: float = 1e-2,
-            max_epochs: int = 300, k_exp: int = 10, k_sp: int = 6):
-        """inputs = (features for all spots [pseudo+real], spatial coords with
-        zeros for pseudo-spots); y: portions (pseudo rows labeled)."""
-        from dance_tpu.ops.neighbors import knn_graph
+            max_epochs: int = 300, early_stopping_patience: int = 5,
+            train_valid_ratio: float = 0.9, clip_grad_max_norm: float = 1.0,
+            inter_k: int = 20, intra_exp_k: int = 10, space_k: int = 27):
+        """inputs = (features for all spots ordered [pseudo; real], spatial
+        coords for the real spots — rows with all-zero coords are treated as
+        pseudo); y: portions (pseudo rows labeled)."""
         x, coords = inputs
         x = as_numpy(x).astype(np.float32)
         coords = as_numpy(coords).astype(np.float32)
         n = x.shape[0]
-        adj_exp = _norm_adj(knn_graph(x, min(k_exp, n - 1), mode="connectivity",
-                                      include_self=False))
-        # spatial graph only among real spots (nonzero coords); pseudo-spots
-        # get self-loops through _norm_adj
-        real = np.abs(coords).sum(1) > 0
-        adj_sp_raw = sp.lil_matrix((n, n), dtype=np.float32)
-        if real.sum() > k_sp + 1:
-            idx = np.nonzero(real)[0]
-            sub = knn_graph(coords[idx], min(k_sp, len(idx) - 1), mode="connectivity",
-                            include_self=False)
-            sub = sp.coo_matrix(sub)
-            adj_sp_raw[idx[sub.row], idx[sub.col]] = sub.data
-        adj_sp = _norm_adj(adj_sp_raw.tocsr())
-
-        y = jnp.asarray(as_numpy(y), jnp.float32)
         if train_mask is None:
             train_mask = np.asarray(as_numpy(y)).sum(1) > 0
-        mask = jnp.asarray(np.asarray(train_mask), jnp.float32)
+        train_mask = np.asarray(train_mask, bool)
+        n_pseudo = int(train_mask.sum())
+        real_coords = coords[~train_mask] if coords.shape[0] == n else coords
 
-        self.net = _ConGCN(hidden=self.hidden, out_dim=y.shape[1],
+        adj_exp, adj_sp = build_stdgcn_adjacencies(
+            x, real_coords, n_pseudo, inter_k=inter_k, intra_exp_k=intra_exp_k,
+            space_k=min(space_k, max((~train_mask).sum() - 1, 1)), seed=self.seed)
+
+        # 90/10 train/valid split of the labeled (pseudo) spots (:194-199)
+        rng = np.random.default_rng(self.seed)
+        labeled = np.nonzero(train_mask)[0]
+        n_tr = int(len(labeled) * train_valid_ratio)
+        tr_mask = np.zeros(n, np.float32)
+        va_mask = np.zeros(n, np.float32)
+        tr_mask[labeled[:n_tr]] = 1
+        va_mask[labeled[n_tr:]] = 1
+        if va_mask.sum() == 0:
+            va_mask = tr_mask
+
+        y = jnp.asarray(as_numpy(y), jnp.float32)
+        self.net = _ConGCN(nhid=self.nhid, out_dim=y.shape[1],
+                           common_hid_layers_num=self.common_hid_layers_num,
+                           fcnn_hid_layers_num=self.fcnn_hid_layers_num,
                            dropout=self.dropout)
         key = jax.random.key(self.seed)
         xj = jnp.asarray(x)
-        self.params = self.net.init({"params": key, "dropout": key}, adj_exp, adj_sp,
-                                    xj)["params"]
-        self._tx = optax.adam(lr)
+        self.params = self.net.init(key, adj_exp, adj_sp, xj)["params"]
+        self._tx = optax.chain(optax.clip_by_global_norm(clip_grad_max_norm),
+                               optax.adam(lr))
         opt_state = self._tx.init(self.params)
+
+        best_val, best_params, patience = np.inf, self.params, 0
         for epoch in range(max_epochs):
             key, sk = jax.random.split(key)
-            self.params, opt_state, loss = self._step(self.params, opt_state, adj_exp,
-                                                      adj_sp, xj, y, mask, sk)
+            self.params, opt_state, loss, val = self._step(
+                self.params, opt_state, adj_exp, adj_sp, xj, y,
+                jnp.asarray(tr_mask), jnp.asarray(va_mask), sk)
+            val = round(float(val), 4)
+            if val < best_val:
+                best_val, best_params, patience = val, self.params, 1
+            else:
+                patience += 1
+                if early_stopping_patience > 0 and patience > early_stopping_patience:
+                    logger.info("stdGCN early stop at epoch %d (val %.4f)", epoch,
+                                best_val)
+                    break
             if epoch % 100 == 0:
-                logger.info("stdGCN epoch %d, CE %.5f", epoch, float(loss))
+                logger.info("stdGCN epoch %d, KL %.5f (val %.5f)", epoch,
+                            float(loss), val)
+        self.params = best_params
         self._cache = (adj_exp, adj_sp, xj)
         return self
 
     def predict(self, x: Optional[Any] = None):
         adj_exp, adj_sp, xj = self._cache
-        return np.asarray(self.net.apply({"params": self.params}, adj_exp, adj_sp, xj))
+        logp = self.net.apply({"params": self.params}, adj_exp, adj_sp, xj)
+        return np.asarray(jnp.exp(logp))
 
     def score(self, x, y, *, score_func=None, return_pred: bool = False, test_idx=None,
               **kwargs):
