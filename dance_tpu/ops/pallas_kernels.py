@@ -203,8 +203,9 @@ def pallas_spmm(adj: sp.spmatrix, h, *, interpret: bool = False):
     return out[:n_rows]
 
 
-__all__ = ["BSRMatrix", "bsr_from_scipy", "bsr_gat", "bsr_gat_ad", "bsr_gat_scan",
-           "bsr_spmm", "bsr_spmm_ad", "bsr_transpose", "pallas_spmm", "rcm_reorder"]
+__all__ = ["BSRMatrix", "bsr_from_scipy", "bsr_gat", "bsr_gat_ad", "bsr_gat_grads",
+           "bsr_gat_scan", "bsr_gat_stats", "bsr_spmm", "bsr_spmm_ad",
+           "bsr_transpose", "pallas_spmm", "rcm_reorder"]
 
 
 # --------------------------------------------------------------------------
@@ -290,6 +291,180 @@ def bsr_gat(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array, *,
     return out[:, :d]
 
 
+def _gat_stats_kernel(brows_ref, bcols_ref, blocks_ref, er_ref, el_ref, h_ref,
+                      out_ref, m_out_ref, l_out_ref, m_ref, l_ref, acc_ref, *,
+                      negative_slope: float):
+    """Forward kernel variant that also emits the per-row softmax statistics
+    (running max ``m`` and normalizer ``l``) the flash backward needs."""
+    i = pl.program_id(1)
+
+    @pl.when((i == 0) | (brows_ref[i] != brows_ref[jnp.maximum(i - 1, 0)]))
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    mask = blocks_ref[0] != 0.0
+    logits = er_ref[:] + el_ref[:].reshape(1, -1)
+    logits = jnp.where(logits >= 0, logits, negative_slope * logits)
+    logits = jnp.where(mask, logits, -jnp.inf)
+
+    m_new = jnp.maximum(jnp.maximum(m_ref[:], logits.max(axis=1, keepdims=True)),
+                        -1e30)
+    p = jnp.where(mask, jnp.exp(logits - m_new), 0.0)
+    scale = jnp.exp(m_ref[:] - m_new)
+    l_ref[:] = l_ref[:] * scale + p.sum(axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * scale + jnp.dot(p, h_ref[:],
+                                              preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+    out_ref[:] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-12)
+    m_out_ref[:] = m_ref[:]
+    l_out_ref[:] = l_ref[:]
+
+
+@partial(jax.jit, static_argnames=("negative_slope", "d_tile", "interpret"))
+def bsr_gat_stats(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array, *,
+                  negative_slope: float = 0.2, d_tile: int = 128,
+                  interpret: bool = None):
+    """:func:`bsr_gat` that also returns the softmax stats ``(out, m, l)``."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_rows, n_cols = bsr.shape
+    d = h.shape[1]
+    dp = -(-d // d_tile) * d_tile
+    h = jnp.pad(h, ((0, n_cols - h.shape[0]), (0, dp - d)))
+    er = jnp.pad(er, (0, n_rows - er.shape[0]))
+    el = jnp.pad(el, (0, n_cols - el.shape[0]))
+    grid = (dp // d_tile, bsr.nb)
+    out, m, l = pl.pallas_call(
+        partial(_gat_stats_kernel, negative_slope=negative_slope),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, BLOCK, BLOCK), lambda j, i, br, bc: (i, 0, 0)),
+                pl.BlockSpec((BLOCK, 1), lambda j, i, br, bc: (br[i], 0)),
+                pl.BlockSpec((BLOCK, 1), lambda j, i, br, bc: (bc[i], 0)),
+                pl.BlockSpec((BLOCK, d_tile), lambda j, i, br, bc: (bc[i], j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((BLOCK, d_tile), lambda j, i, br, bc: (br[i], j)),
+                pl.BlockSpec((BLOCK, 1), lambda j, i, br, bc: (br[i], 0)),
+                pl.BlockSpec((BLOCK, 1), lambda j, i, br, bc: (br[i], 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((BLOCK, 1), jnp.float32),
+                pltpu.VMEM((BLOCK, 1), jnp.float32),
+                pltpu.VMEM((BLOCK, d_tile), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, dp), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bsr.block_rows, bsr.block_cols, bsr.blocks, er[:, None], el[:, None], h)
+    return out[:, :d], m[:, 0], l[:, 0]
+
+
+def _gat_bwd_kernel(brows_ref, bcols_ref, fv_ref, blocks_ref, er_ref, el_ref,
+                    h_ref, g_ref, m_ref, l_ref, r_ref, dh_ref, der_ref, del_ref,
+                    *, negative_slope: float):
+    """Flash-GAT backward: one streaming pass over the nonzero tiles.
+
+    With the forward stats (m, l) and r_i = ḡ_i·out_i, the softmax jacobian
+    reduces per tile to ``da = p ⊙ (ḡ hᵀ − r) ⊙ lrelu'``; ``der`` accumulates
+    by destination (consecutive same-row visits, forward-style zero-init),
+    ``del``/``dh`` by source (first-visit flags precomputed from the column
+    sequence). The attention matrix never materializes in HBM.
+    """
+    i = pl.program_id(0)
+
+    @pl.when((i == 0) | (brows_ref[i] != brows_ref[jnp.maximum(i - 1, 0)]))
+    def _():
+        der_ref[:] = jnp.zeros_like(der_ref)
+
+    @pl.when(fv_ref[i] == 1)
+    def _():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+        del_ref[:] = jnp.zeros_like(del_ref)
+
+    mask = blocks_ref[0] != 0.0
+    raw = er_ref[:] + el_ref[:].reshape(1, -1)
+    logits = jnp.where(raw >= 0, raw, negative_slope * raw)
+    p = jnp.where(mask, jnp.exp(logits - m_ref[:]), 0.0)
+    p = p / jnp.maximum(l_ref[:], 1e-12)
+    s = jnp.dot(g_ref[:], h_ref[:].T, preferred_element_type=jnp.float32)
+    dlogit = p * (s - r_ref[:])
+    da = dlogit * jnp.where(raw >= 0, 1.0, negative_slope)
+    der_ref[:] += da.sum(axis=1, keepdims=True)
+    del_ref[:] += da.sum(axis=0)[:, None]
+    dh_ref[:] += jnp.dot(p.T, g_ref[:], preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("negative_slope", "interpret"))
+def bsr_gat_grads(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array,
+                  g: jax.Array, out: jax.Array, m: jax.Array, l: jax.Array, *,
+                  negative_slope: float = 0.2, interpret: bool = None):
+    """Gradients (der, del, dh) of :func:`bsr_gat` via the flash backward.
+
+    Streams the whole feature width per tile (d padded to a lane multiple);
+    suited to the GNN regime (d ≤ ~2k fits VMEM alongside the tile buffers).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_rows, n_cols = bsr.shape
+    n_src, d = h.shape
+    dp = -(-d // 128) * 128
+    hp = jnp.pad(h, ((0, n_cols - n_src), (0, dp - d)))
+    gp = jnp.pad(g, ((0, n_rows - g.shape[0]), (0, dp - d)))
+    outp = jnp.pad(out, ((0, n_rows - out.shape[0]), (0, dp - d)))
+    erp = jnp.pad(er, (0, n_rows - er.shape[0]))
+    elp = jnp.pad(el, (0, n_cols - el.shape[0]))
+    mp = jnp.pad(m, (0, n_rows - m.shape[0]))
+    lp = jnp.pad(l, (0, n_rows - l.shape[0]))
+    r = (gp * outp).sum(axis=1, keepdims=True)  # r_i = ḡ_i · out_i
+
+    # first visit of each block-column in the row-sorted tile sequence
+    nb = bsr.nb
+    seq = jnp.arange(nb, dtype=jnp.int32)
+    first_idx = jnp.full((n_cols // BLOCK,), nb, jnp.int32).at[
+        bsr.block_cols].min(seq)
+    fv = (first_idx[bsr.block_cols] == seq).astype(jnp.int32)
+
+    dh, der, del_ = pl.pallas_call(
+        partial(_gat_bwd_kernel, negative_slope=negative_slope),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, BLOCK, BLOCK), lambda i, br, bc, fv: (i, 0, 0)),
+                pl.BlockSpec((BLOCK, 1), lambda i, br, bc, fv: (br[i], 0)),
+                pl.BlockSpec((BLOCK, 1), lambda i, br, bc, fv: (bc[i], 0)),
+                pl.BlockSpec((BLOCK, dp), lambda i, br, bc, fv: (bc[i], 0)),
+                pl.BlockSpec((BLOCK, dp), lambda i, br, bc, fv: (br[i], 0)),
+                pl.BlockSpec((BLOCK, 1), lambda i, br, bc, fv: (br[i], 0)),
+                pl.BlockSpec((BLOCK, 1), lambda i, br, bc, fv: (br[i], 0)),
+                pl.BlockSpec((BLOCK, 1), lambda i, br, bc, fv: (br[i], 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((BLOCK, dp), lambda i, br, bc, fv: (bc[i], 0)),
+                pl.BlockSpec((BLOCK, 1), lambda i, br, bc, fv: (br[i], 0)),
+                pl.BlockSpec((BLOCK, 1), lambda i, br, bc, fv: (bc[i], 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_cols, dp), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_cols, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bsr.block_rows, bsr.block_cols, fv, bsr.blocks, erp[:, None], elp[:, None],
+      hp, gp, mp[:, None], lp[:, None], r)
+    return (der[:er.shape[0], 0], del_[:el.shape[0], 0], dh[:n_src, :d])
+
+
 def bsr_gat_scan(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array, *,
                  negative_slope: float = 0.2) -> jax.Array:
     """Pure-XLA tile-streaming reference for :func:`bsr_gat` (same math, two
@@ -344,23 +519,20 @@ def _bsr_gat_core(blocks, brows, bcols, args, shape, negative_slope):
 
 
 def _bsr_gat_fwd(blocks, brows, bcols, args, shape, negative_slope):
-    out = _bsr_gat_core(blocks, brows, bcols, args, shape, negative_slope)
-    return out, (blocks, brows, bcols, args)
+    er, el, h = args
+    out, m, l = bsr_gat_stats(BSRMatrix(blocks, brows, bcols, shape), er, el, h,
+                              negative_slope=negative_slope)
+    return out, (blocks, brows, bcols, args, out, m, l)
 
 
 def _bsr_gat_bwd(shape, negative_slope, res, g):
-    blocks, brows, bcols, args = res
-
-    def ref(args_):
-        er, el, h = args_
-        return bsr_gat_scan(BSRMatrix(blocks, brows, bcols, shape), er, el, h,
-                            negative_slope=negative_slope)
-
-    _, vjp = jax.vjp(ref, args)
-    (dargs,) = vjp(g)
+    blocks, brows, bcols, args, out, m, l = res
+    er, el, h = args
+    der, del_, dh = bsr_gat_grads(BSRMatrix(blocks, brows, bcols, shape), er, el,
+                                  h, g, out, m, l, negative_slope=negative_slope)
     zi = jnp.zeros((), jax.dtypes.float0)
     return (jnp.zeros_like(blocks), jnp.broadcast_to(zi, brows.shape),
-            jnp.broadcast_to(zi, bcols.shape), dargs)
+            jnp.broadcast_to(zi, bcols.shape), (der, del_, dh))
 
 
 _bsr_gat_core.defvjp(_bsr_gat_fwd, _bsr_gat_bwd)
@@ -368,8 +540,10 @@ _bsr_gat_core.defvjp(_bsr_gat_fwd, _bsr_gat_bwd)
 
 def bsr_gat_ad(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array, *,
                negative_slope: float = 0.2) -> jax.Array:
-    """Differentiable fused GAT: Pallas forward, tile-streaming XLA backward
-    (recomputation — the attention matrix is never materialized)."""
+    """Differentiable fused GAT: flash-style Pallas kernels both ways — the
+    forward saves the per-row softmax stats and the backward is one streaming
+    pass over the tiles (:func:`bsr_gat_grads`); the attention matrix never
+    materializes in HBM in either direction."""
     return _bsr_gat_core(bsr.blocks, bsr.block_rows, bsr.block_cols,
                          (er, el, h), bsr.shape, negative_slope)
 

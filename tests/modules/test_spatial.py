@@ -179,3 +179,28 @@ def test_stagate_bsr_parity():
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(xh_bsr), np.asarray(xh_csr),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_stagate_use_bsr_e2e():
+    """STAGATE trains on the fused GAT path (RCM-banded) and the embedding
+    clusters as well as the CSR path on structured data."""
+    import numpy as np
+
+    from dance_tpu.modules.spatial.spatial_domain import Stagate
+    from sklearn.metrics import adjusted_rand_score
+    from sklearn.neighbors import radius_neighbors_graph
+
+    rng = np.random.default_rng(0)
+    n, d, k = 150, 24, 3
+    dom = rng.integers(0, k, n)
+    xy = (rng.random((n, 2)) + dom[:, None] * 2).astype(np.float32)
+    x = (np.eye(k)[dom] @ rng.random((k, d)) * 4
+         + rng.random((n, d))).astype(np.float32)
+    adj = radius_neighbors_graph(xy, 0.6, mode="connectivity",
+                                 include_self=False)
+    aris = {}
+    for use_bsr in (False, True):
+        m = Stagate(hidden_dims=(d, 16, 4), seed=0)
+        m.fit((x, adj), epochs=150, n_clusters=k, use_bsr=use_bsr)
+        aris[use_bsr] = adjusted_rand_score(dom, m.predict())
+    assert aris[True] > 0.6 and aris[False] > 0.6, aris
