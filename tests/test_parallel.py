@@ -184,3 +184,40 @@ def test_sweeprunner_with_dp_mesh(cpu_mesh8):
     runner.run(trial)
     accs = [r["acc"] for r in runner.records]
     assert len(accs) == 2 and all(a > 0.5 for a in accs), accs
+
+
+def test_vmapped_trials_on_dp_mesh(cpu_mesh8):
+    """Trial-parallel (vmap) × data-parallel (dp sharding) composition:
+    8 hyperparameter trials train simultaneously while the shared batch's
+    cells axis is sharded over the mesh — GSPMD inserts the collectives."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dance_tpu.nn.mlp import VanillaMLP
+    from dance_tpu.parallel.mesh import shard_batch
+    from dance_tpu.parallel.trials import select_best_trial, vmapped_trials
+
+    rng = np.random.default_rng(0)
+    x_np = rng.random((128, 20), dtype=np.float32)
+    w_true = rng.random((20, 1), dtype=np.float32)
+    y_np = (x_np @ w_true).ravel()
+    with cpu_mesh8:
+        x, y = shard_batch((x_np, y_np), cpu_mesh8)  # cells axis over dp
+        model = VanillaMLP(output_dim=1, hidden_dims=(16,))
+
+        def init_fn(key):
+            return model.init(key, x[:1])["params"]
+
+        def loss_fn(params, batch, hyper):
+            bx, by = batch
+            pred = model.apply({"params": params}, bx).ravel()
+            return jnp.mean((pred - by) ** 2) * hyper["scale"]
+
+        params, losses = vmapped_trials(
+            init_fn, loss_fn, (x, y), seeds=list(range(8)),
+            hyperparams={"scale": [1.0] * 8}, lr=1e-2, num_steps=150)
+    assert (np.asarray(losses[-1]) < np.asarray(losses[0])).all()
+    best, _ = select_best_trial(params, -losses[-1])
+    pred = model.apply({"params": best}, jnp.asarray(x_np)).ravel()
+    assert float(jnp.mean((pred - jnp.asarray(y_np)) ** 2)) < float(losses[0].min())
