@@ -36,12 +36,15 @@ class GCNAE(nn.Module):
     n_layers: int = 1
 
     @nn.compact
-    def __call__(self, adj: CSRMatrix, feats, *, training: bool = False):
+    def __call__(self, adj: CSRMatrix, feats, *, training: bool = False,
+                 degrees=None):
         h = nn.Dropout(self.dropout, deterministic=not training)(feats)
-        h = WeightedGraphConv(self.hidden_dim, norm="none")(adj, h, agg=self.agg)
+        h = WeightedGraphConv(self.hidden_dim, norm="none")(adj, h, agg=self.agg,
+                                                            degrees=degrees)
         h = nn.relu(h)
         for _ in range(self.n_layers - 1):
-            h = WeightedGraphConv(self.hidden_dim, norm="none")(adj, h, agg=self.agg)
+            h = WeightedGraphConv(self.hidden_dim, norm="none")(adj, h, agg=self.agg,
+                                                                degrees=degrees)
             h = nn.relu(h)
         if self.hidden_1:
             h = nn.Dense(self.hidden_1)(h)
@@ -104,10 +107,12 @@ class GraphSC(BaseClusteringMethod):
         return Compose(*transforms, log_level=log_level)
 
     @partial(jax.jit, static_argnames=("self",))
-    def _train_step(self, params, opt_state, adj, feats, adj_target, cell_slice, key):
+    def _train_step(self, params, opt_state, adj, feats, adj_target, cell_slice, key,
+                    degrees=None):
         def loss_fn(params):
             logits, emb = self.model.apply({"params": params}, adj, feats,
-                                           training=True, rngs={"dropout": key})
+                                           training=True, rngs={"dropout": key},
+                                           degrees=degrees)
             cell_logits = logits[cell_slice][:, cell_slice]
             pos = adj_target.sum()
             total = adj_target.shape[0] ** 2
@@ -128,7 +133,7 @@ class GraphSC(BaseClusteringMethod):
         """Train on a Graph built by CellFeatureBipartiteGraph.
 
         ``use_bsr=True`` runs message passing through the Pallas block-sparse
-        SpMM (requires ``agg='sum'``) — faster on chip for banded/bipartite
+        SpMM (sum or mean aggregation) — faster on chip for banded/bipartite
         adjacencies; differentiable via :func:`bsr_spmm_ad`."""
         from dance_tpu.graph import Graph
         assert isinstance(g, Graph), f"expected dance_tpu Graph, got {type(g)}"
@@ -136,10 +141,15 @@ class GraphSC(BaseClusteringMethod):
         n_cells = g.info["num_cells"]
         dg = g.to_device()
         conv_adj = dg.adj
+        self._degrees = None
         if use_bsr:
-            if self.model.agg != "sum":
-                raise ValueError("use_bsr requires agg='sum'")
+            if self.model.agg not in ("sum", "mean"):
+                raise ValueError("use_bsr supports agg='sum' or 'mean'")
             conv_adj = g.to_bsr(block=bsr_block)
+            if self.model.agg == "mean":
+                import numpy as _np
+                self._degrees = jnp.asarray(
+                    _np.diff(g.adj.indptr).astype(_np.float32))
         feats = dg.ndata.get("features")
         if feats is None:
             # fall back to adjacency rows against gene nodes as features
@@ -154,7 +164,7 @@ class GraphSC(BaseClusteringMethod):
         key = jax.random.key(self.seed)
         if self.params is None:
             self.params = self.model.init({"params": key, "dropout": key}, conv_adj,
-                                          feats)["params"]
+                                          feats, degrees=self._degrees)["params"]
         self._tx = optax.adam(lr)
         opt_state = self._tx.init(self.params)
 
@@ -162,9 +172,11 @@ class GraphSC(BaseClusteringMethod):
         for epoch in range(epochs):
             key, sk = jax.random.split(key)
             self.params, opt_state, loss = self._train_step(
-                self.params, opt_state, conv_adj, feats, adj_target, cell_slice, sk)
+                self.params, opt_state, conv_adj, feats, adj_target, cell_slice, sk,
+                self._degrees)
             if eval_epoch or epoch == epochs - 1:
-                _, emb = self.model.apply({"params": self.params}, conv_adj, feats)
+                _, emb = self.model.apply({"params": self.params}, conv_adj, feats,
+                                          degrees=self._degrees)
                 self.z = np.asarray(emb[n_genes:])
                 if eval_epoch and y is not None:
                     score = self.score(None, y)

@@ -42,13 +42,14 @@ class WeightedGraphConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, adj: CSRMatrix, h, agg: str = "sum"):
+    def __call__(self, adj: CSRMatrix, h, agg: str = "sum", degrees=None):
         if self.norm == "both":
             od = jnp.maximum(out_degrees(adj), 1.0)
             h = h * jax.lax.rsqrt(od)[:, None]
         h = nn.Dense(self.out_dim, use_bias=False,
                      kernel_init=nn.initializers.glorot_uniform())(h)
-        out = spmm(adj, h, op=agg)
+        # BSR mean aggregation needs the per-row edge counts from the builder
+        out = spmm(adj, h, op=agg, degrees=degrees)
         if self.norm == "both":
             idg = jnp.maximum(in_degrees(adj), 1.0)
             out = out * jax.lax.rsqrt(idg)[:, None]

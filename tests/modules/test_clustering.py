@@ -97,3 +97,19 @@ def test_graphsc_bsr_training(data):
     model.fit(g, y, epochs=30, lr=1e-3, use_bsr=True)
     ari = model.score(None, y)
     assert ari > 0.25, f"BSR-path GraphSC ARI too low: {ari}"
+
+
+def test_graphsc_bsr_mean():
+    """GraphSC's Pallas path now supports mean aggregation (paired degrees)."""
+    import numpy as np
+
+    from dance_tpu.datasets.synthetic import clustering_data
+    from dance_tpu.modules.single_modality.clustering import GraphSC
+
+    d = clustering_data(n_cells=120, n_genes=40, n_types=3, seed=0)
+    model = GraphSC(agg="mean", n_clusters=3, seed=0)
+    model.preprocess(d)
+    g, y = d.get_train_data()
+    model.fit(g, y, epochs=30, use_bsr=True)
+    pred = model.predict()
+    assert pred.shape[0] == 120
