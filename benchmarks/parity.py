@@ -826,6 +826,117 @@ def run_stdgcn():
     return dict(metric="prop_mse", ref=ref_mse, ours=ours_mse, tol=0.01)
 
 
+@case("scmvae")
+def run_scmvae():
+    import torch
+    import torch.utils.data as data_utils
+
+    counts, x2, y = make_je(seed=21)
+    n1, n2 = counts.shape[1], x2.shape[1]
+    lib = np.log(np.maximum(counts.sum(1), 1e-7))
+    lib_m = np.full((len(y), 1), lib.mean(), np.float32)
+    lib_v = np.full((len(y), 1), lib.var(), np.float32)
+
+    RefMVAE = refshim.import_ref(
+        "dance.modules.multi_modality.joint_embedding.scmvae", "scMVAE")
+    torch.manual_seed(0)
+    np.random.seed(0)
+    ref = RefMVAE(encoder_1=[n1, 128], hidden_1=128, Z_DIMS=16,
+                  decoder_share=[16, 128, 256], share_hidden=128,
+                  decoder_1=[128, 128], hidden_2=128, encoder_l=[n1, 128],
+                  hidden3=128, encoder_2=[n2, 128], hidden_4=128,
+                  encoder_l1=[n2, 128], hidden3_1=128, decoder_2=[128, 128],
+                  hidden_5=128, drop_rate=0.1, log_variational=True,
+                  Type="Bernoulli", device="cpu", n_centroids=8,
+                  penality="GMM", model=1)
+    t = lambda a: torch.from_numpy(np.asarray(a, np.float32))  # noqa: E731
+    total = data_utils.DataLoader(
+        data_utils.TensorDataset(t(counts), t(x2)), batch_size=64)
+    ref.init_gmm_params(total)
+    args = types.SimpleNamespace(lr=1e-3, weight_decay=1e-6, eps=0.01,
+                                 batch_size=64, max_epoch=40, anneal_epoch=200,
+                                 epoch_per_test=5)
+    n_tr = 320
+    train = data_utils.TensorDataset(t(counts[:n_tr]), t(lib_m[:n_tr]),
+                                     t(lib_v[:n_tr]), t(lib_m[:n_tr]),
+                                     t(lib_v[:n_tr]), t(x2[:n_tr]))
+    valid = data_utils.TensorDataset(t(counts[n_tr:]), t(lib_m[n_tr:]),
+                                     t(lib_v[n_tr:]), t(lib_m[n_tr:]),
+                                     t(lib_v[n_tr:]), t(x2[n_tr:]))
+    ref.fit(args, train, valid, final_rate=1e-4, scale_factor=4.0,
+            device=torch.device("cpu"))
+    ref.eval()
+    ref_z = ref.predict(t(counts), t(x2), out="Z").numpy()
+    ref_nmi = _je_nmi(ref_z, y)
+
+    from dance_tpu.modules.multi_modality.joint_embedding import scMVAE
+    ours = scMVAE(encoder_1=[n1, 128], Z_DIMS=16, decoder_share=[16, 128, 256],
+                  decoder_1=[128, 128], encoder_l=[n1, 128],
+                  encoder_2=[n2, 128], encoder_l1=[n2, 128],
+                  decoder_2=[128, 128], Type="Bernoulli", n_centroids=8,
+                  model=1, seed=0)
+    # 150 epochs vs the reference's 40: the reference's batch-norm stack
+    # converges faster per epoch; metric parity is the target here
+    ours.fit(counts, x2, epochs=150)
+    ours_nmi = _je_nmi(ours.predict(), y)
+    return dict(metric="nmi", ref=ref_nmi, ours=ours_nmi, tol=0.15)
+
+
+def make_spatial_domain(n_side=9, n_types=4, dim=20, seed=17):
+    """Spots on a grid with spatially-contiguous domains + noisy features."""
+    rng = np.random.default_rng(seed)
+    xs, ys = np.meshgrid(np.arange(n_side * 2), np.arange(n_side * 2))
+    coords = np.stack([xs.ravel(), ys.ravel()], 1).astype(np.float32)
+    # quadrant domains
+    y = ((coords[:, 0] >= n_side).astype(int) * 2
+         + (coords[:, 1] >= n_side).astype(int))
+    centers = rng.normal(0, 1.2, (n_types, dim))
+    feats = (centers[y] + rng.normal(0, 2.5, (len(y), dim))).astype(np.float32)
+    d = np.sqrt(((coords[:, None, :] - coords[None, :, :]) ** 2).sum(-1))
+    return feats, d.astype(np.float32), y
+
+
+@case("spagcn")
+def run_spagcn():
+    import torch
+
+    feats, adj, y = make_spatial_domain()
+    RefSpaGCN = refshim.import_ref(
+        "dance.modules.spatial.spatial_domain.spagcn", "SpaGCN")
+    torch.manual_seed(0)
+    np.random.seed(0)
+    ref = RefSpaGCN(device="cpu")
+    l = ref.search_l(0.5, adj)
+    ref.set_l(l)
+    ref.fit((feats, adj), init="kmeans", n_clusters=4, init_spa=True,
+            epochs=200, tol=0.0)
+    ref_ari = ari(ref.predict((feats, adj)), y)
+
+    from dance_tpu.modules.spatial.spatial_domain import SpaGCN
+    ours = SpaGCN(seed=0)
+    ours.set_l(ours.search_l(0.5, adj))
+    ours.fit((feats, adj), init="kmeans", n_clusters=4, epochs=200, tol=0.0)
+    ours_ari = ari(ours.predict((feats, adj)), y)
+    return dict(metric="ari", ref=ref_ari, ours=ours_ari, tol=0.1)
+
+
+@case("stkmeans")
+def run_stkmeans():
+    feats, _, y = make_spatial_domain(seed=23)
+    RefStKmeans = refshim.import_ref(
+        "dance.modules.spatial.spatial_domain.stlearn", "StKmeans")
+    np.random.seed(0)
+    ref = RefStKmeans(n_clusters=4, random_state=0, algorithm="lloyd")
+    ref.fit(feats)
+    ref_ari = ari(ref.predict(), y)
+
+    from dance_tpu.modules.spatial.spatial_domain import StKmeans
+    ours = StKmeans(n_clusters=4, random_state=0)
+    ours.fit(feats)
+    ours_ari = ari(ours.predict(), y)
+    return dict(metric="ari", ref=ref_ari, ours=ours_ari, tol=0.1)
+
+
 # --------------------------------------------------------------------------
 # driver
 # --------------------------------------------------------------------------
@@ -884,12 +995,22 @@ def main(argv=None):
               f"({rec['seconds']}s) {rec['error']}")
 
     os.makedirs(os.path.dirname(out_csv), exist_ok=True)
+    # A partial run (--only) merges into the stored table instead of
+    # clobbering the other methods' rows.
+    merged = {}
+    if args.only and os.path.exists(out_csv):
+        with open(out_csv, newline="") as fh:
+            for old in csv.DictReader(fh):
+                merged[old["method"]] = old
+    merged.update({rec["method"]: rec for rec in rows})
     with open(out_csv, "w", newline="") as fh:
         writer = csv.DictWriter(fh, fieldnames=[
             "method", "metric", "ref", "ours", "delta", "tol_repr", "ok",
             "seconds", "error"])
         writer.writeheader()
-        for rec in rows:
+        order = {name: i for i, name in enumerate(CASES)}
+        for name in sorted(merged, key=lambda n: order.get(n, len(order))):
+            rec = merged[name]
             writer.writerow({k: rec.get(k, "") for k in writer.fieldnames})
     n_pass = sum(r["ok"] for r in rows)
     print(f"\n{n_pass}/{len(rows)} parity cases pass -> {out_csv}")

@@ -18,8 +18,18 @@ from dance_tpu.transforms import (AnnDataTransform, CellPCA, Compose, FilterGene
                                   SetConfig)
 from dance_tpu.transforms.graph import SpaGCNGraph, SpaGCNGraph2D
 from dance_tpu.typing import LogLevel, Optional
-from dance_tpu.utils.loss import cluster_kl_loss, soft_assign, target_distribution
+from dance_tpu.utils.loss import cluster_kl_loss, target_distribution
 from dance_tpu.utils.wrappers import as_numpy
+
+
+def _soft_assign(z, mu, alpha: float = 0.2):
+    """Reference SimpleGCDEC's q (spagcn.py:391-397): Student-t kernel with
+    alpha=0.2 raised to (alpha+1) — the reference's trailing ``/2.0`` is a
+    constant that cancels under row normalization, so the effective exponent
+    is (alpha+1), not standard DEC's (alpha+1)/2."""
+    d2 = jnp.sum((z[:, None, :] - mu[None, :, :]) ** 2, axis=-1)
+    q = (1.0 / (1.0 + d2 / alpha + 1e-8)) ** (alpha + 1.0)
+    return q / jnp.sum(q, axis=1, keepdims=True)
 
 
 def search_l(p: float, adj: np.ndarray, start: float = 0.01, end: float = 1000,
@@ -50,8 +60,10 @@ class SpaGCN(BaseClusteringMethod):
 
     _DISPLAY_ATTRS = ("l",)
 
-    def __init__(self, l: Optional[float] = None, device: str = "auto", seed: int = 0):
+    def __init__(self, l: Optional[float] = None, device: str = "auto", seed: int = 0,
+                 alpha: float = 0.2):
         self.l = l
+        self.alpha = alpha
         self.res = None
         self.seed = seed
 
@@ -87,7 +99,7 @@ class SpaGCN(BaseClusteringMethod):
         def loss_fn(theta):
             w, mu = theta
             z = a_norm @ (x @ w)
-            q = soft_assign(z, mu, 1.0)
+            q = _soft_assign(z, mu, self.alpha)
             return cluster_kl_loss(p, q)
 
         loss, grads = jax.value_and_grad(loss_fn)(theta)
@@ -131,7 +143,7 @@ class SpaGCN(BaseClusteringMethod):
             if epoch % 3 == 0:
                 w, mu = theta
                 z = a_norm @ (xj @ w)
-                q = soft_assign(z, mu, 1.0)
+                q = _soft_assign(z, mu, self.alpha)
                 p = target_distribution(q)
                 y_now = np.asarray(q.argmax(1))
                 delta = (y_now != y_last).mean()
@@ -149,7 +161,7 @@ class SpaGCN(BaseClusteringMethod):
         a_norm = jnp.asarray(a / a.sum(1, keepdims=True), jnp.float32)
         w, mu = self._theta
         z = a_norm @ (jnp.asarray(as_numpy(embed), jnp.float32) @ w)
-        return np.asarray(soft_assign(z, mu, 1.0))
+        return np.asarray(_soft_assign(z, mu, self.alpha))
 
     def predict(self, x):
         return self.predict_proba(x).argmax(1)

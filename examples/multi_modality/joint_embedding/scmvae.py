@@ -16,6 +16,7 @@ if __name__ == "__main__":
     x1_te = np.log1p(data.get_feature(split_name="test", mod="mod1", channel_type="X"))
     x2_te = np.log1p(data.get_feature(split_name="test", mod="mod2", channel_type="X"))
     ct = data.get_feature(split_name="train", mod="mod1", channel="cell_type", channel_type="obs")
-    model = scMVAE(seed=args.seed)
-    model.fit(x1_tr, x2_tr, epochs=200)
+    ct_arr = np.asarray(ct)
+    model = scMVAE(seed=args.seed, n_centroids=2 * len(np.unique(ct_arr)))
+    model.fit(np.expm1(x1_tr), np.expm1(x2_tr), epochs=200)
     print(f"NMI: {model.score(None, ct):.4f}")

@@ -24,8 +24,9 @@ def evaluate(planer, trial_cfg, seed, params_mode):
     x2_te = np.log1p(data.get_feature(split_name="test", mod="mod2", channel_type="X"))
     ct = data.get_feature(split_name="train", mod="mod1", channel="cell_type",
                            channel_type="obs")
-    model = scMVAE(z_dim=16, seed=seed)
-    model.fit(x1_tr, x2_tr, epochs=150)
+    model = scMVAE(z_dim=16, seed=seed,
+                   n_centroids=2 * len(np.unique(np.asarray(ct))))
+    model.fit(np.expm1(x1_tr), np.expm1(x2_tr), epochs=150)
     return {"nmi": model.score(None, ct)}
 
 

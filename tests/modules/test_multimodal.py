@@ -106,8 +106,9 @@ def test_scmvae_joint_embedding(data):
     x1_tr, x2_tr, _, _ = _get_xy(data)
     ct = data.get_feature(split_name="train", mod="mod1", channel="cell_type",
                           channel_type="obs")
-    model = scMVAE(z_dim=16, seed=0)
-    model.fit(x1_tr, x2_tr, epochs=200)
+    # raw counts: the ZINB decoder reconstructs counts (log1p'd internally)
+    model = scMVAE(z_dim=16, seed=0, n_centroids=6)
+    model.fit(np.expm1(x1_tr), np.expm1(x2_tr), epochs=200)
     nmi = model.score(None, ct)
     assert nmi > 0.4, f"scMVAE NMI too low: {nmi}"
 
