@@ -35,13 +35,15 @@ class GNN(nn.Module):
     n_layers: int
     gene_num: int
     dropout: float = 0.0
+    bsr_dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, adj: CSRMatrix, x, gene_id, *, training: bool = False,
                  alpha_idx=None):
         alpha = self.param("alpha", nn.initializers.ones, (self.gene_num + 2,))
         for _ in range(self.n_layers):
-            x = AdaptiveSAGE(self.dim_hid, dropout=self.dropout)(
+            x = AdaptiveSAGE(self.dim_hid, dropout=self.dropout,
+                             bsr_dtype=self.bsr_dtype)(
                 adj, x, gene_id, alpha, training=training, alpha_idx=alpha_idx)
         return nn.Dense(self.dim_out,
                         kernel_init=nn.initializers.xavier_uniform())(x)
@@ -96,10 +98,12 @@ class ScDeepSort(BaseClassificationMethod):
 
     def fit(self, graph: Graph, labels, epochs: int = 300, lr: float = 1e-3,
             weight_decay: float = 0, val_ratio: float = 0.2,
-            use_bsr: bool = False, bsr_block: int = 128):
+            use_bsr: bool = False, bsr_block: int = 128, bsr_dtype=None):
         """Full-graph training. ``use_bsr=True`` runs AdaptiveSAGE through the
         Pallas block-sparse SpMM (ops.sparse.AdaptiveBSR decomposition) —
-        the TPU fast path for large graphs; differentiable end to end."""
+        the TPU fast path for large graphs; differentiable end to end.
+        ``bsr_dtype=jnp.bfloat16`` streams the SpMM at half HBM width with f32
+        accumulation (measured ~1.5× per SpMM on bipartite graphs)."""
         labels = as_numpy(labels)
         if labels.ndim == 2:
             labels = labels.argmax(1)
@@ -125,7 +129,8 @@ class ScDeepSort(BaseClassificationMethod):
 
         self.model = GNN(dim_out=self.num_labels, dim_hid=self.hidden_dim,
                          n_layers=self.n_layers, gene_num=num_genes,
-                         dropout=self.dropout)
+                         dropout=self.dropout,
+                         bsr_dtype=bsr_dtype if use_bsr else None)
         # static per-edge alpha index computed once on host (compile-time saver)
         if use_bsr:
             alpha_idx = None  # the AdaptiveBSR decomposition subsumes it

@@ -5,7 +5,7 @@ All layers are flax modules taking ``(adj: CSRMatrix, h)``; message passing
 lowers to the segment ops in :mod:`dance_tpu.ops.segment`.
 """
 
-from typing import Callable, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -86,6 +86,8 @@ class AdaptiveSAGE(nn.Module):
     out_dim: int
     dropout: float = 0.1
     use_norm: bool = True
+    # bf16 streaming for the Pallas fast path (f32 accumulation); None = f32
+    bsr_dtype: Optional[Any] = None
 
     @staticmethod
     def edge_alpha_index(adj_rows, adj_indices, gene_id, n_genes) -> jnp.ndarray:
@@ -117,7 +119,8 @@ class AdaptiveSAGE(nn.Module):
             self_alpha = jnp.where(gidx >= 0, alpha[n_genes], alpha[n_genes + 1])
             n = h.shape[0]
             hp = jnp.pad(s[:, None] * h, ((0, adj.bsr.shape[1] - n), (0, 0)))
-            neigh = s[:, None] * bsr_spmm_ad(adj.bsr, hp)[:n]
+            neigh = s[:, None] * bsr_spmm_ad(adj.bsr, hp,
+                                             compute_dtype=self.bsr_dtype)[:n]
             z = (neigh + (adj.w_diag * self_alpha)[:, None] * h)
             z = z / jnp.maximum(adj.deg, 1.0)[:, None]
         else:

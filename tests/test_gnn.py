@@ -69,6 +69,37 @@ def test_pallas_bsr_spmm_multi_block():
     np.testing.assert_allclose(out, adj @ h, rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_bsr_spmm_bf16():
+    """bf16-streamed SpMM: f32-accumulated forward within bf16 tolerance and
+    a differentiable backward matching the f32 path."""
+    from dance_tpu.ops.pallas_kernels import bsr_from_scipy, bsr_spmm_ad
+    adj = sp.random(300, 200, density=0.05, random_state=2, format="csr",
+                    dtype=np.float32)
+    adj = adj + sp.csr_matrix((np.ones(200, np.float32),
+                               (np.arange(200), np.arange(200))), shape=(300, 200))
+    h = rng.random((200, 96)).astype(np.float32)
+    bsr = bsr_from_scipy(adj)
+    hp = jnp.pad(jnp.asarray(h), ((0, bsr.shape[1] - 200), (0, 0)))
+
+    out = bsr_spmm_ad(bsr, hp, interpret=True, compute_dtype=jnp.bfloat16)
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(out[:300], adj @ h, rtol=2e-2, atol=2e-2)
+
+    def loss(fn_dtype):
+        def f(blocks, b):
+            from dance_tpu.ops.pallas_kernels import BSRMatrix
+            m = BSRMatrix(blocks, bsr.block_rows, bsr.block_cols, bsr.shape)
+            return jnp.sum(bsr_spmm_ad(m, b, interpret=True,
+                                       compute_dtype=fn_dtype) ** 2)
+        return jax.grad(f, argnums=(0, 1))(bsr.blocks, hp)
+
+    g16 = loss(jnp.bfloat16)
+    g32 = loss(None)
+    for a, b in zip(g16, g32):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-2,
+                                   atol=5e-1)
+
+
 def test_gnn_layers(graph):
     import jax
 
