@@ -143,6 +143,67 @@ def bsr_spmm(bsr: BSRMatrix, b: jax.Array, *, d_tile: int = 128,
     return out[:, :d]
 
 
+def _sddmm_kernel(brows_ref, bcols_ref, g_ref, bt_ref, out_ref):
+    j = pl.program_id(1)  # feature tile (innermost: accumulate into one block)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # b arrives pre-transposed (d, n_cols) so this is a plain MXU matmul —
+    # an in-kernel g @ bᵀ costs a per-tile transpose on TPU
+    out_ref[0] += jnp.dot(g_ref[:], bt_ref[:],
+                          preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("d_tile", "interpret", "compute_dtype"))
+def bsr_sddmm(brows: jax.Array, bcols: jax.Array, g: jax.Array, b: jax.Array,
+              *, d_tile: int = 128, interpret: bool = None,
+              compute_dtype=None) -> jax.Array:
+    """Sampled dense-dense matmul onto a BSR pattern:
+    ``out[k] = g[rows_k] @ b[cols_k]ᵀ`` for each nonzero block k.
+
+    This is the ``dA`` term of the SpMM backward. The XLA formulation
+    (``einsum over g3[brows], b3[bcols]``) materializes both gathers in HBM
+    (~2× the tile stream); this kernel reads each (row, col) tile pair
+    directly and writes only the output blocks. ``g`` is (n_rows_padded, d),
+    ``b`` is (n_cols_padded, d), both padded to BLOCK multiples."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nb = brows.shape[0]
+    d = g.shape[1]
+    dp = -(-d // d_tile) * d_tile
+    if dp != d:
+        g = jnp.pad(g, ((0, 0), (0, dp - d)))
+        b = jnp.pad(b, ((0, 0), (0, dp - d)))
+    if compute_dtype is not None:
+        # one cheap full-array cast; the kernel then re-reads each node tile
+        # once per visiting block at half width
+        g, b = g.astype(compute_dtype), b.astype(compute_dtype)
+    bt = b.T  # one HBM pass; lets the kernel run transpose-free matmuls
+    grid = (nb, dp // d_tile)
+    return pl.pallas_call(
+        _sddmm_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((BLOCK, d_tile), lambda i, j, brows, bcols: (brows[i], j)),
+                pl.BlockSpec((d_tile, BLOCK), lambda i, j, brows, bcols: (j, bcols[i])),
+            ],
+            out_specs=pl.BlockSpec((1, BLOCK, BLOCK),
+                                   lambda i, j, brows, bcols: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, BLOCK, BLOCK), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * BLOCK * BLOCK * dp,
+            bytes_accessed=2 * nb * BLOCK * dp * 4 + nb * BLOCK * BLOCK * 4,
+            transcendentals=0,
+        ),
+    )(brows, bcols, g, bt)
+
+
 def bsr_transpose(bsr: BSRMatrix) -> BSRMatrix:
     """Aᵀ in BSR form: transpose each tile, swap block row/col, re-sort by row.
 
@@ -190,11 +251,17 @@ def _bsr_spmm_bwd(shape, interpret, compute_dtype, res, g):
     at = bsr_transpose(BSRMatrix(blocks, brows, bcols, shape))
     db = bsr_spmm(at, gp, interpret=interpret,
                   compute_dtype=compute_dtype)[:b.shape[0]]
-    g3 = gp.reshape(n_rows // block, block, -1)
-    b3 = bp.reshape(n_cols // block, block, -1)
-    # NB: casting g3/b3 to bf16 here measured SLOWER (the cast materializes an
-    # extra HBM pass that XLA does not fuse into the gather); SDDMM stays f32.
-    dblocks = jnp.einsum("kbd,kcd->kbc", g3[brows], b3[bcols])
+    if block == BLOCK and compute_dtype is not None:
+        # Pallas SDDMM reads the (row, col) tile pairs directly; measured a
+        # win only at reduced width (bf16 min 3.4 ms vs einsum 4.0 ms on the
+        # 12k×2k bipartite graph) — in f32 XLA's gather+einsum is on par, so
+        # it stays the default path.
+        dblocks = bsr_sddmm(brows, bcols, gp, bp, interpret=interpret,
+                            compute_dtype=compute_dtype)
+    else:
+        g3 = gp.reshape(n_rows // block, block, -1)
+        b3 = bp.reshape(n_cols // block, block, -1)
+        dblocks = jnp.einsum("kbd,kcd->kbc", g3[brows], b3[bcols])
     zi = jnp.zeros((), jax.dtypes.float0)
     return (dblocks, jnp.broadcast_to(zi, brows.shape),
             jnp.broadcast_to(zi, bcols.shape), db)

@@ -100,6 +100,30 @@ def test_pallas_bsr_spmm_bf16():
                                    atol=5e-1)
 
 
+def test_pallas_bsr_sddmm():
+    """Pallas SDDMM (dA term of the SpMM backward) vs the einsum reference."""
+    from dance_tpu.ops.pallas_kernels import BLOCK, bsr_from_scipy, bsr_sddmm
+    adj = sp.random(300, 200, density=0.05, random_state=3, format="csr",
+                    dtype=np.float32)
+    adj = adj + sp.csr_matrix((np.ones(200, np.float32),
+                               (np.arange(200), np.arange(200))), shape=(300, 200))
+    bsr = bsr_from_scipy(adj)
+    n_rows, n_cols = bsr.shape
+    g = rng.random((n_rows, 96)).astype(np.float32)
+    b = rng.random((n_cols, 96)).astype(np.float32)
+    out = bsr_sddmm(bsr.block_rows, bsr.block_cols, jnp.asarray(g),
+                    jnp.asarray(b), interpret=True)
+    g3 = g.reshape(n_rows // BLOCK, BLOCK, -1)
+    b3 = b.reshape(n_cols // BLOCK, BLOCK, -1)
+    ref = np.einsum("kbd,kcd->kbc", g3[np.asarray(bsr.block_rows)],
+                    b3[np.asarray(bsr.block_cols)])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+    out16 = bsr_sddmm(bsr.block_rows, bsr.block_cols, jnp.asarray(g),
+                      jnp.asarray(b), interpret=True,
+                      compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out16), ref, rtol=3e-2, atol=3e-1)
+
+
 def test_gnn_layers(graph):
     import jax
 
