@@ -204,3 +204,67 @@ def test_stagate_use_bsr_e2e():
         m.fit((x, adj), epochs=150, n_clusters=k, use_bsr=use_bsr)
         aris[use_bsr] = adjusted_rand_score(dom, m.predict())
     assert aris[True] > 0.6 and aris[False] > 0.6, aris
+
+
+def test_spagcn_svg_utilities():
+    """Moran/Geary vs brute-force loops; refine majority vote; get_svgs e2e
+    (parity surface: reference spagcn.py:31-335,:881)."""
+    import numpy as np
+    from dance_tpu.modules.spatial.spatial_domain.spagcn import (
+        Geary_C, Moran_I, calculate_adj_matrix, count_nbr,
+        find_neighbor_clusters, rank_genes_groups, refine, search_radius)
+
+    rng = np.random.default_rng(0)
+    side = 8
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    x, y = xs.ravel().astype(float), ys.ravel().astype(float)
+    n = len(x)
+    # one spatially-smooth gene, one noise gene
+    smooth = (x + y) / (2 * side)
+    noise = rng.normal(0, 1, n)
+    genes = np.stack([smooth, noise], 1)
+
+    mi = Moran_I(genes, x, y, k=5)
+    gc = Geary_C(genes, x, y, k=5)
+    assert mi.iloc[0] > 0.5 > abs(mi.iloc[1])
+    assert gc.iloc[0] < 0.5 and gc.iloc[1] > 0.7
+
+    # brute-force Moran for the smooth gene matches the vectorized value
+    adj = calculate_adj_matrix(x, y)
+    w = np.zeros((n, n))
+    nbrs = np.argsort(adj, axis=1)[:, :5]
+    for i in range(n):
+        w[i, nbrs[i]] = 1
+    np.fill_diagonal(w, 0)
+    xc = smooth - smooth.mean()
+    brute = (n / w.sum()) * (xc @ w @ xc) / (xc @ xc)
+    np.testing.assert_allclose(mi.iloc[0], brute, rtol=1e-10)
+
+    # refine: an isolated island spot flips to its surroundings' label
+    pred = (x >= side / 2).astype(int)
+    island = np.where(pred == 0)[0][10]
+    pred2 = pred.copy()
+    pred2[island] = 1
+    refined = np.asarray(refine([str(i) for i in range(n)], pred2.tolist(),
+                                adj, shape="hexagon"))
+    assert refined[island] == 0
+    # spots deep inside a domain never flip
+    assert (refined[pred == 1][np.asarray(x[pred == 1] > side - 2)] == 1).all()
+
+    # radius/neighbor helpers behave sensibly on the two-domain layout
+    r = search_radius(0, list(range(n)), x, y, pred, start=0.5, end=6.0,
+                      num_min=8, num_max=15)
+    assert r is not None
+    assert count_nbr(0, list(range(n)), x, y, pred, r) >= 8
+    assert find_neighbor_clusters(0, list(range(n)), x, y, pred, r) == [1]
+
+    # rank_genes_groups: a gene expressed only in the target domain tops the
+    # table with a small adjusted p-value
+    from dance_tpu.data import AnnData
+    expr = rng.poisson(1.0, (n, 5)).astype(float)
+    expr[pred == 0, 0] += 10.0
+    ad = AnnData(X=expr)
+    ad.obs["pred"] = pred
+    df = rank_genes_groups(ad, 0, [1], "pred")
+    assert str(df.loc[df["pvals_adj"].idxmin(), "genes"]) == "0"
+    assert df["pvals_adj"].min() < 1e-6
