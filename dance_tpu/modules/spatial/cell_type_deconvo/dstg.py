@@ -123,3 +123,21 @@ class DSTG(BaseRegressionMethod):
         func = resolve_score_func(score_func or "mse")
         s = func(y, pred)
         return (s, pred) if return_pred else s
+
+
+def split_mask_for_validation(pseudo_train_mask, valid_ratio: float = 0.3,
+                              random_seed=None):
+    """Split a boolean mask's True entries into train/validation masks
+    (parity: dstg.py:342). ``valid_ratio`` of the True entries move to the
+    validation mask; False entries stay False in both outputs."""
+    mask = np.asarray(pseudo_train_mask, dtype=bool)
+    if not 0.0 <= valid_ratio <= 1.0:
+        raise ValueError(f"valid_ratio must be in [0, 1], got {valid_ratio}")
+    idx = np.flatnonzero(mask)
+    rng = np.random.default_rng(random_seed)
+    n_valid = int(round(len(idx) * valid_ratio))
+    valid_idx = rng.choice(idx, size=n_valid, replace=False)
+    valid_mask = np.zeros_like(mask)
+    valid_mask[valid_idx] = True
+    train_mask = mask & ~valid_mask
+    return train_mask, valid_mask

@@ -339,3 +339,8 @@ class StdGCN(BaseRegressionMethod):
         func = resolve_score_func(score_func or "mse")
         s = func(y, pred)
         return (s, pred) if return_pred else s
+
+
+# reference tuning harnesses import the model under this name (reference
+# examples/tuning/deconv_stdgcn/main.py:13)
+stdGCNWrapper = StdGCN

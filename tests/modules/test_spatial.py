@@ -268,3 +268,19 @@ def test_spagcn_svg_utilities():
     df = rank_genes_groups(ad, 0, [1], "pred")
     assert str(df.loc[df["pvals_adj"].idxmin(), "genes"]) == "0"
     assert df["pvals_adj"].min() < 1e-6
+
+
+def test_dstg_split_mask_for_validation():
+    import numpy as np
+    from dance_tpu.modules.spatial.cell_type_deconvo.dstg import (
+        split_mask_for_validation)
+
+    mask = np.zeros(100, bool)
+    mask[:60] = True
+    train, valid = split_mask_for_validation(mask, valid_ratio=0.3,
+                                             random_seed=0)
+    assert valid.sum() == 18 and train.sum() == 42
+    assert not (train & valid).any()
+    assert not (train | valid)[60:].any()
+    t2, v2 = split_mask_for_validation(mask, valid_ratio=0.3, random_seed=0)
+    assert (t2 == train).all() and (v2 == valid).all()

@@ -110,7 +110,8 @@ INVENTORY = {
                                                  "StKmeans", "StLouvain",
                                                  "EfNsSTRunner", "Refiner"],
     "dance_tpu.modules.spatial.cell_type_deconvo": ["Card", "DSTG", "SpatialDecon",
-                                                    "SPOTlight", "StdGCN"],
+                                                    "SPOTlight", "StdGCN",
+                                                    "stdGCNWrapper"],
     # pipeline (§2.6)
     "dance_tpu.pipeline": ["Action", "Pipeline", "PipelinePlaner", "SweepRunner",
                            "save_summary_data", "get_step3_yaml", "run_step3",
