@@ -89,5 +89,40 @@ def feature_propagation(adj, feat, *, n_steps: int = 3, alpha: float = 0.5,
     return np.asarray(out)
 
 
-__all__ = ["basic_feature_graph", "batch_features", "construct_pathway_graph",
-           "feature_propagation"]
+__all__ = ["basic_feature_graph", "batch_features", "construct_basic_feature_graph",
+           "construct_pathway_graph", "feature_propagation", "gen_batch_features"]
+
+
+def construct_basic_feature_graph(feature_mod1, feature_mod1_test=None,
+                                  bf_input=None, device: str = "auto") -> Graph:
+    """Reference-named entry point (parity: graph_construct.py:305): a
+    cell-feature bipartite graph over train(+test) cells with raw nonzero
+    expression weights; optional per-cell batch features attach as ndata."""
+    x = sp.csr_matrix(feature_mod1)
+    if feature_mod1_test is not None:
+        xt = sp.csr_matrix(feature_mod1_test)
+        if xt.shape[1] != x.shape[1]:
+            raise ValueError("train/test feature dims differ")
+        x = sp.vstack([x, xt], format="csr")
+    g = basic_feature_graph(x, normalize_row=False)
+    n_cells, n_feats = x.shape
+    # node layout: features [0, n_feats) then cells; bf covers every node
+    if bf_input is not None:
+        bf = gen_batch_features(bf_input)
+        g.ndata["bf"] = np.concatenate(
+            [np.zeros((n_feats, bf.shape[1]), np.float32), bf], axis=0)
+    else:
+        g.ndata["bf"] = np.zeros(n_feats + n_cells, np.float32)
+    return g
+
+
+def gen_batch_features(ad_inputs) -> np.ndarray:
+    """Per-cell batch statistical features over a list of AnnData sub-datasets
+    (parity: graph_construct.py:370); rows align with the concatenated cells."""
+    if len(ad_inputs) >= 10:
+        raise ValueError("gen_batch_features expects a short list of AnnData "
+                         "objects (one per sub-dataset)")
+    feats = []
+    for ad in ad_inputs:
+        feats.append(batch_features(ad.X, np.asarray(ad.obs["batch"])))
+    return np.concatenate(feats, axis=0)

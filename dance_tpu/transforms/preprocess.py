@@ -197,3 +197,41 @@ class SAINTRandomWalkSampler(SubgraphSampler):
             nodes.extend(self.rng.choice(pool, n_pad, replace=False).tolist())
         nodes = np.sort(np.asarray(nodes[:target]))
         return nodes, self.adj[nodes][:, nodes]
+
+
+def generate_random_pair(y, label_cell_indx, num, error_rate=0):
+    """Random must-link / cannot-link pairwise constraints from labels
+    (parity: dance/transforms/preprocess.py:382): same-label pairs become
+    must-links and different-label pairs cannot-links, with the first
+    ``error_rate * num`` draws deliberately flipped to simulate noisy
+    supervision. Returns (ml_ind1, ml_ind2, cl_ind1, cl_ind2, error_num)."""
+    import random as _random
+
+    y = np.asarray(y)
+    label_cell_indx = list(label_cell_indx)
+    ml_ind1, ml_ind2, cl_ind1, cl_ind2 = [], [], [], []
+    seen_ml = set()
+    error_num = 0
+    num0 = num
+    while num > 0:
+        tmp1 = _random.choice(label_cell_indx)
+        tmp2 = _random.choice(label_cell_indx)
+        if tmp1 == tmp2 or (tmp1, tmp2) in seen_ml:
+            continue
+        flip = error_num < error_rate * num0
+        if (y[tmp1] == y[tmp2]) != flip:  # true pair kept, or flipped link
+            ml_ind1.append(tmp1)
+            ml_ind2.append(tmp2)
+            seen_ml.add((tmp1, tmp2))
+        else:
+            cl_ind1.append(tmp1)
+            cl_ind2.append(tmp2)
+        if flip:
+            error_num += 1
+        num -= 1
+    ml_ind1, ml_ind2 = np.array(ml_ind1, int), np.array(ml_ind2, int)
+    cl_ind1, cl_ind2 = np.array(cl_ind1, int), np.array(cl_ind2, int)
+    ml_perm = np.random.permutation(len(ml_ind1))
+    cl_perm = np.random.permutation(len(cl_ind1))
+    return (ml_ind1[ml_perm], ml_ind2[ml_perm], cl_ind1[cl_perm],
+            cl_ind2[cl_perm], error_num)

@@ -110,3 +110,9 @@ def add_mod_and_transform(cls):
     cls.__init__ = __init__
     cls.__call__ = __call__
     return cls
+
+
+def transform_mod_to_anndata(mod_data, mod_key: str):
+    """Extract one modality's AnnData from a MuData-like container
+    (parity: dance/utils/wrappers.py:135)."""
+    return mod_data.mod[mod_key]

@@ -21,12 +21,9 @@ def evaluate(planer, trial_cfg, seed, params_mode):
     ScDCC.preprocessing_pipeline(n_top_genes=80)(data)
     inputs, y = data.get_train_data()
     rng = np.random.default_rng(seed)
+    from dance_tpu.transforms.preprocess import generate_random_pair
     idx = rng.choice(len(y), 60, replace=False)
-    ml1, ml2, cl1, cl2 = [], [], [], []
-    for a in idx[:30]:
-        for b in idx[30:]:
-            (ml1 if y[a] == y[b] else cl1).append(a)
-            (ml2 if y[a] == y[b] else cl2).append(b)
+    ml1, ml2, cl1, cl2, _ = generate_random_pair(y, idx, 200)
     model = ScDCC(input_dim=inputs[0].shape[1], z_dim=8, n_clusters=3,
                   encodeLayer=[64], decodeLayer=[64], sigma=1.5, seed=seed)
     model.fit(inputs, y, ml_ind1=ml1[:100], ml_ind2=ml2[:100], cl_ind1=cl1[:100],

@@ -390,3 +390,36 @@ def test_gatconv_bsr_parity(graph):
     out_bsr = layer.apply(params, bsr_from_scipy(adj), h)
     np.testing.assert_allclose(np.asarray(out_bsr), np.asarray(out_csr),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_construct_basic_feature_graph():
+    """Reference-named builder: raw nonzero weights over train+test cells,
+    batch-feature ndata covering every node (parity: graph_construct.py:305)."""
+    import scipy.sparse as sp
+
+    from dance_tpu.data import AnnData
+    from dance_tpu.transforms.graph_construct import (
+        construct_basic_feature_graph, gen_batch_features)
+
+    x_tr = sp.random(30, 20, density=0.2, random_state=0, format="csr",
+                     dtype=np.float32)
+    x_te = sp.random(10, 20, density=0.2, random_state=1, format="csr",
+                     dtype=np.float32)
+    g = construct_basic_feature_graph(x_tr, x_te)
+    assert g.info == {"num_cells": 40, "num_genes": 20}
+    assert g.adj.shape == (60, 60)
+    # raw expression weights, both directions
+    assert g.adj.nnz == 2 * (x_tr.nnz + x_te.nnz)
+    np.testing.assert_allclose(np.sort(g.adj.data),
+                               np.sort(np.concatenate([x_tr.data, x_te.data] * 2)))
+    assert g.ndata["bf"].shape == (60,)
+
+    ad1 = AnnData(X=np.abs(np.random.default_rng(0).random((30, 20))))
+    ad1.obs["batch"] = ["a"] * 15 + ["b"] * 15
+    bf = gen_batch_features([ad1])
+    assert bf.shape == (30, 9)
+    # per-batch rows are identical within a batch
+    assert np.allclose(bf[:15], bf[0]) and np.allclose(bf[15:], bf[15])
+    g2 = construct_basic_feature_graph(sp.csr_matrix(ad1.X), bf_input=[ad1])
+    assert g2.ndata["bf"].shape == (50, 9)
+    assert np.allclose(g2.ndata["bf"][:20], 0)
