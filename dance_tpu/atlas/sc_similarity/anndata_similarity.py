@@ -20,6 +20,30 @@ from dance_tpu.typing import Dict, List, Optional
 HI = jax.lax.Precision.HIGHEST
 
 
+def get_anndata(tissue: str = "Blood", species: str = "human",
+                filetype: str = "h5ad", train_dataset=(), test_dataset=(),
+                valid_dataset=(), data_dir: str = "../temp_data"):
+    """Load atlas datasets by catalog id through CellTypeAnnotationDataset
+    (parity: anndata_similarity.py:28-50). Dataset ids are resolved against
+    the shipped scdeepsort catalog's (tissue, dataset) columns — the catalog
+    stores ids directly, so no filename splitting is needed."""
+    from dance_tpu.datasets.singlemodality import CellTypeAnnotationDataset
+    from dance_tpu.settings import METADIR
+
+    catalog = pd.read_csv(METADIR / "scdeepsort.csv", header=0)
+    in_tissue = catalog[catalog["tissue"] == tissue]["dataset"].astype(str)
+
+    def find_in_catalog(datasets):
+        return [d for d in map(str, datasets) if (in_tissue == d).any()]
+
+    data = CellTypeAnnotationDataset(
+        train_dataset=find_in_catalog(train_dataset),
+        test_dataset=find_in_catalog(test_dataset),
+        valid_dataset=find_in_catalog(valid_dataset) or None,
+        data_dir=data_dir, tissue=tissue, species=species).load_data()
+    return data.data
+
+
 def _pdist2(x, y):
     return jnp.maximum((x ** 2).sum(1)[:, None] + (y ** 2).sum(1)[None, :]
                        - 2 * jnp.dot(x, y.T, precision=HI), 0.0)

@@ -213,3 +213,15 @@ def test_multimodality_and_spatial_names():
         assert slide in SpatialLIBDDataset.AVAILABLE_DATA, slide
     for name in ("CARD_synthetic", "GSE174746", "SPOTLight_synthetic"):
         assert name in CellTypeDeconvoDataset.AVAILABLE_DATA, name
+
+
+def test_atlas_get_anndata(tmp_path):
+    """Atlas dataset loader resolves catalog ids and returns the raw container
+    (parity: anndata_similarity.py:28-50)."""
+    from dance_tpu.atlas.sc_similarity.anndata_similarity import get_anndata
+    _stage_cta_files(tmp_path, species="mouse", tissue="Spleen")
+    ad = get_anndata(tissue="Spleen", species="mouse",
+                     train_dataset=["1970", "99999"], test_dataset=["1759"],
+                     data_dir=str(tmp_path))
+    assert ad.shape[0] == 160  # unknown id 99999 filtered by the catalog
+    assert "cell_type" in ad.obsm
