@@ -102,9 +102,30 @@ def _gaussian_kl(mean, logvar):
     return 0.5 * jnp.sum(jnp.exp(logvar) + mean ** 2 - 1.0 - logvar, axis=1)
 
 
-def _eucli_attention(z, z_pre):
-    """Default 'Eucli' attention-transfer loss (reference Eucli_dis)."""
-    return jnp.sum((z - z_pre) ** 2, axis=1)
+def _make_attention(name):
+    """Attention-transfer loss dispatch (parity: dcca.py:704-726). Takes the
+    training model's output dict plus the frozen model's latent and (mean,
+    logvar) stats; returns a per-cell vector or a scalar."""
+    from dance_tpu.utils import loss as L
+    if name == "NST":
+        return lambda out, z_pre, stats: L.NSTLoss().nst_loss(
+            out["latent"][:, :, None], z_pre[:, :, None])
+    if name == "FT":
+        return lambda out, z_pre, stats: L.FactorTransfer()(
+            out["latent"][:, :, None, None], z_pre[:, :, None, None])
+    if name == "SL":
+        return lambda out, z_pre, stats: L.Similarity.similarity_loss(
+            out["latent"], z_pre)
+    if name == "CC":
+        return lambda out, z_pre, stats: L.Correlation()(out["latent"], z_pre)
+    if name == "AT":
+        return lambda out, z_pre, stats: L.Attention()(out["latent"], z_pre)
+    if name == "KL_div":
+        return lambda out, z_pre, stats: L.KL_diver()(
+            out["mean"], out["logvar"], stats[0], stats[1])
+    if name == "L1":
+        return lambda out, z_pre, stats: L.L1_dis()(out["latent"], z_pre)
+    return lambda out, z_pre, stats: L.Eucli_dis()(out["latent"], z_pre)
 
 
 class DCCA(BaseRegressionMethod):
@@ -133,6 +154,7 @@ class DCCA(BaseRegressionMethod):
         self.type_2 = Type_2
         self.cycle = cycle
         self.attention_loss = attention_loss
+        self._attn = _make_attention(attention_loss)
         self.droprate = droprate
         self.sf1 = sf1
         self.sf2 = sf2
@@ -151,8 +173,8 @@ class DCCA(BaseRegressionMethod):
     # --- jitted phase epoch -------------------------------------------------
 
     @partial(jax.jit, static_argnames=("self", "which", "use_attention"))
-    def _phase_epoch(self, params, opt_state, x, x_raw, log_sf, z_pre, kl_weight,
-                     key, which: int, use_attention: bool):
+    def _phase_epoch(self, params, opt_state, x, x_raw, log_sf, z_pre, stats_pre,
+                     kl_weight, key, which: int, use_attention: bool):
         net = self.net1 if which == 1 else self.net2
         sf_att = self.sf2 if which == 1 else self.sf1
 
@@ -162,7 +184,7 @@ class DCCA(BaseRegressionMethod):
             loss = net.nll(out, x_raw) + kl_weight * _gaussian_kl(
                 out["mean"], out["logvar"])
             if use_attention:
-                loss = loss + sf_att * _eucli_attention(out["latent"], z_pre)
+                loss = loss + sf_att * self._attn(out, z_pre, stats_pre)
             return jnp.mean(loss)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -174,23 +196,26 @@ class DCCA(BaseRegressionMethod):
                        else (self.net2, self.params2))
         x, log_sf = (self._x1, self._lsf1) if which == 1 else (self._x2, self._lsf2)
         out = net.apply({"params": params}, x, log_sf)
-        return out["latent"], out["mean"]
+        return out["latent"], out["mean"], out["logvar"]
 
     def _run_phase(self, which: int, use_attention: bool, epochs: int, lr: float,
                    key, anneal_epoch: int = 10):
         params = self.params1 if which == 1 else self.params2
         x, xr, lsf = ((self._x1, self._xr1, self._lsf1) if which == 1
                       else (self._x2, self._xr2, self._lsf2))
-        z_pre = self._latent(2 if which == 1 else 1)[0] if use_attention else (
-            jnp.zeros((x.shape[0], self.z_dim)))
+        if use_attention:
+            z_pre, mean_pre, logvar_pre = self._latent(2 if which == 1 else 1)
+        else:
+            z_pre = jnp.zeros((x.shape[0], self.z_dim))
+            mean_pre = logvar_pre = z_pre
         self._tx = optax.adamw(lr, weight_decay=5e-4)
         opt_state = self._tx.init(params)
         for epoch in range(1, epochs + 1):
             key, ek = jax.random.split(key)
             kl_weight = min(1.0, epoch / anneal_epoch)
             params, opt_state, loss = self._phase_epoch(
-                params, opt_state, x, xr, lsf, z_pre, kl_weight, ek, which,
-                use_attention)
+                params, opt_state, x, xr, lsf, z_pre, (mean_pre, logvar_pre),
+                kl_weight, ek, which, use_attention)
         if which == 1:
             self.params1 = params
         else:

@@ -45,3 +45,12 @@ def unzip_file(filename: str, extract_path: str = None) -> bool:
 def download_unzip(url: str, path: str) -> bool:
     zip_path = f"{path}.zip"
     return download_file(url, zip_path) and unzip_file(zip_path, path)
+
+
+def delete_file(path) -> None:
+    """Delete a file if it exists (parity: dance/utils/download.py:10)."""
+    if os.path.exists(path):
+        os.remove(path)
+        logger.info("Deleted %s", path)
+    else:
+        logger.warning("File not found, skipping deletion: %s", path)

@@ -116,3 +116,38 @@ def pairwise_distance(x, y=None, dist_func="euclidean"):
     x = jnp.asarray(x, dtype=jnp.float32)
     y = x if y is None else jnp.asarray(y, dtype=jnp.float32)
     return np.asarray(_PDIST[dist_func](x, y))
+
+
+# --------------------------------------------------------------------------
+# Reference-named single-pair distances (parity: dance/utils/matrix.py:101-163;
+# the reference numba-jits these — here they are plain numpy one-liners, with
+# the batched jitted versions above doing the heavy lifting).
+# --------------------------------------------------------------------------
+
+def euclidean_distance(t1, t2) -> float:
+    """Euclidean distance between two vectors (parity: matrix.py:101)."""
+    return float(np.sqrt(np.sum((np.asarray(t1) - np.asarray(t2)) ** 2)))
+
+
+def pearson_distance(a, b) -> float:
+    """1 - Pearson correlation (parity: matrix.py:109)."""
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    ac, bc = a - a.mean(), b - b.mean()
+    denom = np.sqrt((ac ** 2).sum() * (bc ** 2).sum())
+    return float(1.0 - (ac @ bc) / max(denom, 1e-300))
+
+
+def mean_rank_data(x) -> np.ndarray:
+    """Average-tie ranks, 1-based (parity: matrix.py:121; scipy 'average')."""
+    x = np.asarray(x)
+    sx = np.sort(x)
+    lo = np.searchsorted(sx, x, side="left")
+    hi = np.searchsorted(sx, x, side="right")
+    return (lo + hi + 1) / 2.0
+
+
+def spearman_distance(x, y) -> float:
+    """1 - Spearman rank correlation (parity: matrix.py:145)."""
+    if len(x) != len(y):
+        raise ValueError("x and y must have the same length")
+    return pearson_distance(mean_rank_data(x), mean_rank_data(y))

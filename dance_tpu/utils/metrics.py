@@ -98,6 +98,15 @@ def get_bipartite_matching_adjacency_matrix(raw_logits, threshold_quantile: floa
     return out
 
 
+def get_bipartite_matching_adjacency_matrix_mk3(raw_logits,
+                                                 threshold_quantile=0.995,
+                                                 copy=False):
+    """Reference-named entry point (parity: dance/utils/metrics.py:95)."""
+    logits = raw_logits.copy() if copy else raw_logits
+    return get_bipartite_matching_adjacency_matrix(
+        logits, threshold_quantile=threshold_quantile)
+
+
 def batch_separated_bipartite_matching(batch1, batch2, emb1, emb2, threshold_quantile=0.995):
     """Per-batch bipartite matching between two modality embeddings.
 
