@@ -268,3 +268,82 @@ def test_morphology_feature_cnn_trains():
     data2 = Data(adata.copy(), train_size="all")
     MorphologyFeatureCNN(n_components=8, train_epochs=0)(data2)
     assert not np.allclose(feat, data2.data.obsm["MorphologyFeatureCNN"])
+
+
+def test_sctransform_glm_pipeline():
+    """GLM-flavor ScTransform (reference pipeline): theta_ml matches a
+    brute-force NB MLE, residuals follow the reference's clip/zero rules,
+    and the _sct annotations land in var/obs."""
+    import numpy as np
+    from scipy.optimize import minimize_scalar
+    from scipy.special import gammaln
+
+    from dance_tpu.data import AnnData
+    from dance_tpu.data.base import Data
+    from dance_tpu.transforms.normalize import ScTransform, gmean, theta_ml
+
+    rng = np.random.default_rng(0)
+    n, g = 200, 80
+    libs = rng.lognormal(0, 0.4, n)
+    base = rng.gamma(2.0, 0.5, g)
+    theta_true = rng.uniform(2, 20, g)
+    mu = libs[:, None] * base[None, :]
+    counts = rng.negative_binomial(
+        theta_true[None, :].repeat(n, 0),
+        theta_true / (theta_true + mu)).astype(np.float64)
+
+    # theta_ml matches the reference's Newton loop (normalize.py:500)
+    from scipy.special import polygamma, psi
+
+    def ref_theta_ml(y, m, limit=10):
+        nn = y.size
+        eps = np.finfo(float).eps ** 0.25
+        t0 = nn / sum((y / m - 1) ** 2)
+        de, it = 1, 0
+        while it + 1 < limit and abs(de) > eps:
+            it += 1
+            t0 = abs(t0)
+            i = sum(-polygamma(1, t0 + y) + polygamma(1, t0) - 1 / t0
+                    + 2 / (m + t0) - (y + t0) / (m + t0) ** 2)
+            de = sum(psi(t0 + y) - psi(t0) + np.log(t0) + 1
+                     - np.log(t0 + m) - (y + t0) / (m + t0)) / i
+            t0 += de
+        return max(t0, 0)
+
+    for j in (0, 3, 11):
+        y0, m0 = counts[:, j], mu[:, j]
+        ref = ref_theta_ml(y0, m0)
+        assert abs(theta_ml(y0, m0) - ref) / max(ref, 1e-6) < 5e-2, j
+
+    # and on a well-identified gene it agrees with the brute-force MLE too
+    yb = rng.negative_binomial(5.0, 5.0 / (5.0 + np.full(500, 8.0))).astype(float)
+    mb = np.full(500, 8.0)
+
+    def nll(th):
+        return -(gammaln(th + yb) - gammaln(th) - gammaln(yb + 1)
+                 + th * np.log(th) + yb * np.log(mb)
+                 - (th + yb) * np.log(th + mb)).sum()
+
+    brute = minimize_scalar(nll, bounds=(0.01, 1000), method="bounded").x
+    assert abs(theta_ml(yb, mb) - brute) / brute < 2e-2
+
+    # reference gmean convention: zeros contribute 0 to the log-sum
+    x = np.array([[0.0, 2.0], [3.0, 0.0]])
+    np.testing.assert_allclose(
+        gmean(x, axis=0, eps=1),
+        np.exp(np.log(np.where(x != 0, x + 1, 1)).mean(0)) - 1)
+
+    d = Data(AnnData(X=counts.copy()))
+    ScTransform(min_cells=1, n_genes=None)(d)
+    X = d.data.X
+    assert X.shape == counts.shape
+    assert np.isfinite(X).all()
+    assert (X >= 0).all()  # negatives zeroed (normalize.py:419)
+    assert X.max() <= np.sqrt(n / 30) + 1e-6
+    assert (X[counts == 0] == 0).all()  # residuals only at nonzero entries
+    for col in ("Intercept_sct", "log_umi_sct", "theta_sct",
+                "log10_gmean_sct"):
+        assert col in d.data.var
+    assert "log_umi_sct" in d.data.obs
+    th = np.asarray(d.data.var["theta_sct"], float)
+    assert np.nanmedian(th) == pytest.approx(np.median(theta_true), rel=1.0)
