@@ -60,13 +60,17 @@ def bench_tpu(g, labels, n_cells):
         return time.perf_counter() - t0
 
     timed_fit(1)  # compile + upload
-    base, extra = 20, 120
-    deltas = []
-    for _ in range(3):
-        t_small = timed_fit(base)
-        t_big = timed_fit(base + extra)
-        deltas.append(t_big - t_small)
-    per_step = float(np.median(deltas)) / extra
+    # The relay shows multi-second load spikes between identical runs
+    # (BENCH_NOTES.md); min-over-reps is robust to additive noise while the
+    # epoch delta still cancels upload/compile costs.
+    base, extra = 20, 300
+    smalls, bigs = [], []
+    for _ in range(4):
+        smalls.append(timed_fit(base))
+        bigs.append(timed_fit(base + extra))
+    per_step = (min(bigs) - min(smalls)) / extra
+    if per_step <= 0:  # spike landed on a small run; fall back to big-run rate
+        per_step = min(bigs) / (base + extra)
     return n_cells / per_step, per_step
 
 
