@@ -18,6 +18,7 @@ import scipy.sparse as sp
 
 from dance_tpu.modules.base import BaseClusteringMethod, NNPretrain
 from dance_tpu.nn.zinb_ae import disp_act, mean_act
+from dance_tpu.ops.pallas_kernels import unpermute
 from dance_tpu.ops.segment import spmm
 from dance_tpu.ops.sparse import CSRMatrix, csr_from_scipy
 from dance_tpu.settings import logger
@@ -181,17 +182,31 @@ class ScDSC(NNPretrain, BaseClusteringMethod):
 
     def fit(self, inputs: Tuple, y=None, lr: float = 1e-3, epochs: int = 300,
             bcl: float = 0.1, cl: float = 0.01, rl: float = 1.0, zl: float = 0.1,
-            pt_epochs: int = 200, pt_batch_size: int = 256, pt_lr: float = 1e-3):
+            pt_epochs: int = 200, pt_batch_size: int = 256, pt_lr: float = 1e-3,
+            use_bsr: bool = False, bsr_block: int = 128):
+        """``use_bsr=True`` runs the 7 per-layer GCN aggregations through the
+        Pallas block-sparse SpMM after RCM-banding the kNN graph; inputs are
+        permuted once on the host and ``q`` is un-permuted on read."""
         adj, x, x_raw, n_counts = inputs
         x = as_numpy(x).astype(np.float32)
+        x_raw = as_numpy(x_raw)
+        n_counts = as_numpy(n_counts)
         if self.params is None:
             adj_csr = sp.csr_matrix(as_numpy(adj) if not sp.issparse(adj) else adj)
             adj_csr = adj_csr + sp.eye(adj_csr.shape[0], format="csr", dtype=np.float32)
             deg = np.asarray(adj_csr.sum(1)).ravel()
             dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
-            self.adj = csr_from_scipy(sp.diags(dinv) @ adj_csr @ sp.diags(dinv))
+            adj_n = sp.diags(dinv) @ adj_csr @ sp.diags(dinv)
+            self._perm = None
+            if use_bsr:
+                from dance_tpu.ops.pallas_kernels import bsr_with_rcm
+                self._perm, self.adj = bsr_with_rcm(adj_n, block=bsr_block)
+            else:
+                self.adj = csr_from_scipy(adj_n)
             self.params = self.model.init(jax.random.key(self.seed),
                                           jnp.asarray(x[:1]), self.adj)["params"]
+        if getattr(self, "_perm", None) is not None:
+            x, x_raw, n_counts = x[self._perm], x_raw[self._perm], n_counts[self._perm]
         self._pretrain(x, batch_size=pt_batch_size, epochs=pt_epochs, lr=pt_lr,
                        force_pretrain=True)
 
@@ -205,8 +220,8 @@ class ScDSC(NNPretrain, BaseClusteringMethod):
         self.params["cluster_layer"] = jnp.asarray(centers)
 
         xj = jnp.asarray(x)
-        xr = jnp.asarray(as_numpy(x_raw), jnp.float32)
-        n_counts = as_numpy(n_counts).astype(np.float64)
+        xr = jnp.asarray(x_raw, jnp.float32)
+        n_counts = n_counts.astype(np.float64)
         sf = jnp.asarray(n_counts / np.median(n_counts), jnp.float32)
         self._tx = optax.adam(lr)
         opt_state = self._tx.init(self.params)
@@ -216,7 +231,7 @@ class ScDSC(NNPretrain, BaseClusteringMethod):
         for epoch in range(epochs):
             if epoch % 10 == 0:
                 _, q, *_ = self.model.apply({"params": self.params}, xj, self.adj)
-                self.q = np.asarray(q)
+                self.q = unpermute(getattr(self, "_perm", None), np.asarray(q))
                 p = jnp.asarray(target_distribution(q))
                 if y is not None:
                     aris.append(self.score(None, y))

@@ -18,6 +18,7 @@ import scipy.sparse as sp
 from dance_tpu.modules.base import BaseClusteringMethod, NNPretrain
 from dance_tpu.nn.gnn import TAGConv
 from dance_tpu.nn.zinb_ae import disp_act, mean_act
+from dance_tpu.ops.pallas_kernels import unpermute
 from dance_tpu.ops.sparse import CSRMatrix, csr_from_scipy
 from dance_tpu.settings import logger
 from dance_tpu.transforms import AnnDataTransform, CellPCA, Compose, SaveRaw, SetConfig
@@ -116,7 +117,11 @@ class ScTAG(NNPretrain, BaseClusteringMethod):
         deg = np.asarray(adj.sum(1)).ravel()
         dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
         adj_n = sp.diags(dinv) @ adj @ sp.diags(dinv)
-        self.adj_n = csr_from_scipy(adj_n)
+        if getattr(self, "_use_bsr", False):
+            from dance_tpu.ops.pallas_kernels import bsr_from_scipy
+            self.adj_n = bsr_from_scipy(adj_n, block=self._bsr_block)
+        else:
+            self.adj_n = csr_from_scipy(adj_n)
         self.adj_dense = jnp.asarray((adj > 0).todense().astype(np.float32))
         self.net = _ScTAGNet(in_dim=x.shape[1], hidden_dim=self.hidden_dim,
                              latent_dim=self.latent_dim, dec_dims=self.dec_dim,
@@ -174,8 +179,21 @@ class ScTAG(NNPretrain, BaseClusteringMethod):
             pretrain_epochs: int = 200, lr: float = 5e-4, w_a: float = 0.3,
             w_x: float = 1.0, w_c: float = 1.5, w_d: float = 0.0, info_step: int = 1,
             max_dist: float = 20.0, min_dist: float = 0.5,
-            force_pretrain: bool = False):
-        adj, x, x_raw, n_counts = (as_numpy(i) for i in inputs)
+            force_pretrain: bool = False, use_bsr: bool = False,
+            bsr_block: int = 128):
+        """``use_bsr=True`` RCM-bands the cell kNN graph and runs both TAGConv
+        encoders' k-hop aggregations through the Pallas block-sparse SpMM
+        (inputs permuted once; ``q``/``z`` un-permuted on read)."""
+        adj, x, x_raw, n_counts = inputs
+        adj = adj if sp.issparse(adj) else as_numpy(adj)
+        x, x_raw, n_counts = (as_numpy(i) for i in (x, x_raw, n_counts))
+        self._use_bsr, self._bsr_block = use_bsr, bsr_block
+        self._perm = None
+        if use_bsr:
+            from dance_tpu.ops.pallas_kernels import rcm_reorder
+            perm, adj = rcm_reorder(sp.csr_matrix(adj))
+            self._perm = np.asarray(perm)
+            x, x_raw, n_counts = x[perm], x_raw[perm], n_counts[perm]
         self._pretrain(adj, x, x_raw, n_counts, epochs=pretrain_epochs, lr=lr, w_a=w_a,
                        w_x=w_x, w_d=w_d, force_pretrain=force_pretrain)
         x = jnp.asarray(x, jnp.float32)
@@ -194,7 +212,8 @@ class ScTAG(NNPretrain, BaseClusteringMethod):
             latent = self._encode(self.params, self.adj_n, x)
             q = soft_assign(latent, self.mu, self.alpha)
             p = target_distribution(q)
-            self.q, self.z = np.asarray(q), np.asarray(latent)
+            self.q = unpermute(self._perm, np.asarray(q))
+            self.z = unpermute(self._perm, np.asarray(latent))
             if y is not None:
                 aris.append(self.score(None, y))
                 snapshots.append(self.q)

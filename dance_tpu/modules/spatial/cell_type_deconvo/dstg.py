@@ -84,16 +84,31 @@ class DSTG(BaseRegressionMethod):
         return optax.apply_updates(params, updates), opt_state, loss
 
     def fit(self, inputs, y, lr: float = 0.005, max_epochs: int = 300,
-            weight_decay: float = 0.0, train_mask=None):
+            weight_decay: float = 0.0, train_mask=None, use_bsr: bool = False,
+            bsr_block: int = 128):
         """inputs=(x features over all nodes, adjacency); y: portions with
-        pseudo rows labeled (train) and real rows to predict."""
+        pseudo rows labeled (train) and real rows to predict.
+
+        ``use_bsr=True`` RCM-bands the pseudo/real link graph and runs both
+        GCN aggregations through the Pallas block-sparse SpMM; predictions are
+        un-permuted back to the caller's node order."""
         x, adj = inputs
-        x = jnp.asarray(as_numpy(x), jnp.float32)
-        y = jnp.asarray(as_numpy(y), jnp.float32)
-        adj = csr_from_scipy(sp.csr_matrix(adj))
+        x = as_numpy(x).astype(np.float32)
+        y = as_numpy(y).astype(np.float32)
         if train_mask is None:
-            train_mask = np.asarray(as_numpy(y)).sum(1) > 0
-        mask = jnp.asarray(np.asarray(train_mask), jnp.float32)
+            train_mask = y.sum(1) > 0
+        train_mask = np.asarray(train_mask)
+        self._perm = None
+        if use_bsr:
+            from dance_tpu.ops.pallas_kernels import bsr_with_rcm
+            self._perm, adj = bsr_with_rcm(sp.csr_matrix(adj), block=bsr_block)
+            x, y, train_mask = (x[self._perm], y[self._perm],
+                                train_mask[self._perm])
+        else:
+            adj = csr_from_scipy(sp.csr_matrix(adj))
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        mask = jnp.asarray(train_mask, jnp.float32)
 
         self.net = _GCN(hidden=self.nhid, out_dim=y.shape[1], dropout=self.dropout)
         key = jax.random.key(self.seed)
@@ -111,8 +126,10 @@ class DSTG(BaseRegressionMethod):
         return self
 
     def predict(self, x: Optional[Any] = None):
+        from dance_tpu.ops.pallas_kernels import unpermute
         adj, feats = self._cache
-        return np.asarray(self.net.apply({"params": self.params}, adj, feats))
+        pred = np.asarray(self.net.apply({"params": self.params}, adj, feats))
+        return unpermute(getattr(self, "_perm", None), pred)
 
     def score(self, x, y, *, score_func=None, return_pred: bool = False, test_idx=None,
               **kwargs):

@@ -124,10 +124,10 @@ def _expand_block(adj: np.ndarray, which: str, n_pseudo: int, n_real: int):
     return out
 
 
-def _sym_normalize(adj: np.ndarray) -> CSRMatrix:
+def _sym_normalize(adj: np.ndarray) -> sp.csr_matrix:
     deg = np.maximum(adj.sum(1), 1e-12)
     dinv = 1.0 / np.sqrt(deg)
-    return csr_from_scipy(sp.csr_matrix(adj * dinv[:, None] * dinv[None, :]))
+    return sp.csr_matrix(adj * dinv[:, None] * dinv[None, :])
 
 
 def build_stdgcn_adjacencies(feat: np.ndarray, coords_real: np.ndarray,
@@ -262,10 +262,16 @@ class StdGCN(BaseRegressionMethod):
     def fit(self, inputs, y, train_mask=None, lr: float = 1e-2,
             max_epochs: int = 300, early_stopping_patience: int = 5,
             train_valid_ratio: float = 0.9, clip_grad_max_norm: float = 1.0,
-            inter_k: int = 20, intra_exp_k: int = 10, space_k: int = 27):
+            inter_k: int = 20, intra_exp_k: int = 10, space_k: int = 27,
+            use_bsr: bool = False, bsr_block: int = 128):
         """inputs = (features for all spots ordered [pseudo; real], spatial
         coords for the real spots — rows with all-zero coords are treated as
-        pseudo); y: portions (pseudo rows labeled)."""
+        pseudo); y: portions (pseudo rows labeled).
+
+        ``use_bsr=True`` runs both towers' GCN aggregations through the Pallas
+        block-sparse SpMM. One shared RCM permutation (computed on the union
+        pattern so both towers band together) reorders the nodes; predictions
+        are un-permuted back to the caller's spot order."""
         x, coords = inputs
         x = as_numpy(x).astype(np.float32)
         coords = as_numpy(coords).astype(np.float32)
@@ -279,6 +285,19 @@ class StdGCN(BaseRegressionMethod):
         adj_exp, adj_sp = build_stdgcn_adjacencies(
             x, real_coords, n_pseudo, inter_k=inter_k, intra_exp_k=intra_exp_k,
             space_k=min(space_k, max((~train_mask).sum() - 1, 1)), seed=self.seed)
+        self._perm = None
+        y = as_numpy(y).astype(np.float32)
+        if use_bsr:
+            from dance_tpu.ops.pallas_kernels import bsr_from_scipy, rcm_reorder
+            perm, _ = rcm_reorder(adj_exp + adj_sp)
+            perm = np.asarray(perm)
+            self._perm = perm
+            adj_exp = bsr_from_scipy(adj_exp[perm][:, perm], block=bsr_block)
+            adj_sp = bsr_from_scipy(adj_sp[perm][:, perm], block=bsr_block)
+            x, y, train_mask = x[perm], y[perm], train_mask[perm]
+        else:
+            adj_exp = csr_from_scipy(adj_exp)
+            adj_sp = csr_from_scipy(adj_sp)
 
         # 90/10 train/valid split of the labeled (pseudo) spots (:194-199)
         rng = np.random.default_rng(self.seed)
@@ -291,7 +310,7 @@ class StdGCN(BaseRegressionMethod):
         if va_mask.sum() == 0:
             va_mask = tr_mask
 
-        y = jnp.asarray(as_numpy(y), jnp.float32)
+        y = jnp.asarray(y)
         self.net = _ConGCN(nhid=self.nhid, out_dim=y.shape[1],
                            common_hid_layers_num=self.common_hid_layers_num,
                            fcnn_hid_layers_num=self.fcnn_hid_layers_num,
@@ -326,9 +345,10 @@ class StdGCN(BaseRegressionMethod):
         return self
 
     def predict(self, x: Optional[Any] = None):
+        from dance_tpu.ops.pallas_kernels import unpermute
         adj_exp, adj_sp, xj = self._cache
         logp = self.net.apply({"params": self.params}, adj_exp, adj_sp, xj)
-        return np.asarray(jnp.exp(logp))
+        return unpermute(getattr(self, "_perm", None), np.asarray(jnp.exp(logp)))
 
     def score(self, x, y, *, score_func=None, return_pred: bool = False, test_idx=None,
               **kwargs):

@@ -286,7 +286,8 @@ def pallas_spmm(adj: sp.spmatrix, h, *, interpret: bool = False):
 
 __all__ = ["BSRMatrix", "bsr_from_scipy", "bsr_gat", "bsr_gat_ad", "bsr_gat_grads",
            "bsr_gat_scan", "bsr_gat_stats", "bsr_spmm", "bsr_spmm_ad",
-           "bsr_transpose", "pallas_spmm", "rcm_reorder"]
+           "bsr_transpose", "bsr_with_rcm", "pallas_spmm", "rcm_reorder",
+           "unpermute"]
 
 
 # --------------------------------------------------------------------------
@@ -640,3 +641,25 @@ def rcm_reorder(adj: sp.spmatrix):
     adj = sp.csr_matrix(adj)
     perm = reverse_cuthill_mckee(adj, symmetric_mode=True)
     return perm, adj[perm][:, perm]
+
+
+def bsr_with_rcm(adj: sp.spmatrix, block: int = BLOCK):
+    """RCM-reorder a (square) adjacency and tile it to BSR in one step.
+
+    Returns ``(perm, bsr)`` where ``bsr`` covers ``adj[perm][:, perm]``.
+    Callers must apply the same ``perm`` to node features/labels and invert
+    it on any per-node outputs (``out_orig[perm] = out``).
+    """
+    perm, adj_p = rcm_reorder(adj)
+    return np.asarray(perm), bsr_from_scipy(adj_p, block=block)
+
+
+def unpermute(perm, arr: np.ndarray) -> np.ndarray:
+    """Undo a node permutation on per-node output rows (``out[perm] = arr``).
+
+    No-op when ``perm`` is None, so callers can apply it unconditionally."""
+    if perm is None:
+        return arr
+    out = np.empty_like(arr)
+    out[np.asarray(perm)] = arr
+    return out

@@ -113,3 +113,53 @@ def test_graphsc_bsr_mean():
     model.fit(g, y, epochs=30, use_bsr=True)
     pred = model.predict()
     assert pred.shape[0] == 120
+
+
+def test_sctag_bsr_parity(data):
+    """ScTAG's Pallas BSR TAGConv path agrees with the CSR segment path."""
+    from sklearn.metrics import adjusted_rand_score
+
+    from dance_tpu.modules.single_modality.clustering import ScTAG
+    from dance_tpu.ops.neighbors import knn_graph
+
+    rng = np.random.default_rng(0)
+    n, d, k = 150, 30, 3
+    centers = rng.random((k, d)) * 4
+    y = rng.integers(0, k, n)
+    x = (centers[y] + rng.random((n, d))).astype(np.float32)
+    x_raw = np.maximum(np.round(x * 3), 0)
+    nc = x_raw.sum(1) + 1
+    adj = knn_graph(x, 10)
+    preds = {}
+    for use_bsr in (False, True):
+        model = ScTAG(n_clusters=k, hidden_dim=32, latent_dim=8, seed=0)
+        model.fit((adj, x, x_raw, nc), y, epochs=5, pretrain_epochs=10,
+                  use_bsr=use_bsr)
+        preds[use_bsr] = model.predict()
+    assert adjusted_rand_score(y, preds[True]) > 0.9
+    assert adjusted_rand_score(preds[False], preds[True]) > 0.9
+
+
+def test_scdsc_bsr_parity(data):
+    """ScDSC's 7-layer GCN stack trains through the Pallas BSR path."""
+    from sklearn.metrics import adjusted_rand_score
+
+    from dance_tpu.modules.single_modality.clustering import ScDSC
+    from dance_tpu.ops.neighbors import knn_graph
+
+    rng = np.random.default_rng(0)
+    n, d, k = 150, 30, 3
+    centers = rng.random((k, d)) * 4
+    y = rng.integers(0, k, n)
+    x = (centers[y] + rng.random((n, d))).astype(np.float32)
+    x_raw = np.maximum(np.round(x * 3), 0)
+    nc = x_raw.sum(1) + 1
+    adj = knn_graph(x, 10)
+    preds = {}
+    for use_bsr in (False, True):
+        model = ScDSC(n_clusters=k, n_input=d, seed=0)
+        model.fit((adj, x, x_raw, nc), y, epochs=12, pt_epochs=10,
+                  use_bsr=use_bsr)
+        preds[use_bsr] = model.predict()
+    assert adjusted_rand_score(y, preds[True]) > 0.9
+    assert adjusted_rand_score(preds[False], preds[True]) > 0.9

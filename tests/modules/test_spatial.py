@@ -284,3 +284,75 @@ def test_dstg_split_mask_for_validation():
     assert not (train | valid)[60:].any()
     t2, v2 = split_mask_for_validation(mask, valid_ratio=0.3, random_seed=0)
     assert (t2 == train).all() and (v2 == valid).all()
+
+
+def test_dstg_bsr_parity(deconvo_data):
+    """DSTG's Pallas BSR GCN path matches the CSR path element-wise."""
+    import scipy.sparse as sp
+
+    from dance_tpu.modules.spatial.cell_type_deconvo import DSTG
+
+    rng = np.random.default_rng(0)
+    n, d, k = 200, 20, 4
+    x = rng.random((n, d)).astype(np.float32)
+    y = np.zeros((n, k), np.float32)
+    y[:140] = rng.dirichlet(np.ones(k), 140)
+    adj = sp.random(n, n, density=0.03, random_state=0, format="csr",
+                    dtype=np.float32)
+    adj = adj + adj.T + sp.eye(n, dtype=np.float32)
+    preds = {}
+    for use_bsr in (False, True):
+        model = DSTG(nhid=16, seed=0)
+        model.fit((x, adj), y, max_epochs=10, use_bsr=use_bsr)
+        preds[use_bsr] = model.predict()
+    np.testing.assert_allclose(preds[False], preds[True], atol=1e-4)
+
+
+def test_stdgcn_bsr_forward_parity():
+    """stdGCN's two-tower forward is permutation-consistent under BSR."""
+    import jax
+    import jax.numpy as jnp
+
+    from dance_tpu.modules.spatial.cell_type_deconvo.stdgcn import (
+        _ConGCN, build_stdgcn_adjacencies)
+    from dance_tpu.ops.pallas_kernels import (bsr_from_scipy, rcm_reorder,
+                                              unpermute)
+    from dance_tpu.ops.sparse import csr_from_scipy
+
+    rng = np.random.default_rng(0)
+    n_p, n_r, k = 120, 80, 4
+    x = rng.random((n_p + n_r, 25)).astype(np.float32)
+    coords = rng.random((n_r, 2)).astype(np.float32) * 10
+    a_exp, a_sp = build_stdgcn_adjacencies(x, coords, n_p)
+    net = _ConGCN(nhid=16, out_dim=k)
+    xj = jnp.asarray(x)
+    params = net.init(jax.random.key(0), csr_from_scipy(a_exp),
+                      csr_from_scipy(a_sp), xj)["params"]
+    out_csr = np.asarray(net.apply({"params": params}, csr_from_scipy(a_exp),
+                                   csr_from_scipy(a_sp), xj))
+    perm, _ = rcm_reorder(a_exp + a_sp)
+    perm = np.asarray(perm)
+    out_bsr = np.asarray(net.apply(
+        {"params": params}, bsr_from_scipy(a_exp[perm][:, perm]),
+        bsr_from_scipy(a_sp[perm][:, perm]), jnp.asarray(x[perm])))
+    np.testing.assert_allclose(out_csr, unpermute(perm, out_bsr), atol=1e-4)
+
+
+def test_stdgcn_bsr_e2e(deconvo_data):
+    """stdGCN trains end-to-end through the Pallas BSR towers."""
+    from dance_tpu.modules.spatial.cell_type_deconvo import StdGCN
+
+    x_ref, labels, x_mix, portions, profiles = deconvo_data
+    rng = np.random.default_rng(0)
+    n_pseudo, k = 100, 3
+    ps_port = rng.dirichlet(np.ones(k), n_pseudo)
+    ps_x = rng.poisson(ps_port @ profiles * 3).astype(np.float32)
+    feats = np.log1p(np.concatenate([ps_x, x_mix], axis=0))
+    coords = np.concatenate([np.zeros((n_pseudo, 2)),
+                             rng.random((x_mix.shape[0], 2)) * 10], axis=0)
+    y = np.concatenate([ps_port, np.zeros_like(portions)], axis=0)
+    model = StdGCN(hidden=(64, 32), seed=0)
+    model.fit((feats, coords), y, max_epochs=200, use_bsr=True)
+    pred = model.predict()[n_pseudo:]
+    mse = ((pred - portions) ** 2).mean()
+    assert mse < 0.1, f"BSR-path stdGCN portion MSE too high: {mse}"

@@ -186,8 +186,10 @@ def test_round1_late_additions_api():
     assert "resume" in inspect.signature(PipelinePlaner.sweep_agent).parameters
     from dance_tpu.modules.single_modality.cell_type_annotation import scHeteroNet
     assert hasattr(scHeteroNet, "evaluate_ood")
-    from dance_tpu.modules.single_modality.clustering import GraphSC
-    assert "use_bsr" in inspect.signature(GraphSC.fit).parameters
+    from dance_tpu.modules.single_modality.clustering import GraphSC, ScDSC, ScTAG
+    from dance_tpu.modules.spatial.cell_type_deconvo import DSTG, StdGCN
+    for cls in (GraphSC, ScDSC, ScTAG, DSTG, StdGCN):
+        assert "use_bsr" in inspect.signature(cls.fit).parameters, cls
     from dance_tpu.data import MuData
     # var-axis slicing contract
     import numpy as np
