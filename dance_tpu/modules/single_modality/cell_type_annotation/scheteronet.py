@@ -217,7 +217,12 @@ class scHeteroNet(BaseClassificationMethod):
     def fit(self, graph, y, x_raw=None, size_factors=None, use_zinb: bool = True,
             zinb_weight: float = 0.1, cl_weight: float = 0.0,
             mask_ratio: float = 0.2, epochs: int = 200, lr: float = 1e-2,
-            train_idx=None):
+            train_idx=None, use_bsr: bool = False, bsr_block: int = 128):
+        """``use_bsr=True`` RCM-bands the cell kNN graph once and runs every
+        HetConv aggregation (one-hop AND strict two-hop — the squared graph
+        stays banded when the one-hop is) through the Pallas block-sparse
+        SpMM. Energy propagation stays on the (permuted) CSR path — it is a
+        one-off inference pass. Outputs are un-permuted for callers."""
         from dance_tpu.graph import Graph
         assert isinstance(graph, Graph)
         x = np.asarray(graph.ndata["feat"], np.float32)
@@ -226,10 +231,6 @@ class scHeteroNet(BaseClassificationMethod):
             y = y.argmax(1)
         n = x.shape[0]
         self.num_labels = int(y.max()) + 1
-        a1, a2 = build_hop_adjacencies(graph.adj)
-        adj1, adj2 = csr_from_scipy(a1), csr_from_scipy(a2)
-        # row-normalized one-hop adjacency for energy propagation (:611-640)
-        self._prop_adj = csr_from_scipy(graph.adj)
         if x_raw is None:
             x_raw, use_zinb = np.zeros_like(x), False
         else:
@@ -237,8 +238,27 @@ class scHeteroNet(BaseClassificationMethod):
         if size_factors is None:
             counts = np.maximum(np.asarray(x_raw).sum(1), 1.0)
             size_factors = counts / np.median(counts)
+        size_factors = np.asarray(size_factors, np.float32)
         mask = np.zeros(n, np.float32)
         mask[np.asarray(train_idx if train_idx is not None else np.arange(n))] = 1
+
+        raw_adj = sp.csr_matrix(graph.adj)
+        self._perm = None
+        if use_bsr:
+            from dance_tpu.ops.pallas_kernels import bsr_from_scipy, rcm_reorder
+            perm, raw_adj = rcm_reorder(raw_adj)
+            self._perm = np.asarray(perm)
+            x, x_raw = x[self._perm], x_raw[self._perm]
+            y, mask = y[self._perm], mask[self._perm]
+            size_factors = size_factors[self._perm]
+            a1, a2 = build_hop_adjacencies(raw_adj)
+            adj1 = bsr_from_scipy(a1, block=bsr_block)
+            adj2 = bsr_from_scipy(a2, block=bsr_block)
+        else:
+            a1, a2 = build_hop_adjacencies(raw_adj)
+            adj1, adj2 = csr_from_scipy(a1), csr_from_scipy(a2)
+        # row-normalized one-hop adjacency for energy propagation (:611-640)
+        self._prop_adj = csr_from_scipy(raw_adj)
 
         self.net = _HeteroNet(n_classes=self.num_labels, hidden=self.hidden_channels,
                               num_layers=self.num_layers, dropout=self.dropout,
@@ -296,7 +316,8 @@ class scHeteroNet(BaseClassificationMethod):
         if use_prop:
             prop = (self.two_hop_propagation if use_2hop else self.propagation)
             neg_energy = prop(neg_energy, self._prop_adj, oodprop, oodalpha)
-        neg_energy = np.asarray(neg_energy)
+        from dance_tpu.ops.pallas_kernels import unpermute
+        neg_energy = unpermute(getattr(self, "_perm", None), np.asarray(neg_energy))
         return neg_energy[node_idx] if node_idx is not None else neg_energy
 
     def evaluate_ood(self, ind_idx, ood_idx, **detect_kwargs):
@@ -306,9 +327,11 @@ class scHeteroNet(BaseClassificationMethod):
         return ood_measures(scores[np.asarray(ind_idx)], scores[np.asarray(ood_idx)])
 
     def predict_proba(self, graph=None):
+        from dance_tpu.ops.pallas_kernels import unpermute
         adj1, adj2, x = self._cache
         logits, _ = self.net.apply({"params": self.params}, adj1, adj2, x)
-        return np.asarray(jax.nn.softmax(logits, axis=-1))
+        return unpermute(getattr(self, "_perm", None),
+                         np.asarray(jax.nn.softmax(logits, axis=-1)))
 
     def predict(self, graph=None, idx=None):
         pred = self.predict_proba(graph).argmax(1)

@@ -124,3 +124,27 @@ def test_scheteronet_ood_measures(data):
     # sanity: metric math on synthetic separable scores
     a, p, f = ood_measures(np.full(50, 5.0), np.full(50, -5.0))
     assert a == 1.0 and f == 0.0
+
+
+def test_scheteronet_bsr_parity(data):
+    """scHeteroNet's HetConv stack trains through the Pallas BSR path; both
+    the classifier output and the propagated OOD scores agree with the CSR
+    path in the caller's node order."""
+    from dance_tpu.modules.single_modality.cell_type_annotation import scHeteroNet
+    from dance_tpu.transforms.graph import HeteronetGraph
+    d = data.copy()
+    HeteronetGraph(knn_num=5)(d)
+    g = d.data.uns["HeteronetGraph"]
+    y = d.data.obsm["cell_type"].to_numpy().argmax(1)
+    test_idx = np.asarray(d.test_idx)
+    out = {}
+    for use_bsr in (False, True):
+        model = scHeteroNet(hidden_channels=32, num_layers=2, seed=0)
+        model.fit(g, y, x_raw=np.asarray(d.data.X), epochs=60,
+                  train_idx=np.asarray(d.train_idx), use_bsr=use_bsr)
+        out[use_bsr] = (model.predict(idx=test_idx), model.detect())
+    acc = (out[True][0] == y[test_idx]).mean()
+    assert acc > 0.8, f"BSR-path scHeteroNet acc too low: {acc}"
+    agree = (out[False][0] == out[True][0]).mean()
+    assert agree > 0.9, f"BSR/CSR prediction agreement too low: {agree}"
+    assert np.isfinite(out[True][1]).all()
