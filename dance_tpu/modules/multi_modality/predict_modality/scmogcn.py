@@ -32,15 +32,32 @@ class _ScMoGCN(nn.Module):
     n_layers: int = 2
 
     @nn.compact
-    def __call__(self, adj: CSRMatrix, cell_feat, feat_feat):
-        """adj: (cells × features) normalized expression; returns cell outputs."""
+    def __call__(self, adj, cell_feat, feat_feat):
+        """adj: (cells × features) normalized expression — a :class:`CSRMatrix`
+        or a :class:`~dance_tpu.ops.pallas_kernels.BipartiteBSR` (Pallas path);
+        returns cell outputs."""
+        from dance_tpu.ops.pallas_kernels import BipartiteBSR
+        from dance_tpu.ops.segment import spmm
+        n_cells, n_feats = cell_feat.shape[0], feat_feat.shape[0]
+        if isinstance(adj, BipartiteBSR):
+            def matmat(h):
+                return spmm(adj.fwd, h, n_out=n_cells)
+
+            def rmatmat(h):
+                return spmm(adj.bwd, h, n_out=n_feats)
+        else:
+            def matmat(h):
+                return csr_matmat(adj, h)
+
+            def rmatmat(h):
+                return csr_rmatmat(adj, h)
         hc = nn.relu(nn.Dense(self.hidden)(cell_feat))
         hf = nn.relu(nn.Dense(self.hidden)(feat_feat))
         layer_outs = [hc]
         for _ in range(self.n_layers):
-            hf = nn.relu(nn.Dense(self.hidden)(csr_rmatmat(adj, hc)) + nn.Dense(
+            hf = nn.relu(nn.Dense(self.hidden)(rmatmat(hc)) + nn.Dense(
                 self.hidden, use_bias=False)(hf))
-            hc = nn.relu(nn.Dense(self.hidden)(csr_matmat(adj, hf)) + nn.Dense(
+            hc = nn.relu(nn.Dense(self.hidden)(matmat(hf)) + nn.Dense(
                 self.hidden, use_bias=False)(hc))
             layer_outs.append(hc)
         # learned layer-weighted readout (parity: scMoGNN's weighted sum)
@@ -71,11 +88,19 @@ class ScMoGCNWrapper(BaseRegressionMethod):
                          log_level=log_level)
 
     @staticmethod
-    def _build_graph(x: np.ndarray) -> CSRMatrix:
-        """Row/column-normalized expression bipartite adjacency."""
+    def _build_graph(x: np.ndarray, use_bsr: bool = False, bsr_block: int = 128):
+        """Row/column-normalized expression bipartite adjacency.
+
+        ``use_bsr=True`` tiles the adjacency (and its transpose) to BSR so
+        both propagation directions run on the Pallas kernel — expression
+        bipartite graphs are dense at tile granularity, so no reordering is
+        needed."""
         a = sp.csr_matrix(x)
         r = np.asarray(a.sum(1)).ravel()
         a = sp.diags(1.0 / np.maximum(r, 1e-12)) @ a
+        if use_bsr:
+            from dance_tpu.ops.pallas_kernels import bipartite_bsr
+            return bipartite_bsr(a, block=bsr_block)
         return csr_from_scipy(a)
 
     @partial(jax.jit, static_argnames=("self",))
@@ -90,9 +115,11 @@ class ScMoGCNWrapper(BaseRegressionMethod):
         return optax.apply_updates(params, updates), opt_state, loss
 
     def fit(self, x_train, y_train, x_test=None, epochs: int = 200, lr: float = 1e-2,
-            weight_decay: float = 1e-5):
+            weight_decay: float = 1e-5, use_bsr: bool = False,
+            bsr_block: int = 128):
         """Trains on train cells; when x_test is given, test cells join the graph
-        (transductive) with masked loss."""
+        (transductive) with masked loss. ``use_bsr=True`` runs both propagation
+        directions on the Pallas block-sparse kernel."""
         x_tr = as_numpy(x_train).astype(np.float32)
         y_tr = as_numpy(y_train).astype(np.float32)
         if x_test is not None:
@@ -105,7 +132,7 @@ class ScMoGCNWrapper(BaseRegressionMethod):
             x_all, train_mask, y_all = x_tr, np.ones(len(x_tr)), y_tr
         self._n_train = len(x_tr)
 
-        adj = self._build_graph(x_all)
+        adj = self._build_graph(x_all, use_bsr=use_bsr, bsr_block=bsr_block)
         cell_feat = jnp.asarray(np.log1p(x_all))
         feat_feat = jnp.asarray(np.log1p(x_all).T @ np.eye(x_all.shape[0],
                                                            min(64, x_all.shape[0]),

@@ -284,10 +284,10 @@ def pallas_spmm(adj: sp.spmatrix, h, *, interpret: bool = False):
     return out[:n_rows]
 
 
-__all__ = ["BSRMatrix", "bsr_from_scipy", "bsr_gat", "bsr_gat_ad", "bsr_gat_grads",
-           "bsr_gat_scan", "bsr_gat_stats", "bsr_spmm", "bsr_spmm_ad",
-           "bsr_transpose", "bsr_with_rcm", "pallas_spmm", "rcm_reorder",
-           "unpermute"]
+__all__ = ["BipartiteBSR", "BSRMatrix", "bipartite_bsr", "bsr_from_scipy",
+           "bsr_gat", "bsr_gat_ad", "bsr_gat_grads", "bsr_gat_scan",
+           "bsr_gat_stats", "bsr_spmm", "bsr_spmm_ad", "bsr_transpose",
+           "bsr_with_rcm", "pallas_spmm", "rcm_reorder", "unpermute"]
 
 
 # --------------------------------------------------------------------------
@@ -652,6 +652,26 @@ def bsr_with_rcm(adj: sp.spmatrix, block: int = BLOCK):
     """
     perm, adj_p = rcm_reorder(adj)
     return np.asarray(perm), bsr_from_scipy(adj_p, block=block)
+
+
+class BipartiteBSR(NamedTuple):
+    """A bipartite adjacency tiled both ways for alternating message passing.
+
+    ``fwd`` is the (rows × cols) matrix, ``bwd`` its transpose — both BSR, so
+    A @ H and Aᵀ @ H each run as one forward Pallas SpMM (the kernel needs
+    block_rows sorted, which a shared tiling can't provide for both
+    directions; two host-side tilings do).
+    """
+
+    fwd: "BSRMatrix"
+    bwd: "BSRMatrix"
+
+
+def bipartite_bsr(adj: sp.spmatrix, block: int = BLOCK) -> BipartiteBSR:
+    """Tile a (rectangular) scipy adjacency and its transpose to BSR."""
+    adj = sp.csr_matrix(adj)
+    return BipartiteBSR(bsr_from_scipy(adj, block=block),
+                        bsr_from_scipy(adj.T.tocsr(), block=block))
 
 
 def unpermute(perm, arr: np.ndarray) -> np.ndarray:

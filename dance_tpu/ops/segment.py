@@ -33,7 +33,7 @@ def aggregate(adj: CSRMatrix, messages: jax.Array, op: str = "sum") -> jax.Array
 
 
 def spmm(adj, h: jax.Array, *, weighted: bool = True, op: str = "sum",
-         degrees: jax.Array = None) -> jax.Array:
+         degrees: jax.Array = None, n_out: int = None) -> jax.Array:
     """A @ H with optional edge weights — the core message-passing op.
 
     Accepts either a :class:`CSRMatrix` (gather + segment_sum, fully general)
@@ -41,7 +41,9 @@ def spmm(adj, h: jax.Array, *, weighted: bool = True, op: str = "sum",
     kernel — ~10× faster on chip). BSR handles weighted sums natively; for
     ``op='mean'`` pass ``degrees`` (the per-row incoming-edge counts; the |A|>0
     pattern is not recoverable from the dense tiles alone — graph builders
-    know it statically).
+    know it statically). For rectangular BSR adjacencies (bipartite graphs)
+    pass ``n_out`` — the true output row count; it defaults to ``h.shape[0]``,
+    which is only correct for square graphs.
     """
     from dance_tpu.ops.pallas_kernels import BSRMatrix, bsr_spmm_ad
     if isinstance(adj, BSRMatrix):
@@ -51,8 +53,8 @@ def spmm(adj, h: jax.Array, *, weighted: bool = True, op: str = "sum",
         if op == "mean" and degrees is None:
             raise ValueError("BSR mean aggregation needs the per-row edge-count "
                              "vector (degrees=...) from the graph builder")
-        n = h.shape[0]
-        hp = jnp.pad(h, ((0, adj.shape[1] - n), (0, 0)))
+        n = n_out if n_out is not None else h.shape[0]
+        hp = jnp.pad(h, ((0, adj.shape[1] - h.shape[0]), (0, 0)))
         out = bsr_spmm_ad(adj, hp)[:n]
         if op == "mean":
             out = out / jnp.maximum(degrees[:n], 1.0)[:, None]

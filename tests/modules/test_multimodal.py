@@ -133,3 +133,24 @@ def test_scmm_matching(data):
     matching = model.predict_matching(np.expm1(x1_te), x2_te)
     score = model.score_matching(matching)
     assert score > 0.05, f"scMM matching score too low: {score}"
+
+
+def test_scmogcn_bsr_parity():
+    """scMoGNN's alternating cell/feature propagation matches element-wise on
+    the Pallas bipartite-BSR path (both directions)."""
+    import numpy as np
+
+    from dance_tpu.modules.multi_modality.predict_modality import ScMoGCNWrapper
+
+    rng = np.random.default_rng(0)
+    n_tr, n_te, d1, d2 = 120, 40, 60, 10
+    w = rng.random((d1, d2)).astype(np.float32)
+    x_tr = rng.poisson(2, (n_tr, d1)).astype(np.float32)
+    x_te = rng.poisson(2, (n_te, d1)).astype(np.float32)
+    y_tr = np.log1p(x_tr) @ w
+    preds = {}
+    for use_bsr in (False, True):
+        model = ScMoGCNWrapper(hidden=32, n_layers=2, seed=0)
+        model.fit(x_tr, y_tr, x_test=x_te, epochs=40, use_bsr=use_bsr)
+        preds[use_bsr] = model.predict(x_te)
+    np.testing.assert_allclose(preds[False], preds[True], atol=1e-3)
