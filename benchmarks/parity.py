@@ -1013,6 +1013,28 @@ def run_stkmeans():
     return dict(metric="ari", ref=ref_ari, ours=ours_ari, tol=0.1)
 
 
+@case("stlouvain")
+def run_stlouvain():
+    """stLearn's Louvain stage over the same spot kNN graph (stlearn.py:107)."""
+    from sklearn.neighbors import kneighbors_graph
+
+    feats, _, y = make_spatial_domain(seed=29)
+    adj = kneighbors_graph(feats, 15, mode="connectivity", include_self=False)
+    adj = ((adj + adj.T) > 0).astype(np.float64)
+
+    RefStLouvain = refshim.import_ref(
+        "dance.modules.spatial.spatial_domain.stlearn", "StLouvain")
+    ref = RefStLouvain(resolution=1.0)
+    ref.fit(np.asarray(adj.todense()), random_state=0)
+    ref_ari = ari(ref.predict(), y)
+
+    from dance_tpu.modules.spatial.spatial_domain import StLouvain
+    ours = StLouvain(resolution=1.0, seed=0)
+    ours.fit(feats, adj=adj)
+    ours_ari = ari(ours.predict(), y)
+    return dict(metric="ari", ref=ref_ari, ours=ours_ari, tol=0.15)
+
+
 # --------------------------------------------------------------------------
 # driver
 # --------------------------------------------------------------------------

@@ -148,11 +148,13 @@ class JAEWrapper(BaseRegressionMethod):
         self.params = self.net.init(key, x[:2])["params"]
         self._tx = optax.adam(lr)
         opt_state = self._tx.init(self.params)
+        ctj = jnp.asarray(ct, jnp.int32)
+        bj = jnp.asarray(b, jnp.int32)
+        phasej = jnp.asarray(phase)
         for epoch in range(epochs):
             key, ek = jax.random.split(key)
             self.params, opt_state, loss = self._train_epoch(
-                self.params, opt_state, x, jnp.asarray(ct, jnp.int32),
-                jnp.asarray(b, jnp.int32), jnp.asarray(phase), ek, has_labels,
+                self.params, opt_state, x, ctj, bj, phasej, ek, has_labels,
                 min(batch_size, n))
             if epoch % 50 == 0:
                 logger.info("JAE epoch %d, loss %.5f", epoch, float(loss))

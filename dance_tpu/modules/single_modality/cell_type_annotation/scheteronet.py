@@ -271,17 +271,22 @@ class scHeteroNet(BaseClassificationMethod):
                                         m.zinb(m.embed(a, b, xx))))["params"]
         self._tx = optax.adam(lr)
         opt_state = self._tx.init(self.params)
+        # device-resident once: re-converting inside the loop re-uploads the
+        # full matrices every epoch (~10 s/epoch at 10k×2k over the relay)
+        xj = jnp.asarray(x)
+        xrj = jnp.asarray(x_raw, jnp.float32)
+        sfj = jnp.asarray(size_factors, jnp.float32)
+        yj = jnp.asarray(y, jnp.int32)
+        mj = jnp.asarray(mask)
         for epoch in range(epochs):
             key, ek = jax.random.split(key)
             self.params, opt_state, loss = self._step(
-                self.params, opt_state, adj1, adj2, jnp.asarray(x),
-                jnp.asarray(x_raw, jnp.float32),
-                jnp.asarray(size_factors, jnp.float32), jnp.asarray(y, jnp.int32),
-                jnp.asarray(mask), zinb_weight, cl_weight, mask_ratio, ek,
-                use_zinb, cl_weight != 0.0)
+                self.params, opt_state, adj1, adj2, xj, xrj, sfj, yj, mj,
+                zinb_weight, cl_weight, mask_ratio, ek, use_zinb,
+                cl_weight != 0.0)
             if epoch % 50 == 0:
                 logger.info("scHeteroNet epoch %d, loss %.5f", epoch, float(loss))
-        self._cache = (adj1, adj2, jnp.asarray(x))
+        self._cache = (adj1, adj2, xj)
         return self
 
     # --- OOD machinery ------------------------------------------------------

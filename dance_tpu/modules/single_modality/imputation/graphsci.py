@@ -141,14 +141,18 @@ class GraphSCI(BaseRegressionMethod):
                                         jnp.asarray(x), key)["params"]
         self._tx = optax.adamw(self.lr, weight_decay=self.weight_decay)
         opt_state = self._tx.init(self.params)
+        # device-resident once — converting inside the loop re-uploads the
+        # full expression matrices every epoch
+        xj, xrj = jnp.asarray(x), jnp.asarray(x_raw)
+        maskj = jnp.asarray(loss_mask)
         for epoch in range(self.n_epochs):
             key, sk = jax.random.split(key)
             self.params, opt_state, loss = self._step(
-                self.params, opt_state, dg.adj, gene_feat, jnp.asarray(x),
-                jnp.asarray(x_raw), sf, adj_target, jnp.asarray(loss_mask), sk)
+                self.params, opt_state, dg.adj, gene_feat, xj, xrj, sf,
+                adj_target, maskj, sk)
             if epoch % 50 == 0:
                 logger.info("GraphSCI epoch %d, loss %.6f", epoch, float(loss))
-        self._cache = (dg, gene_feat, jnp.asarray(x))
+        self._cache = (dg, gene_feat, xj)
         return self
 
     def predict(self, x=None, mask=None, log_space: bool = True):

@@ -323,11 +323,11 @@ class StdGCN(BaseRegressionMethod):
         opt_state = self._tx.init(self.params)
 
         best_val, best_params, patience = np.inf, self.params, 0
+        trj, vaj = jnp.asarray(tr_mask), jnp.asarray(va_mask)
         for epoch in range(max_epochs):
             key, sk = jax.random.split(key)
             self.params, opt_state, loss, val = self._step(
-                self.params, opt_state, adj_exp, adj_sp, xj, y,
-                jnp.asarray(tr_mask), jnp.asarray(va_mask), sk)
+                self.params, opt_state, adj_exp, adj_sp, xj, y, trj, vaj, sk)
             val = round(float(val), 4)
             if val < best_val:
                 best_val, best_params, patience = val, self.params, 1

@@ -9,7 +9,10 @@ from dance_tpu.datasets.synthetic import synthetic_expression
 from dance_tpu.modules.spatial.cell_type_deconvo import DSTG
 
 if __name__ == "__main__":
-    args = base_parser("DSTG").parse_args()
+    p = base_parser("DSTG")
+    p.add_argument("--use_bsr", action="store_true",
+                   help="run graph aggregations on the Pallas BSR kernel")
+    args = p.parse_args()
     set_seed(args.seed)
     rng = np.random.default_rng(args.seed)
     x_ref, labels = synthetic_expression(150, 80, 3, seed=1, effect=6.0)
@@ -23,6 +26,6 @@ if __name__ == "__main__":
     adj = compute_dstg_adj(ps_x, x_mix, k_filter=30, num_cc=10)
     y = np.concatenate([ps_port, np.zeros_like(portions)], axis=0)
     model = DSTG(seed=args.seed)
-    model.fit((feats, adj), y, max_epochs=200)
+    model.fit((feats, adj), y, max_epochs=200, use_bsr=args.use_bsr)
     pred = model.predict()[100:]
     print(f"MSE: {((pred - portions) ** 2).mean():.5f}")
