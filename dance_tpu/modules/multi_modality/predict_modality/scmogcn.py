@@ -88,18 +88,19 @@ class ScMoGCNWrapper(BaseRegressionMethod):
                          log_level=log_level)
 
     @staticmethod
-    def _build_graph(x: np.ndarray, use_bsr: bool = False, bsr_block: int = 128):
+    def _build_graph(x: np.ndarray, use_bsr="auto", bsr_block: int = 128):
         """Row/column-normalized expression bipartite adjacency.
 
         ``use_bsr=True`` tiles the adjacency (and its transpose) to BSR so
         both propagation directions run on the Pallas kernel — expression
         bipartite graphs are dense at tile granularity, so no reordering is
-        needed."""
+        needed. ``"auto"`` (default) engages it on TPU when the natural-order
+        tiling is dense enough to win."""
+        from dance_tpu.ops.pallas_kernels import bipartite_bsr, resolve_use_bsr
         a = sp.csr_matrix(x)
         r = np.asarray(a.sum(1)).ravel()
         a = sp.diags(1.0 / np.maximum(r, 1e-12)) @ a
-        if use_bsr:
-            from dance_tpu.ops.pallas_kernels import bipartite_bsr
+        if resolve_use_bsr(use_bsr, a, bsr_block, reorder=False):
             return bipartite_bsr(a, block=bsr_block)
         return csr_from_scipy(a)
 
@@ -115,7 +116,7 @@ class ScMoGCNWrapper(BaseRegressionMethod):
         return optax.apply_updates(params, updates), opt_state, loss
 
     def fit(self, x_train, y_train, x_test=None, epochs: int = 200, lr: float = 1e-2,
-            weight_decay: float = 1e-5, use_bsr: bool = False,
+            weight_decay: float = 1e-5, use_bsr="auto",
             bsr_block: int = 128):
         """Trains on train cells; when x_test is given, test cells join the graph
         (transductive) with masked loss. ``use_bsr=True`` runs both propagation

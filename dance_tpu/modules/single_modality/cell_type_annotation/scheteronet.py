@@ -217,7 +217,7 @@ class scHeteroNet(BaseClassificationMethod):
     def fit(self, graph, y, x_raw=None, size_factors=None, use_zinb: bool = True,
             zinb_weight: float = 0.1, cl_weight: float = 0.0,
             mask_ratio: float = 0.2, epochs: int = 200, lr: float = 1e-2,
-            train_idx=None, use_bsr: bool = False, bsr_block: int = 128):
+            train_idx=None, use_bsr="auto", bsr_block: int = 128):
         """``use_bsr=True`` RCM-bands the cell kNN graph once and runs every
         HetConv aggregation (one-hop AND strict two-hop — the squared graph
         stays banded when the one-hop is) through the Pallas block-sparse
@@ -243,6 +243,8 @@ class scHeteroNet(BaseClassificationMethod):
         mask[np.asarray(train_idx if train_idx is not None else np.arange(n))] = 1
 
         raw_adj = sp.csr_matrix(graph.adj)
+        from dance_tpu.ops.pallas_kernels import resolve_use_bsr
+        use_bsr = resolve_use_bsr(use_bsr, raw_adj, bsr_block)
         self._perm = None
         if use_bsr:
             from dance_tpu.ops.pallas_kernels import bsr_from_scipy, rcm_reorder

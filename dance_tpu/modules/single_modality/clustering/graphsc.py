@@ -129,14 +129,21 @@ class GraphSC(BaseClusteringMethod):
 
     def fit(self, g, y: Optional[Any] = None, *, epochs: int = 100, lr: float = 1e-5,
             batch_size: int = 128, show_epoch_ari: bool = False,
-            eval_epoch: bool = False, use_bsr: bool = False, bsr_block: int = 128):
+            eval_epoch: bool = False, use_bsr="auto", bsr_block: int = 128):
         """Train on a Graph built by CellFeatureBipartiteGraph.
 
         ``use_bsr=True`` runs message passing through the Pallas block-sparse
         SpMM (sum or mean aggregation) — faster on chip for banded/bipartite
-        adjacencies; differentiable via :func:`bsr_spmm_ad`."""
+        adjacencies; differentiable via :func:`bsr_spmm_ad`. ``"auto"``
+        (default) engages it on TPU when the natural-order tiling is dense
+        enough to win and the aggregation supports it."""
         from dance_tpu.graph import Graph
         assert isinstance(g, Graph), f"expected dance_tpu Graph, got {type(g)}"
+        if use_bsr == "auto":
+            from dance_tpu.ops.pallas_kernels import resolve_use_bsr
+            use_bsr = (self.model.agg in ("sum", "mean")
+                       and resolve_use_bsr("auto", g.adj, bsr_block,
+                                           reorder=False))
         n_genes = g.info["num_genes"]
         n_cells = g.info["num_cells"]
         dg = g.to_device()

@@ -183,10 +183,12 @@ class ScDSC(NNPretrain, BaseClusteringMethod):
     def fit(self, inputs: Tuple, y=None, lr: float = 1e-3, epochs: int = 300,
             bcl: float = 0.1, cl: float = 0.01, rl: float = 1.0, zl: float = 0.1,
             pt_epochs: int = 200, pt_batch_size: int = 256, pt_lr: float = 1e-3,
-            use_bsr: bool = False, bsr_block: int = 128):
+            use_bsr="auto", bsr_block: int = 128):
         """``use_bsr=True`` runs the 7 per-layer GCN aggregations through the
         Pallas block-sparse SpMM after RCM-banding the kNN graph; inputs are
-        permuted once on the host and ``q`` is un-permuted on read."""
+        permuted once on the host and ``q`` is un-permuted on read. The
+        default ``"auto"`` engages it on TPU when the banded tiling is dense
+        enough to win (ops.pallas_kernels.resolve_use_bsr)."""
         adj, x, x_raw, n_counts = inputs
         x = as_numpy(x).astype(np.float32)
         x_raw = as_numpy(x_raw)
@@ -197,6 +199,8 @@ class ScDSC(NNPretrain, BaseClusteringMethod):
             deg = np.asarray(adj_csr.sum(1)).ravel()
             dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
             adj_n = sp.diags(dinv) @ adj_csr @ sp.diags(dinv)
+            from dance_tpu.ops.pallas_kernels import resolve_use_bsr
+            use_bsr = resolve_use_bsr(use_bsr, adj_n, bsr_block)
             self._perm = None
             if use_bsr:
                 from dance_tpu.ops.pallas_kernels import bsr_with_rcm

@@ -179,14 +179,18 @@ class ScTAG(NNPretrain, BaseClusteringMethod):
             pretrain_epochs: int = 200, lr: float = 5e-4, w_a: float = 0.3,
             w_x: float = 1.0, w_c: float = 1.5, w_d: float = 0.0, info_step: int = 1,
             max_dist: float = 20.0, min_dist: float = 0.5,
-            force_pretrain: bool = False, use_bsr: bool = False,
+            force_pretrain: bool = False, use_bsr="auto",
             bsr_block: int = 128):
         """``use_bsr=True`` RCM-bands the cell kNN graph and runs both TAGConv
         encoders' k-hop aggregations through the Pallas block-sparse SpMM
-        (inputs permuted once; ``q``/``z`` un-permuted on read)."""
+        (inputs permuted once; ``q``/``z`` un-permuted on read). The default
+        ``"auto"`` engages it on TPU when the banded tiling is dense enough
+        to win (ops.pallas_kernels.resolve_use_bsr)."""
+        from dance_tpu.ops.pallas_kernels import resolve_use_bsr
         adj, x, x_raw, n_counts = inputs
         adj = adj if sp.issparse(adj) else as_numpy(adj)
         x, x_raw, n_counts = (as_numpy(i) for i in (x, x_raw, n_counts))
+        use_bsr = resolve_use_bsr(use_bsr, sp.csr_matrix(adj), bsr_block)
         self._use_bsr, self._bsr_block = use_bsr, bsr_block
         self._perm = None
         if use_bsr:

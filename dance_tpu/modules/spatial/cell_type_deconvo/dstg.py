@@ -84,15 +84,18 @@ class DSTG(BaseRegressionMethod):
         return optax.apply_updates(params, updates), opt_state, loss
 
     def fit(self, inputs, y, lr: float = 0.005, max_epochs: int = 300,
-            weight_decay: float = 0.0, train_mask=None, use_bsr: bool = False,
+            weight_decay: float = 0.0, train_mask=None, use_bsr="auto",
             bsr_block: int = 128):
         """inputs=(x features over all nodes, adjacency); y: portions with
         pseudo rows labeled (train) and real rows to predict.
 
         ``use_bsr=True`` RCM-bands the pseudo/real link graph and runs both
         GCN aggregations through the Pallas block-sparse SpMM; predictions are
-        un-permuted back to the caller's node order."""
+        un-permuted back to the caller's node order. The default ``"auto"``
+        engages it on TPU when the banded tiling is dense enough to win."""
+        from dance_tpu.ops.pallas_kernels import resolve_use_bsr
         x, adj = inputs
+        use_bsr = resolve_use_bsr(use_bsr, sp.csr_matrix(adj), bsr_block)
         x = as_numpy(x).astype(np.float32)
         y = as_numpy(y).astype(np.float32)
         if train_mask is None:

@@ -263,7 +263,7 @@ class StdGCN(BaseRegressionMethod):
             max_epochs: int = 300, early_stopping_patience: int = 5,
             train_valid_ratio: float = 0.9, clip_grad_max_norm: float = 1.0,
             inter_k: int = 20, intra_exp_k: int = 10, space_k: int = 27,
-            use_bsr: bool = False, bsr_block: int = 128):
+            use_bsr="auto", bsr_block: int = 128):
         """inputs = (features for all spots ordered [pseudo; real], spatial
         coords for the real spots — rows with all-zero coords are treated as
         pseudo); y: portions (pseudo rows labeled).
@@ -287,6 +287,8 @@ class StdGCN(BaseRegressionMethod):
             space_k=min(space_k, max((~train_mask).sum() - 1, 1)), seed=self.seed)
         self._perm = None
         y = as_numpy(y).astype(np.float32)
+        from dance_tpu.ops.pallas_kernels import resolve_use_bsr
+        use_bsr = resolve_use_bsr(use_bsr, adj_exp + adj_sp, bsr_block)
         if use_bsr:
             from dance_tpu.ops.pallas_kernels import bsr_from_scipy, rcm_reorder
             perm, _ = rcm_reorder(adj_exp + adj_sp)

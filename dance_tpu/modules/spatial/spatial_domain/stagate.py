@@ -132,16 +132,20 @@ class Stagate(BasePretrain, BaseClusteringMethod):
 
     def fit(self, inputs, y=None, *, epochs: int = 500, lr: float = 1e-3,
             gradient_clipping: float = 5.0, weight_decay: float = 1e-4,
-            n_clusters: int = 7, use_bsr: bool = False, bsr_block: int = 128):
+            n_clusters: int = 7, use_bsr="auto", bsr_block: int = 128):
         """``use_bsr=True`` routes every attention aggregation through the
         fused Pallas GAT kernel (SDDMM + edge softmax + SpMM in one pass),
         after an RCM reordering that bands the spatial graph into dense tiles
         (measured 8k spots / 65k edges / 512-d on v5e: 2.6 ms/step fused+RCM
         vs 35 ms/step on the CSR segment path — ~14×; without reordering the
-        random spot order touches every tile and the CSR path wins)."""
+        random spot order touches every tile and the CSR path wins). The
+        default ``"auto"`` engages it on TPU exactly when the banded tiling
+        is dense enough to win (ops.pallas_kernels.resolve_use_bsr)."""
+        from dance_tpu.ops.pallas_kernels import resolve_use_bsr
         x, adj = inputs
         x = np.asarray(x, dtype=np.float32)
         adj = sp.csr_matrix(adj) + sp.eye(adj.shape[0], format="csr", dtype=np.float32)
+        use_bsr = resolve_use_bsr(use_bsr, adj, bsr_block)
         self._perm = None
         if use_bsr:
             from dance_tpu.ops.pallas_kernels import bsr_from_scipy, rcm_reorder

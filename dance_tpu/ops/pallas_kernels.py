@@ -287,7 +287,8 @@ def pallas_spmm(adj: sp.spmatrix, h, *, interpret: bool = False):
 __all__ = ["BipartiteBSR", "BSRMatrix", "bipartite_bsr", "bsr_from_scipy",
            "bsr_gat", "bsr_gat_ad", "bsr_gat_grads", "bsr_gat_scan",
            "bsr_gat_stats", "bsr_spmm", "bsr_spmm_ad", "bsr_transpose",
-           "bsr_with_rcm", "pallas_spmm", "rcm_reorder", "unpermute"]
+           "bsr_with_rcm", "pallas_spmm", "rcm_reorder", "resolve_use_bsr",
+           "tile_expansion", "unpermute"]
 
 
 # --------------------------------------------------------------------------
@@ -672,6 +673,41 @@ def bipartite_bsr(adj: sp.spmatrix, block: int = BLOCK) -> BipartiteBSR:
     adj = sp.csr_matrix(adj)
     return BipartiteBSR(bsr_from_scipy(adj, block=block),
                         bsr_from_scipy(adj.T.tocsr(), block=block))
+
+
+def tile_expansion(adj: sp.spmatrix, block: int = BLOCK) -> float:
+    """Dense-slot-per-nnz ratio of the BSR tiling: nonzero_tiles·block² / nnz.
+
+    The BSR kernel streams every touched tile densely, so this is its FLOP/IO
+    overhead vs a perfect sparse kernel. Measured crossover on v5e: banded
+    kNN/spatial graphs at expansion ~60 win 3-14× over the CSR segment path;
+    unbanded graphs at expansion ~1000 lose to it."""
+    coo = sp.coo_matrix(adj)
+    if coo.nnz == 0:
+        return float("inf")
+    tiles = len({(r, c) for r, c in zip(coo.row // block, coo.col // block)})
+    return tiles * block * block / coo.nnz
+
+
+def resolve_use_bsr(use_bsr, adj: sp.spmatrix, block: int = BLOCK, *,
+                    max_expansion: float = 150.0, reorder: bool = True) -> bool:
+    """Resolve a ``use_bsr="auto"`` flag to a concrete bool.
+
+    ``True``/``False`` pass through. ``"auto"`` picks the Pallas path exactly
+    when it wins: on TPU (off-TPU the kernel would run in interpreter mode)
+    AND when the (RCM-banded, unless ``reorder=False``) tiling's
+    :func:`tile_expansion` stays under ``max_expansion`` — high-expansion
+    tilings lose to XLA's segment ops (BENCH_NOTES.md).
+    """
+    if use_bsr != "auto":
+        return bool(use_bsr)
+    import jax
+    if jax.default_backend() != "tpu":
+        return False
+    adj = sp.csr_matrix(adj)
+    if reorder:
+        _, adj = rcm_reorder(adj)
+    return tile_expansion(adj, block) <= max_expansion
 
 
 def unpermute(perm, arr: np.ndarray) -> np.ndarray:

@@ -10,7 +10,7 @@ from dance_tpu.modules.multi_modality.predict_modality import ScMoGCNWrapper
 if __name__ == "__main__":
     p = base_parser("ScMoGCNWrapper predict modality")
     p.add_argument("--use_bsr", action="store_true",
-                   help="run graph aggregations on the Pallas BSR kernel")
+                   help="force the Pallas BSR path (default: auto-select on TPU)")
     args = p.parse_args()
     set_seed(args.seed)
     data = multimodal_data(seed=args.seed)
@@ -20,5 +20,5 @@ if __name__ == "__main__":
     x2_te = np.log1p(data.get_feature(split_name="test", mod="mod2", channel_type="X"))
     model = ScMoGCNWrapper(seed=args.seed)
     model.fit(np.expm1(x1_tr), x2_tr, x_test=np.expm1(x1_te), epochs=150,
-              use_bsr=args.use_bsr)
+              use_bsr=args.use_bsr or "auto")
     print(f"RMSE: {model.score(np.expm1(x1_te), x2_te):.4f}")

@@ -17,7 +17,7 @@ if __name__ == "__main__":
     p.add_argument("--ood_class", type=int, default=2,
                    help="cell type held out of training as the novel type")
     p.add_argument("--use_bsr", action="store_true",
-                   help="run graph aggregations on the Pallas BSR kernel")
+                   help="force the Pallas BSR path (default: auto-select on TPU)")
     args = p.parse_args()
     set_seed(args.seed)
 
@@ -29,7 +29,7 @@ if __name__ == "__main__":
     train_idx = np.asarray([i for i in data.train_idx if y[i] != args.ood_class])
     model = scHeteroNet(hidden_channels=32, num_layers=2, seed=args.seed)
     model.fit(g, y, x_raw=np.asarray(data.data.X), epochs=args.epochs,
-              train_idx=train_idx, use_bsr=args.use_bsr)
+              train_idx=train_idx, use_bsr=args.use_bsr or "auto")
 
     test_idx = np.asarray(data.test_idx)
     ind = test_idx[y[test_idx] != args.ood_class]

@@ -11,7 +11,7 @@ from dance_tpu.modules.spatial.cell_type_deconvo import DSTG
 if __name__ == "__main__":
     p = base_parser("DSTG")
     p.add_argument("--use_bsr", action="store_true",
-                   help="run graph aggregations on the Pallas BSR kernel")
+                   help="force the Pallas BSR path (default: auto-select on TPU)")
     args = p.parse_args()
     set_seed(args.seed)
     rng = np.random.default_rng(args.seed)
@@ -26,6 +26,6 @@ if __name__ == "__main__":
     adj = compute_dstg_adj(ps_x, x_mix, k_filter=30, num_cc=10)
     y = np.concatenate([ps_port, np.zeros_like(portions)], axis=0)
     model = DSTG(seed=args.seed)
-    model.fit((feats, adj), y, max_epochs=200, use_bsr=args.use_bsr)
+    model.fit((feats, adj), y, max_epochs=200, use_bsr=args.use_bsr or "auto")
     pred = model.predict()[100:]
     print(f"MSE: {((pred - portions) ** 2).mean():.5f}")

@@ -11,7 +11,7 @@ from dance_tpu.modules.spatial.cell_type_deconvo import StdGCN
 if __name__ == "__main__":
     p = base_parser("StdGCN")
     p.add_argument("--use_bsr", action="store_true",
-                   help="run graph aggregations on the Pallas BSR kernel")
+                   help="force the Pallas BSR path (default: auto-select on TPU)")
     args = p.parse_args()
     set_seed(args.seed)
     rng = np.random.default_rng(args.seed)
@@ -25,6 +25,6 @@ if __name__ == "__main__":
     coords = np.concatenate([np.zeros((100, 2)), rng.random((60, 2)) * 10], axis=0)
     y = np.concatenate([ps_port, np.zeros_like(portions)], axis=0)
     model = StdGCN(seed=args.seed)
-    model.fit((feats, coords), y, max_epochs=200, use_bsr=args.use_bsr)
+    model.fit((feats, coords), y, max_epochs=200, use_bsr=args.use_bsr or "auto")
     pred = model.predict()[100:]
     print(f"MSE: {((pred - portions) ** 2).mean():.5f}")

@@ -423,3 +423,37 @@ def test_construct_basic_feature_graph():
     g2 = construct_basic_feature_graph(sp.csr_matrix(ad1.X), bf_input=[ad1])
     assert g2.ndata["bf"].shape == (50, 9)
     assert np.allclose(g2.ndata["bf"][:20], 0)
+
+
+def test_tile_expansion_and_resolve_use_bsr():
+    """The use_bsr="auto" policy: explicit flags pass through; off-TPU auto
+    resolves False; the expansion metric separates banded from unbanded."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from dance_tpu.ops.pallas_kernels import (resolve_use_bsr, rcm_reorder,
+                                              tile_expansion)
+
+    # banded matrix: a dense 33-wide band inside the 128-block diagonal
+    n = 512
+    banded = sp.csr_matrix(sp.diags(
+        [np.ones(n - abs(o)) for o in range(-16, 17)], list(range(-16, 17))))
+    assert tile_expansion(banded, 128) < 50
+    # scattered permutation matrix touches ~n tiles -> high expansion
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(n)
+    scattered = sp.csr_matrix((np.ones(n), (np.arange(n), perm)), shape=(n, n))
+    assert tile_expansion(scattered, 128) > 150  # above the auto threshold
+    # RCM re-bands a shuffled banded matrix back to low expansion
+    shuffled = banded[perm][:, perm]
+    _, rebanded = rcm_reorder(shuffled)
+    assert tile_expansion(rebanded, 128) < 50
+
+    assert resolve_use_bsr(True, scattered) is True
+    assert resolve_use_bsr(False, banded) is False
+    import jax
+    if jax.default_backend() != "tpu":
+        assert resolve_use_bsr("auto", banded) is False
+    else:
+        assert resolve_use_bsr("auto", shuffled) is True  # RCM re-bands it
+        assert resolve_use_bsr("auto", scattered, reorder=False) is False
