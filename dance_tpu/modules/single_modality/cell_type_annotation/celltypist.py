@@ -221,3 +221,30 @@ def _sgd_classifier(indata, labels, alpha, max_iter, n_jobs, mini_batch, batch_n
                              else True, p=p)
             clf.partial_fit(indata[idx], labels[idx], classes=classes)
     return clf
+
+
+def LRClassifier_celltypist(indata, labels, C, solver, max_iter, n_jobs,
+                            **kwargs) -> LogisticRegression:
+    """Train the celltypist logistic classifier (parity: celltypist.py:755):
+    solver auto-selects sag past 50k cells, one-vs-rest multi-class."""
+    no_cells = len(labels)
+    if solver is None:
+        solver = "sag" if no_cells > 50000 else "lbfgs"
+    elif solver not in ("liblinear", "lbfgs", "newton-cg", "sag", "saga"):
+        raise ValueError("Invalid `solver`, should be one of 'liblinear', "
+                         "'lbfgs', 'newton-cg', 'sag', and 'saga'")
+    logger.info("LRClassifier training start...")
+    clf = LogisticRegression(C=C, solver=solver, max_iter=max_iter,
+                             n_jobs=n_jobs, **kwargs)
+    clf.fit(indata, labels)
+    return clf
+
+
+def SGDClassifier_celltypist(indata, labels, alpha, max_iter, n_jobs,
+                             mini_batch, batch_number, batch_size, epochs,
+                             balance_cell_type, **kwargs) -> SGDClassifier:
+    """Train the celltypist SGD classifier (parity: celltypist.py:777);
+    delegates to the framework's mini-batch implementation."""
+    return _sgd_classifier(indata, np.asarray(labels), alpha, max_iter, n_jobs,
+                           mini_batch, batch_number, batch_size, epochs,
+                           balance_cell_type, **kwargs)

@@ -13,11 +13,131 @@ import jax.numpy as jnp
 import numpy as np
 
 from dance_tpu.modules.base import BaseRegressionMethod
+from dance_tpu.settings import logger
 from dance_tpu.transforms import (AnnDataTransform, CellwiseMaskData, Compose,
                                   FilterCellsScanpy, FilterGenesScanpy, SaveRaw,
                                   SetConfig)
 from dance_tpu.typing import LogLevel, Optional
 from dance_tpu.utils.wrappers import as_numpy
+
+
+def compute_markov(data, k: int = 10, epsilon: float = 1,
+                   distance_metric: str = "euclidean", ka: int = 0):
+    """Markov transition matrix from an adaptive-kernel kNN graph
+    (parity: magic.py:84-137). Neighbor search runs on device
+    (ops.neighbors.knn); the sparse assembly stays on the host.
+
+    Returns a scipy CSR row-stochastic matrix ``T = D^-1 W`` where ``W`` is
+    the symmetrized (optionally ka-autotuned) Gaussian affinity.
+    """
+    import scipy.sparse as sp
+
+    from dance_tpu.ops.neighbors import knn
+
+    if distance_metric != "euclidean":
+        raise ValueError("only the reference's euclidean metric is supported")
+    data = as_numpy(data).astype(np.float32)
+    n = data.shape[0]
+    k = min(k, n)
+    dists, indices = knn(data, k, include_self=True)
+    dists = np.sqrt(np.maximum(as_numpy(dists), 0.0))
+    indices = as_numpy(indices)
+    if ka > 0:
+        # autotune: divide each row by its (ka+1)-th smallest distance
+        srt = np.sort(dists, axis=1)
+        denom = srt[:, min(ka, k - 1)]
+        dists = np.where(denom[:, None] > 0, dists / np.maximum(
+            denom[:, None], 1e-12), 0.0)
+    rows = indices.ravel()
+    cols = np.repeat(np.arange(n), k)
+    vals = dists.ravel() if epsilon > 0 else np.ones(n * k)
+    w = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    w = w + w.T
+    if epsilon > 0:
+        r, c, d = sp.find(w)
+        r = np.append(r, np.arange(n))
+        c = np.append(c, np.arange(n))
+        d = np.append(d / (epsilon ** 2), np.zeros(n))
+        w = sp.csr_matrix((np.exp(-d), (r, c)), shape=(n, n))
+    deg = np.ravel(w.sum(axis=1))
+    dinv = np.where(deg != 0, 1.0 / np.maximum(deg, 1e-300), 0.0)
+    return sp.diags(dinv) @ w
+
+
+def impute_fast(data, L, t: int, rescale_percent: int = 0, L_t=None,
+                tprev: int = None):
+    """``data_new = L^t @ data`` with optional percentile rescaling
+    (parity: magic.py:46-81). The matrix power runs as a dense matmul chain
+    on the MXU. Returns ``(data_new, L_t)`` so callers can warm-start a
+    larger ``t`` via ``L_t``/``tprev`` like the reference.
+    """
+    import scipy.sparse as sp
+
+    data = as_numpy(data).astype(np.float32)
+    L = np.asarray(L.todense() if sp.issparse(L) else L, np.float32)
+
+    def mat_power(m, p):
+        out = jnp.eye(m.shape[0], dtype=m.dtype)
+        base = m
+        while p:
+            if p & 1:
+                out = jnp.dot(out, base, precision=jax.lax.Precision.HIGHEST)
+            base = jnp.dot(base, base, precision=jax.lax.Precision.HIGHEST)
+            p >>= 1
+        return out
+
+    if L_t is None:
+        L_t = mat_power(jnp.asarray(L), t)
+    else:
+        L_t = jnp.dot(jnp.asarray(L_t), mat_power(jnp.asarray(L), t - tprev),
+                      precision=jax.lax.Precision.HIGHEST)
+    data_new = np.asarray(jnp.dot(L_t, data,
+                                  precision=jax.lax.Precision.HIGHEST))
+    L_t = np.asarray(L_t)
+    if rescale_percent != 0:
+        if (data_new < 0).any():
+            logger.warning("Rescaling should not be performed on "
+                           "log-transformed (or other negative) values. "
+                           "Imputed data returned unscaled.")
+            return data_new, L_t
+        m99 = np.percentile(data, rescale_percent, axis=0)
+        m100 = data.max(axis=0)
+        m99[m99 == 0] = m100[m99 == 0]
+        m99n = np.percentile(data_new, rescale_percent, axis=0)
+        m100n = data_new.max(axis=0)
+        m99n[m99n == 0] = m100n[m99n == 0]
+        data_new = data_new * (m99 / np.maximum(m99n, 1e-12))[None, :]
+    return data_new, L_t
+
+
+def magic(data, pca_projected_data, t: int = 6, k: int = 30, ka: int = 10,
+          epsilon: float = 1, rescale: int = 99):
+    """Functional MAGIC: Markov matrix from the PCA space, then t-step
+    diffusion of ``data`` (parity: magic.py:22-43)."""
+    L = compute_markov(pca_projected_data, k=k, epsilon=epsilon,
+                       distance_metric="euclidean", ka=ka)
+    new_data, _ = impute_fast(data, L, t, rescale_percent=rescale)
+    return new_data
+
+
+def optimal_t(data, th: float = 0.001, max_t: int = 32) -> int:
+    """Smallest diffusion time where the retained spectral energy plateaus.
+
+    The reference's optimal_t (magic.py:140-148) computes the per-t retained
+    energy ``nse`` but falls off the end without returning; this version
+    returns the first t where ``nse`` stops changing by more than ``th``
+    (and fixes the reference's tuple-unpacking bug on np.linalg.svd).
+    """
+    data = as_numpy(data).astype(np.float32)
+    s = np.linalg.svd(data, compute_uv=False) ** 2
+    nse = np.zeros(max_t)
+    for t in range(max_t):
+        s_t = s ** t
+        p = s_t / s_t.sum()
+        nse[t] = p[p > th].sum()
+        if t > 1 and abs(nse[t] - nse[t - 1]) < th:
+            return t
+    return max_t
 
 
 class MAGIC(BaseRegressionMethod):

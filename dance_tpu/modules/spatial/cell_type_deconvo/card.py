@@ -146,3 +146,89 @@ class Card(BaseRegressionMethod):
     def fit_score(self, x, y, *, score_func=None, return_pred: bool = False, **kwargs):
         self.fit(x, **kwargs)
         return self.score(None, y, score_func=score_func, return_pred=return_pred)
+
+
+def obj_func(trac_xxt, UtXV, UtU, VtV, mGene, nSample, b, Lambda, beta, vecOne,
+             V, L, alpha, sigma_e2=None):
+    """CARD log-posterior (parity: card.py:32). Higher is better."""
+    normNMF = trac_xxt - 2.0 * np.trace(UtXV) + np.trace(UtU @ VtV)
+    sigma_e2 = normNMF / (mGene * nSample) or sigma_e2
+    logX = (-(mGene * nSample) * 0.5 * np.log(sigma_e2)
+            - 0.5 * (normNMF / sigma_e2))
+    temp = (V.T - b @ vecOne.T) @ L @ (V - vecOne @ b.T)
+    logV = (-nSample * 0.5 * np.sum(np.log(Lambda))
+            - 0.5 * (np.sum(np.diag(temp) / Lambda)))
+    logSigmaL2 = -(alpha + 1.0) * np.sum(np.log(Lambda)) - np.sum(beta / Lambda)
+    return logX + logV + logSigmaL2
+
+
+def CARDref(Xinput, U, W, phi, max_iter, epsilon, V, b, sigma_e2, Lambda):
+    """Reference-signature host CARD solver (parity: card.py:43): sequential
+    per-cell-type multiplicative V updates (Gauss-Seidel, like the reference)
+    with objective/V-change early stopping. Returns ``(pred, obj)``.
+
+    The jitted device path (:func:`_cardref`) is what :class:`Card` uses; this
+    function exists for callers of the reference API and for head-to-head
+    checks against it.
+    """
+    V = np.array(V, dtype=np.float64, copy=True)
+    b = np.array(b, dtype=np.float64, copy=True)
+    Lambda = np.array(Lambda, dtype=np.float64, copy=True)
+    nSample = int(Xinput.shape[1])
+    mGene = int(Xinput.shape[0])
+    k = int(U.shape[1])
+    vecOne = np.ones((nSample, 1))
+    alpha, beta = 1.0, nSample / 2.0
+    trac_xxt = (Xinput * Xinput).sum()
+
+    UtX = U.T @ Xinput
+    XtU = UtX.T
+    UtXV = UtX @ V
+    VtV = V.T @ V
+    UtU = U.T @ U
+    diag_UtU = np.diag(UtU)
+    part1 = np.zeros((nSample, k))
+    part2 = np.zeros((nSample, k))
+    temp = np.zeros((k, k))
+    if W is not None:
+        colsum_W = np.sum(W, axis=1)
+        D = np.diag(colsum_W)
+        L = D - phi * W
+        colsum_W = colsum_W.reshape(nSample, 1)
+        accu_L = np.sum(L)
+    else:
+        D = L = np.zeros((nSample, nSample))
+        colsum_W = np.zeros((nSample, 1))
+        accu_L = 1.0
+
+    obj = obj_func(trac_xxt, UtXV, UtU, VtV, mGene, nSample, b, Lambda, beta,
+                   vecOne, V, L, alpha, sigma_e2)
+    for i in range(max_iter):
+        obj_old = obj
+        V_old = V.copy()
+        # Lambda reads the previous round's quadratic form (zeros on the
+        # first pass). Documented deviation: the reference never recomputes
+        # `temp` (card.py:60,92 — it stays zero, freezing Lambda); we update
+        # it each round per the CARD paper, matching our device solver.
+        Lambda = (np.diag(temp) / 2.0 + beta) / (nSample / 2.0 + alpha + 1.0)
+        if W is not None:
+            b = np.sum(V.T @ L, axis=1, keepdims=True) / accu_L
+            part1 = sigma_e2 * (D @ V + phi * colsum_W @ b.T)
+            part2 = sigma_e2 * (phi * W @ V + colsum_W @ b.T)
+        for nCT in range(k):
+            den = Lambda[nCT] * (V @ UtU[:, nCT]) + part1[:, nCT]
+            V[:, nCT] = V[:, nCT] * ((Lambda[nCT] * XtU[:, nCT]
+                                      + part2[:, nCT]) / den)
+        UtXV = UtX @ V
+        VtV = V.T @ V
+        temp = (V.T - b @ vecOne.T) @ L @ (V - vecOne @ b.T)
+        obj = obj_func(trac_xxt, UtXV, UtU, VtV, mGene, nSample, b, Lambda,
+                       beta, vecOne, V, L, alpha)
+        rel = abs(obj - obj_old) * 2.0 / abs(obj + obj_old)
+        logic1 = (obj > obj_old) and (rel < epsilon)
+        logic2 = np.sqrt(np.sum((V - V_old) ** 2) / (nSample * k)) < epsilon
+        if (np.isnan(obj) or logic1 or logic2) and i > 5:
+            logger.info("CARDref exiting at iteration %d", i)
+            break
+    pred = V / V.sum(axis=1, keepdims=True)
+    return pred, obj

@@ -88,3 +88,14 @@ class SpatialDecon(BaseRegressionMethod):
                   **fit_kwargs):
         self.fit(x, **fit_kwargs)
         return self.score(None, y, score_func=score_func, return_pred=return_pred)
+
+
+class MSLELoss:
+    """Mean squared log error (parity: spatialdecon.py:25); callable like the
+    reference's nn.Module: ``MSLELoss()(pred, true)``."""
+
+    def __call__(self, pred, true):
+        return float(msle(jnp.asarray(as_numpy(pred), jnp.float32),
+                          jnp.asarray(as_numpy(true), jnp.float32)))
+
+    forward = __call__

@@ -83,3 +83,51 @@ class SPOTlight(BaseRegressionMethod):
         self.fit(x, **fit_kwargs)
         return self.score(x, y, score_func=score_func, return_pred=return_pred,
                           valid_idx=valid_idx, test_idx=test_idx)
+
+
+class NNLS:
+    """Non-negative linear model y ≈ x @ W.T (parity: spotlight.py:31).
+
+    The reference trains a clamped ``nn.Linear`` with Adam; here the
+    projected-gradient fit runs as a jitted lax.scan on device, with the same
+    call surface (``fit(x, y, max_iter, lr)``, ``forward``/``__call__``).
+    """
+
+    def __init__(self, in_dim, out_dim, bias: bool = False, init_bias=None,
+                 device: str = "auto"):
+        self.in_dim, self.out_dim = in_dim, out_dim
+        self.bias = bias
+        self.init_bias = init_bias
+        self.weight = np.zeros((out_dim, in_dim), np.float32)
+
+    def forward(self, x):
+        out = as_numpy(x) @ self.weight.T
+        if self.bias and self.init_bias is not None:
+            out = out + as_numpy(self.init_bias)
+        return out
+
+    __call__ = forward
+
+    def fit(self, x, y, max_iter, lr, print_res: bool = False,
+            print_period: int = 100):
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.asarray(as_numpy(x), jnp.float32)
+        y = jnp.asarray(as_numpy(y), jnp.float32)
+
+        def step(w, _):
+            def loss_fn(w):
+                return jnp.mean((x @ w.T - y) ** 2)
+
+            loss, g = jax.value_and_grad(loss_fn)(w)
+            return jnp.maximum(w - lr * g, 0.0), loss
+
+        w0 = jnp.zeros((self.out_dim, self.in_dim), jnp.float32)
+        w, losses = jax.lax.scan(step, w0, None, length=max_iter)
+        self.weight = np.asarray(w)
+        if print_res:
+            for it in range(print_period - 1, max_iter, print_period):
+                logger.info("Epoch: %02d/%d Loss: %.5e", it + 1, max_iter,
+                            float(losses[it]))
+        return self

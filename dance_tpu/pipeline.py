@@ -793,6 +793,19 @@ def run_step3(conf_dir: str, evaluate_fn: Callable, *, count: Optional[int] = No
 # Subset ablations (parity: pipeline.py:930-1009)
 # --------------------------------------------------------------------------
 
+def flatten_dict(d, *, parent_key: str = "", sep: str = "_") -> dict:
+    """Flatten a nested dict, joining parent keys with ``sep``
+    (parity: pipeline.py:894). ``{"a": {"x": 1}} -> {"a_x": 1}``."""
+    items = []
+    for k, v in d.items():
+        new_key = parent_key + sep + k if parent_key else k
+        if isinstance(v, dict):
+            items.extend(flatten_dict(v, parent_key=new_key, sep=sep).items())
+        else:
+            items.append((new_key, v))
+    return dict(items)
+
+
 def generate_combinations_with_required_elements(elements: List[Any],
                                                  required: Optional[List[Any]] = None
                                                  ) -> List[List[Any]]:

@@ -108,3 +108,94 @@ class DSTGraph(BaseTransform):
         data.data.obsp[self.out] = compute_dstg_adj(x_ref, x_inf, k_filter=self.k_filter,
                                                     num_cc=self.num_cc)
         return data
+
+
+# --------------------------------------------------------------------------
+# reference-named functional surface (parity: dstg_graph.py:88-174). These
+# operate on genes×spots DataFrames like the reference; the class above uses
+# the vectorized device path (compute_dstg_adj).
+# --------------------------------------------------------------------------
+
+def query_knn(data, k, query=None):
+    """(dist, ind) kNN via a host KD-tree (parity: dstg_graph.py:124)."""
+    from scipy.spatial import cKDTree
+    tree = cKDTree(np.asarray(data))
+    dist, ind = tree.query(np.asarray(data if query is None else query), k)
+    if k == 1:
+        dist, ind = dist[:, None], ind[:, None]
+    return dist, ind
+
+
+def knn(cell_embedding, spots1, spots2, k):
+    """Four-way kNN bundle between two spot sets (parity: dstg_graph.py:130)."""
+    emb1 = cell_embedding.loc[spots1]
+    emb2 = cell_embedding.loc[spots2]
+    nnaa = query_knn(emb1, k=k + 1)
+    nnbb = query_knn(emb2, k=k + 1)
+    nnab = query_knn(data=emb2, k=k, query=emb1)
+    nnba = query_knn(data=emb1, k=k, query=emb2)
+    return nnaa, nnab, nnba, nnbb, spots1, spots2
+
+
+def mnn(neighbors, colnames, num):
+    """Mutual nearest-neighbor pairs from a knn() bundle (dstg_graph.py:144)."""
+    import pandas as pd
+    max_nn = np.array([neighbors[1][1].shape[1], neighbors[2][1].shape[1]])
+    if (num > max_nn).any():
+        num = int(np.min(max_nn))
+    spots1 = colnames
+    nn_spots1 = np.asarray(neighbors[4])
+    cell1_index = [list(nn_spots1).index(i) for i in spots1
+                   if (nn_spots1 == i).any()]
+    ncell = np.array(range(neighbors[1][1].shape[0]))
+    ncell = ncell[np.in1d(ncell, cell1_index)]
+    mnn_cell1, mnn_cell2 = [], []
+    for cell in ncell:
+        neighbors_ab = neighbors[1][1][cell, 0:5]
+        mutual = np.where(neighbors[2][1][neighbors_ab, 0:5] == cell)[0]
+        for i in neighbors_ab[mutual]:
+            mnn_cell1.append(cell)
+            mnn_cell2.append(i)
+    mnns = pd.DataFrame(np.column_stack((mnn_cell1, mnn_cell2)))
+    mnns.columns = ["spot1", "spot2"]
+    return mnns
+
+
+def filter_edge(edges, neighbors, mats, features, k_filter):
+    """Keep MNN edges confirmed by kNN over selected genes (dstg_graph.py:108)."""
+    from dance_tpu.transforms.preprocess import l2norm
+    nn_spots1, nn_spots2 = neighbors[4:6]
+    mat1 = mats.loc[features, nn_spots1].T
+    mat2 = mats.loc[features, nn_spots2].T
+    cn_data1 = l2norm(mat1)
+    cn_data2 = l2norm(mat2)
+    nn = query_knn(data=cn_data2.loc[nn_spots2], k=k_filter,
+                   query=cn_data1.loc[nn_spots1])
+    ind = [j in nn[1][i] for _, (i, j) in edges.iterrows()]
+    return edges[ind].copy().reset_index(drop=True)
+
+
+def construct_link_graph(pseudo_st_df, real_st_df, k_filter=200, num_cc=30):
+    """CCA -> MNN -> gene-confirmed edge list (parity: dstg_graph.py:88)."""
+    import pandas as pd
+
+    from dance_tpu.transforms.preprocess import ccaEmbed, l2norm, selectTopGenes
+    cell_embedding, loading = ccaEmbed(pseudo_st_df, real_st_df, num_cc=num_cc)
+    norm_embedding = l2norm(mat=cell_embedding[0])
+    spots1 = pseudo_st_df.columns
+    spots2 = real_st_df.columns
+    neighbor = knn(cell_embedding=norm_embedding, spots1=spots1, spots2=spots2,
+                   k=30)
+    mnn_edges = mnn(neighbors=neighbor, colnames=cell_embedding[0].index, num=5)
+    select_genes = selectTopGenes(Loadings=loading, dims=range(num_cc),
+                                  DimGenes=100, maxGenes=200)
+    mat = pd.concat((pseudo_st_df, real_st_df), axis=1)
+    return filter_edge(edges=mnn_edges, neighbors=neighbor, mats=mat,
+                       features=select_genes, k_filter=k_filter)
+
+
+def preprocess_adj(adj):
+    """Symmetric normalization with identity (parity: dstg_graph.py:117)."""
+    adj = sp.csr_matrix(adj + sp.eye(adj.shape[0]))
+    d_inv_sqrt = sp.diags(1.0 / np.sqrt(np.asarray(adj.sum(1)).ravel()))
+    return d_inv_sqrt.dot(adj).dot(d_inv_sqrt).tocoo()

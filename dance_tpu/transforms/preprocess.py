@@ -235,3 +235,232 @@ def generate_random_pair(y, label_cell_indx, num, error_rate=0):
     cl_perm = np.random.permutation(len(cl_ind1))
     return (ml_ind1[ml_perm], ml_ind2[ml_perm], cl_ind1[cl_perm],
             cl_ind2[cl_perm], error_num)
+
+
+# --------------------------------------------------------------------------
+# legacy public utilities (parity: dance/transforms/preprocess.py:35-545)
+# --------------------------------------------------------------------------
+
+def prefilter_cells(adata, min_counts=None, max_counts=None, min_genes=200,
+                    max_genes=None):
+    """Combined cell filter + raw log1p snapshot (parity: preprocess.py:35).
+
+    Unlike scanpy's one-criterion-per-call filter, every given threshold is
+    ANDed into one mask before subsetting; ``adata.raw`` is set to a
+    log1p-transformed snapshot afterwards, as the reference does."""
+    from dance_tpu import sc as _sc
+    from dance_tpu.data.container import Raw
+    if min_genes is None and min_counts is None and max_genes is None \
+            and max_counts is None:
+        raise ValueError("Provide one of min_counts, min_genes, max_counts "
+                         "or max_genes.")
+    mask = np.ones(adata.shape[0], dtype=bool)
+    for kw in ("min_genes", "max_genes", "min_counts", "max_counts"):
+        val = locals()[kw]
+        if val is not None:
+            mask &= _sc.pp.filter_cells(adata, **{kw: val}, inplace=False)[0]
+    adata._inplace_subset_obs(mask)
+    tmp = adata.copy()
+    _sc.pp.log1p(tmp)
+    adata.raw = Raw(tmp)
+
+
+def prefilter_genes(adata, min_counts=None, max_counts=None, min_cells=10,
+                    max_cells=None):
+    """Combined gene filter (parity: preprocess.py:52)."""
+    from dance_tpu import sc as _sc
+    if min_cells is None and min_counts is None and max_cells is None \
+            and max_counts is None:
+        raise ValueError("Provide one of min_counts, min_genes, max_counts "
+                         "or max_genes.")
+    mask = np.ones(adata.shape[1], dtype=bool)
+    for kw in ("min_cells", "max_cells", "min_counts", "max_counts"):
+        val = locals()[kw]
+        if val is not None:
+            mask &= _sc.pp.filter_genes(adata, **{kw: val}, inplace=False)[0]
+    adata._inplace_subset_var(mask)
+
+
+def prefilter_specialgenes(adata, Gene1Pattern="ERCC", Gene2Pattern="MT-"):
+    """Drop spike-in/mitochondrial genes by name prefix (preprocess.py:67)."""
+    keep = np.array([not (str(n).startswith(Gene1Pattern)
+                          or str(n).startswith(Gene2Pattern))
+                     for n in adata.var_names], dtype=bool)
+    adata._inplace_subset_var(keep)
+
+
+def l2norm(mat):
+    """Row L2-normalization of a DataFrame/array (parity: preprocess.py:309);
+    rows with zero norm become zero instead of inf."""
+    arr = mat.to_numpy() if hasattr(mat, "to_numpy") else np.asarray(mat)
+    stat = np.sqrt((arr ** 2).sum(1))
+    out = np.divide(arr, stat[:, None], out=np.zeros_like(arr, dtype=float),
+                    where=stat[:, None] != 0)
+    if hasattr(mat, "to_numpy"):
+        mat[mat.columns] = out
+        return mat
+    return out
+
+
+def SVD(mat, num_cc):
+    """Leading num_cc singular triplets, reference layout (preprocess.py:535):
+    returns (u, v, d) with v already transposed to (n, num_cc)."""
+    u, s, vt = np.linalg.svd(np.asarray(mat, dtype=np.float64),
+                             full_matrices=False)
+    k = int(num_cc)
+    return u[:, :k], vt[:k, :].T, s[:k]
+
+
+def ccaEmbed(data1, data2, num_cc: int = 30):
+    """CCA embedding of two genes×cells DataFrames (parity: preprocess.py:317).
+
+    Returns ``([embeds_data, d], loadings)`` where embeds_data stacks both
+    sets' cell embeddings (sign-fixed so the first row of each component is
+    non-negative) and loadings are the shared-gene loadings."""
+    from sklearn.preprocessing import scale as _scale
+    object1 = _scale(data1)
+    object2 = _scale(data2)
+    u, v, d = SVD(object1.T @ object2, int(num_cc))
+    embeds_data = np.concatenate((u, v))
+    flip = embeds_data[0] < 0
+    embeds_data[:, flip] *= -1
+    embeds_data = pd.DataFrame(
+        embeds_data,
+        index=np.concatenate((np.array(data1.columns), np.array(data2.columns))),
+        columns=[f"D_{i}" for i in range(int(num_cc))])
+    combined = data1.merge(data2, left_index=True, right_index=True,
+                           how="inner").dropna()
+    loadings = pd.DataFrame(combined.to_numpy() @ embeds_data.to_numpy(),
+                            index=combined.index)
+    return [embeds_data, d], loadings
+
+
+def sortGenes(Loadings, dim, numG):
+    """Top ±numG/2 genes by loading on one component (preprocess.py:340)."""
+    data = Loadings.iloc[:, dim]
+    num = int(np.round(numG / 2))
+    pos = np.array(data.sort_values(ascending=False).index[:num])
+    neg = np.array(data.sort_values(ascending=True).index[:num])
+    return np.concatenate((pos, neg))
+
+
+def selectTopGenes(Loadings, dims, DimGenes, maxGenes):
+    """Largest per-dim gene union under the maxGenes cap (preprocess.py:351)."""
+    maxG = max(len(dims) * 2, maxGenes)
+    gens = []
+    for i in range(1, DimGenes + 1):
+        selg = []
+        for j in dims:
+            selg.extend(set(sortGenes(Loadings, dim=j, numG=i)))
+        gens.append(set(selg))
+    lens = np.array([len(g) for g in gens])
+    lens = lens[lens < maxG]
+    max_per = int(np.where(lens == lens.max())[0][0]) + 1
+    selg = []
+    for j in dims:
+        selg.extend(set(sortGenes(Loadings, dim=j, numG=max_per)))
+    return np.array(list(set(selg)), dtype=object)
+
+
+def filter_data(data, highly_genes=500):
+    """HVG-filter a Data object in place (parity: preprocess.py:371)."""
+    from dance_tpu import sc as _sc
+    adata = data.data.copy()
+    _sc.pp.filter_genes(adata, min_counts=3)
+    _sc.pp.filter_cells(adata, min_counts=1)
+    _sc.pp.normalize_per_cell(adata)
+    _sc.pp.log1p(adata)
+    _sc.pp.highly_variable_genes(adata, min_mean=0.0125, max_mean=4,
+                                 flavor="cell_ranger", min_disp=0.5,
+                                 n_top_genes=highly_genes, subset=True)
+    data._data = data.data[adata.obs_names, adata.var_names]
+
+
+def geneSelection(data, threshold=0, atleast=10, yoffset=.02, xoffset=5,
+                  decay=1.5, n=None, verbose=1):
+    """scGNN's dropout-curve gene selection (parity: preprocess.py:430).
+
+    Selects genes whose zero-rate exceeds an exponential-decay curve of mean
+    log2 expression; with ``n`` set, bisects the x-offset until exactly n
+    genes are selected."""
+    if sp.issparse(data):
+        zero_rate = 1 - np.squeeze(np.asarray((data > threshold).mean(axis=0)))
+        A = data.multiply(data > threshold)
+        A.data = np.log2(A.data)
+        mean_expr = np.full_like(zero_rate, np.nan)
+        detected = zero_rate < 1
+        mean_expr[detected] = (np.squeeze(np.asarray(A[:, detected].mean(axis=0)))
+                               / (1 - zero_rate[detected]))
+    else:
+        data = np.asarray(data)
+        zero_rate = 1 - (data > threshold).mean(axis=0)
+        mean_expr = np.full_like(zero_rate, np.nan)
+        detected = zero_rate < 1
+        mask = data[:, detected] > threshold
+        logs = np.full_like(data[:, detected], np.nan, dtype=float)
+        logs[mask] = np.log2(data[:, detected][mask])
+        mean_expr[detected] = np.nanmean(logs, axis=0)
+
+    detected_counts = (np.squeeze(np.asarray((data > threshold).sum(axis=0)))
+                       if sp.issparse(data)
+                       else (np.asarray(data) > threshold).sum(axis=0))
+    low_detection = detected_counts < atleast
+    zero_rate[low_detection] = np.nan
+    mean_expr[low_detection] = np.nan
+
+    nonan = ~np.isnan(zero_rate)
+
+    def select(xoff):
+        sel = np.zeros_like(zero_rate, dtype=bool)
+        sel[nonan] = zero_rate[nonan] > (np.exp(-decay * (mean_expr[nonan]
+                                                          - xoff)) + yoffset)
+        return sel
+
+    if n is not None:
+        up, low = 10, 0
+        for _ in range(100):
+            selected = select(xoffset)
+            if selected.sum() == n:
+                break
+            if selected.sum() < n:
+                up = xoffset
+                xoffset = (xoffset + low) / 2
+            else:
+                low = xoffset
+                xoffset = (xoffset + up) / 2
+        if verbose > 0:
+            logger.info("Chosen offset: %.2f", xoffset)
+    else:
+        selected = select(xoffset)
+    return selected
+
+
+def normalize_adata(data, filter_min_counts=True, size_factors=True,
+                    normalize_input=True, logtrans_input=True):
+    """ZINB-AE-family normalization recipe on a Data object (preprocess.py:493)."""
+    from dance_tpu import sc as _sc
+    from dance_tpu.data.container import Raw
+    if filter_min_counts:
+        _sc.pp.filter_genes(data.data, min_counts=1)
+        _sc.pp.filter_cells(data.data, min_counts=1)
+    data.data.raw = Raw(data.data.copy() if (size_factors or normalize_input
+                                             or logtrans_input) else data.data)
+    if size_factors:
+        _sc.pp.normalize_per_cell(data.data)
+        data.data.obs["size_factors"] = (data.data.obs.n_counts
+                                         / np.median(data.data.obs.n_counts))
+    else:
+        data.data.obs["size_factors"] = 1.0
+    if logtrans_input:
+        _sc.pp.log1p(data.data)
+    if normalize_input:
+        _sc.pp.scale(data.data)
+
+
+def row_normalize(mx):
+    """Row-normalize a scipy sparse matrix (parity: preprocess.py:516)."""
+    rowsum = np.asarray(mx.sum(1)).ravel()
+    with np.errstate(divide="ignore"):
+        r_inv = np.power(rowsum, -1.0)
+    r_inv[np.isinf(r_inv)] = 0.0
+    return sp.diags(r_inv).dot(mx)

@@ -197,3 +197,88 @@ def test_round1_late_additions_api():
     md = MuData({"a": AnnData(np.ones((3, 2), np.float32)),
                  "b": AnnData(np.ones((3, 3), np.float32))})
     assert md[:, [0, 3]]["b"].n_vars == 1
+
+
+def test_reference_functional_surface():
+    """Reference-named public helpers exist and behave (round-2 additions)."""
+    import numpy as np
+    import pandas as pd
+    import scipy.sparse as sp
+
+    # magic module functions
+    from dance_tpu.modules.single_modality.imputation.magic import (
+        compute_markov, impute_fast, magic, optimal_t)
+    rng = np.random.default_rng(0)
+    x = rng.poisson(2.0, (60, 20)).astype(np.float32)
+    L = compute_markov(x[:, :5], k=10, ka=3)
+    assert np.allclose(np.ravel(L.sum(1)), 1.0, atol=1e-5)
+    out = magic(x, x[:, :5], t=2, k=10, ka=3)
+    assert out.shape == x.shape
+    assert isinstance(optimal_t(x), int)
+
+    # legacy preprocess utilities
+    from dance_tpu.transforms.preprocess import (SVD, ccaEmbed, geneSelection,
+                                                 l2norm, prefilter_cells,
+                                                 prefilter_genes,
+                                                 prefilter_specialgenes,
+                                                 row_normalize, selectTopGenes,
+                                                 sortGenes)
+    u, v, d = SVD(rng.random((12, 8)), 3)
+    assert u.shape == (12, 3) and v.shape == (8, 3) and d.shape == (3,)
+    m = rng.random((4, 3))
+    assert np.allclose(l2norm(m.copy()),
+                       m / np.linalg.norm(m, axis=1, keepdims=True))
+    rn = row_normalize(sp.csr_matrix(x))
+    s = np.ravel(rn.sum(1))
+    assert np.allclose(s[s > 0], 1.0)
+    sel = geneSelection(x, verbose=0)
+    assert sel.dtype == bool and sel.shape == (20,)
+
+    # dstg functional surface
+    from dance_tpu.transforms.graph.dstg_graph import (construct_link_graph,
+                                                       filter_edge, mnn,
+                                                       preprocess_adj,
+                                                       query_knn)
+    an = preprocess_adj(sp.eye(6) + sp.random(6, 6, density=0.3,
+                                              random_state=0))
+    assert an.shape == (6, 6)
+
+    # pathway / gmt surface
+    from dance_tpu.transforms.graph.scmogcn_graph import (
+        construct_enhanced_feature_graph, create_pathway_graph, read_gmt)
+    gs = read_gmt("P1 http://u 1 2\n", "P1 http://u GA GB\n")
+    assert dict(gs) == {"P1": ["GA", "GB"]}
+
+    # louvain module API
+    from dance_tpu.modules.spatial.spatial_domain.louvain import (
+        best_partition, generate_dendrogram, induced_graph, modularity,
+        partition_at_level)
+    a = sp.csr_matrix(np.ones((8, 8)) - np.eye(8))
+    part = best_partition(a)
+    assert isinstance(modularity(part, a), float)
+
+    # deconvolution reference names
+    from dance_tpu.modules.spatial.cell_type_deconvo.card import (CARDref,
+                                                                  obj_func)
+    from dance_tpu.modules.spatial.cell_type_deconvo.spatialdecon import (
+        MSLELoss)
+    from dance_tpu.modules.spatial.cell_type_deconvo.spotlight import NNLS
+    nn_model = NNLS(3, 2)
+    xx = rng.random((20, 3)).astype(np.float32)
+    w_true = np.abs(rng.random((2, 3))).astype(np.float32)
+    nn_model.fit(xx, xx @ w_true.T, max_iter=500, lr=0.1)
+    assert np.abs(nn_model.weight - w_true).max() < 0.2
+    assert MSLELoss()(np.ones(4), np.ones(4)) == 0.0
+
+    # celltypist + pipeline helpers
+    from dance_tpu.modules.single_modality.cell_type_annotation.celltypist import (
+        LRClassifier_celltypist, SGDClassifier_celltypist)
+    from dance_tpu.pipeline import flatten_dict
+    assert flatten_dict({"a": {"x": 1, "y": {"z": 2}}, "b": 3}) == {
+        "a_x": 1, "a_y_z": 2, "b": 3}
+    labels = np.array(["A"] * 15 + ["B"] * 15)
+    feats = np.concatenate([rng.random((15, 4)),
+                            rng.random((15, 4)) + 2.0])
+    clf = LRClassifier_celltypist(feats, labels, C=1.0, solver=None,
+                                  max_iter=200, n_jobs=1)
+    assert (clf.predict(feats) == labels).mean() > 0.9
