@@ -56,3 +56,47 @@ def create_shared_link(remote_path: str, access_token: Optional[str] = None) -> 
             raise
         link = links[0].url
     return link.replace("?dl=0", "?dl=1")
+
+
+def upload_file_to_dropbox(dropbox_path, access_token, local_path):
+    """Reference-signature upload (parity: data_dropbox_upload.py:14);
+    delegates to :func:`upload_file`."""
+    return upload_file(str(local_path), dropbox_path, access_token=access_token)
+
+
+def get_link(data_fname, local_path, ACCESS_TOKEN, DROPBOX_DEST_PATH):
+    """Upload a file and return its direct-download shared link
+    (parity: data_dropbox_upload.py:98)."""
+    dest = DROPBOX_DEST_PATH + "/" + data_fname
+    upload_file_to_dropbox(dropbox_path=dest, access_token=ACCESS_TOKEN,
+                           local_path=local_path)
+    shared_link = create_shared_link(dest, access_token=ACCESS_TOKEN)
+    if shared_link:
+        return shared_link.replace("&dl=0", "&dl=1")
+    logger.warning("Unable to get shared link.")
+    return None
+
+
+def get_ans(data, tissue: str, dataset_id: str, local_path, ACCESS_TOKEN,
+            DROPBOX_DEST_PATH):
+    """Metadata row for an uploaded atlas dataset — the scdeepsort.csv column
+    layout (parity: data_dropbox_upload.py:117)."""
+    import numpy as np
+
+    x = data.X
+    vals = x.data if hasattr(x, "data") and not isinstance(x, np.ndarray) else x
+    ans = {
+        "species": "human",
+        "tissue": tissue.capitalize(),
+        "dataset": data.n_obs,
+        "split": "train",
+        "celltype_fname": "",
+        "celltype_url": "",
+        "data_fname": f"train_human_{tissue.capitalize()}{dataset_id}_data.h5ad",
+    }
+    ans["data_url"] = get_link(data_fname=ans["data_fname"].split("_", 1)[1],
+                               local_path=local_path, ACCESS_TOKEN=ACCESS_TOKEN,
+                               DROPBOX_DEST_PATH=DROPBOX_DEST_PATH)
+    ans["is_ALL_Integer"] = bool(np.all(np.equal(np.asarray(vals),
+                                                 np.asarray(vals).astype(int))))
+    return ans

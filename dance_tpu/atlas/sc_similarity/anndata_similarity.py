@@ -279,3 +279,63 @@ class AnnDataSimilarity:
 def _sqrtm_psd(a: np.ndarray) -> np.ndarray:
     w, v = np.linalg.eigh(a)
     return (v * np.sqrt(np.maximum(w, 0))) @ v.T
+
+
+def extract_type_target_params(item_text: str) -> dict:
+    """Parse one loosely-formatted '- type:/target:/params:' YAML item into a
+    dict (parity: anndata_similarity.py:580 — recovers sweep configs whose
+    YAML came back mangled from storage)."""
+    import re
+
+    import yaml
+
+    item_dict, params_dict = {}, {}
+    current_param_key = None
+    in_params = False
+    for line in item_text.strip().split("\n"):
+        stripped = line.strip()
+        if stripped.startswith("- type:"):
+            item_dict["type"] = stripped.split(":", 1)[1].strip()
+        elif stripped.startswith("target:"):
+            item_dict["target"] = stripped.split(":", 1)[1].strip()
+        elif stripped.startswith("params:"):
+            params_dict = {}
+            in_params = stripped.split(":", 1)[1].strip() != "{}"
+        elif in_params:
+            if re.match(r"^\w+:$", stripped):
+                current_param_key = stripped[:-1].strip()
+                params_dict[current_param_key] = {}
+            elif re.match(r"^- ", stripped):
+                if current_param_key:
+                    if not isinstance(params_dict[current_param_key], list):
+                        params_dict[current_param_key] = []
+                    params_dict[current_param_key].append(stripped[2:].strip())
+            elif ":" in stripped:
+                key, value = map(str.strip, stripped.split(":", 1))
+                if current_param_key and isinstance(
+                        params_dict.get(current_param_key), dict):
+                    params_dict[current_param_key][key] = yaml.safe_load(value)
+                else:
+                    params_dict[key] = yaml.safe_load(value)
+    item_dict["params"] = params_dict
+    return item_dict
+
+
+def fix_yaml_string(original_str: str) -> str:
+    """Re-serialize a mangled pipeline-config YAML string
+    (parity: anndata_similarity.py:620)."""
+    import re
+
+    import yaml
+
+    yaml_str = original_str.replace("\\n", "\n").strip()
+    config_list = []
+    for item in re.split(r"(?=-\s*type:)", yaml_str):
+        if not item.strip():
+            continue
+        if not item.strip().startswith("- type:"):
+            logger.warning("An item does not start with '- type:', skipping: %s",
+                           item[:80])
+            continue
+        config_list.append(extract_type_target_params(item))
+    return yaml.dump(config_list, sort_keys=False)

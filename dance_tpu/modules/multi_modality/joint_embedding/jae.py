@@ -188,3 +188,12 @@ class JAEWrapper(BaseRegressionMethod):
 
 # reference inner-model alias
 JAE = _JAE
+
+
+def random_classification_loss(y_pred, nb_batches):
+    """Cross-entropy against the uniform batch distribution — the JAE batch
+    adversary target (parity: jae.py:25)."""
+    n = np.asarray(nb_batches).shape[0]
+    y_true = jnp.full(jnp.asarray(y_pred).shape, 1.0 / n)
+    return (-(jnp.log(jax.nn.softmax(jnp.asarray(y_pred), -1) + 1e-7))
+            * y_true).sum(-1).mean()

@@ -126,3 +126,70 @@ class ScMoGCNWrapper(BaseRegressionMethod):
             return (scores, emb) if return_pred else scores["final_scores"]
         scores = labeled_clustering_evaluate(emb, y, n_clusters=len(np.unique(y)))
         return (scores, emb) if return_pred else scores["dance_nmi"]
+
+
+# --------------------------------------------------------------------------
+# reference-named propagation helpers (parity: joint_embedding/scmogcn.py:26-90)
+# --------------------------------------------------------------------------
+
+def propagation_layer_combination(X, idx, wt, from_logits: bool = True):
+    """Learned softmax-weighted combination of per-layer cell embeddings
+    (parity: scmogcn.py:26)."""
+    wt = jnp.asarray(wt)
+    if from_logits:
+        wt = jax.nn.softmax(wt, -1)
+    x = 0
+    for i in range(wt.shape[0]):
+        x = x + wt[i] * jnp.asarray(X[i])[jnp.asarray(idx)]
+    return x
+
+
+def cell_feature_propagation(g, alpha: float = 0.5, beta: float = 0.5,
+                             cell_init: str = None, feature_init: str = "id",
+                             device: str = None, layers: int = 3):
+    """Alternating cell<->feature propagation with per-layer standardization
+    (parity: scmogcn.py:37). ``g`` is the framework Graph built by
+    :func:`~dance_tpu.transforms.graph.scmogcn_graph.construct_enhanced_feature_graph`
+    (features first, cells after); returns the per-layer cell embeddings
+    ``hcell[1:]`` as jnp arrays. Runs as dense/sparse matmuls on device."""
+    import scipy.sparse as sp
+
+    from dance_tpu.ops.sparse import csr_from_scipy, csr_matmat
+
+    n_feat = int(g.info["num_genes"])
+    n_cell = int(g.info["num_cells"])
+    adj = sp.csr_matrix(g.adj)
+    a_cf = csr_from_scipy(adj[n_feat:, :n_feat])  # cell <- feature
+    a_fc = csr_from_scipy(adj[:n_feat, n_feat:])  # feature <- cell
+
+    if feature_init is None:
+        cell_feats = np.asarray(g.info["cell_node_features"])
+        feature_x = jnp.zeros((n_feat, cell_feats.shape[1]), jnp.float32)
+    elif feature_init == "id":
+        feature_x = jnp.eye(n_feat, dtype=jnp.float32)
+    else:
+        raise NotImplementedError(
+            f"Not implemented feature init feature {feature_init}.")
+    if cell_init is None:
+        cell_x = jnp.zeros((n_cell, feature_x.shape[1]), jnp.float32)
+    else:
+        cell_x = jnp.asarray(np.asarray(g.info["cell_node_features"]),
+                             jnp.float32)
+
+    def std(h):
+        mean = h.mean()
+        scale = jnp.where(mean != 0, h.std(), 1.0)
+        return (h - mean) / jnp.maximum(scale, 1e-12)
+
+    h_feature, h_cell = feature_x, cell_x
+    hcell = []
+    for _ in range(layers):
+        h1_feature = std(csr_matmat(a_fc, h_cell))
+        h1_cell = std(csr_matmat(a_cf, h_feature))
+        h_feature = h_feature * alpha + h1_feature * (1 - alpha)
+        h_cell = h_cell * beta + h1_cell * (1 - beta)
+        h_feature = (h_feature - h_feature.mean()) / jnp.maximum(
+            h_feature.std(), 1e-12)
+        h_cell = (h_cell - h_cell.mean()) / jnp.maximum(h_cell.std(), 1e-12)
+        hcell.append(h_cell)
+    return hcell[1:]

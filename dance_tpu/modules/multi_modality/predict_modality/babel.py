@@ -140,3 +140,36 @@ class BabelWrapper(BaseRegressionMethod):
         func = resolve_score_func(score_func or "rmse")
         s = func(as_numpy(y), pred)
         return (s, pred) if return_pred else s
+
+
+class Exp:
+    """Clamped elementwise exp activation (parity: babel.py:38, values from
+    DCA); callable on jnp arrays."""
+
+    def __init__(self, minimum: float = 1e-5, maximum: float = 1e6):
+        self.min_value = minimum
+        self.max_value = maximum
+
+    def __call__(self, x):
+        return jnp.clip(jnp.exp(jnp.asarray(x)), self.min_value, self.max_value)
+
+    forward = __call__
+
+
+class ClippedSoftplus:
+    """Clamped softplus activation (parity: babel.py:55)."""
+
+    def __init__(self, beta: float = 1, threshold: float = 20,
+                 minimum: float = 1e-4, maximum: float = 1e3):
+        self.beta = beta
+        self.threshold = threshold
+        self.min_value = minimum
+        self.max_value = maximum
+
+    def __call__(self, x):
+        x = jnp.asarray(x)
+        sp_val = jnp.where(self.beta * x > self.threshold, x,
+                           jax.nn.softplus(self.beta * x) / self.beta)
+        return jnp.clip(sp_val, self.min_value, self.max_value)
+
+    forward = __call__

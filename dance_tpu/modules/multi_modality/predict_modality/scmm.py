@@ -141,3 +141,39 @@ class MMVAE(BaseRegressionMethod):
         func = resolve_score_func(score_func or "rmse")
         s = func(as_numpy(y), pred)
         return (s, pred) if return_pred else s
+
+
+# --------------------------------------------------------------------------
+# reference-named module helpers (parity: scmm.py:53-103)
+# --------------------------------------------------------------------------
+
+class Constants:
+    """Numeric constants (parity: scmm.py:97)."""
+
+    eta = 1e-6
+    eps = 1e-7
+    log2 = float(np.log(2))
+    log2pi = float(np.log(2 * np.pi))
+    logceilc = 88
+    logfloorc = -104
+
+
+def protein_preprocessing(t1):
+    """CLR-normalize protein counts: log1p of counts over the per-cell
+    geometric mean of nonzeros (parity: scmm.py:81)."""
+    t1 = jnp.asarray(t1, jnp.float32)
+    t0 = jnp.where(t1 == 0, 1.0, t1)
+    geo = jnp.exp(jnp.sum(jnp.log(t0), axis=1)
+                  / jnp.maximum(jnp.sum(t1 > 0, axis=1), 1))
+    return jnp.log1p(t1 / geo[:, None])
+
+
+def atac_preprocessing(t1):
+    """Binarize ATAC counts (parity: scmm.py:87)."""
+    t1 = jnp.asarray(t1)
+    return jnp.where(t1 > 0, 1, t1)
+
+
+def rna_preprocessing(t1):
+    """Identity, like the reference's placeholder (parity: scmm.py:93)."""
+    return t1

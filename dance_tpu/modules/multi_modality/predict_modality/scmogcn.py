@@ -170,3 +170,7 @@ class ScMoGCNWrapper(BaseRegressionMethod):
         func = resolve_score_func(score_func or "rmse")
         s = func(as_numpy(y), pred)
         return (s, pred) if return_pred else s
+
+
+# reference class name for the propagation trunk (scmogcn.py:417)
+ScMoGCN = _ScMoGCN

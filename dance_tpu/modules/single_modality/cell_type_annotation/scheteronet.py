@@ -343,3 +343,62 @@ class scHeteroNet(BaseClassificationMethod):
     def predict(self, graph=None, idx=None):
         pred = self.predict_proba(graph).argmax(1)
         return pred[idx] if idx is not None else pred
+
+
+# --------------------------------------------------------------------------
+# reference-named evaluation helpers (parity: scheteronet.py:44,1034-1100)
+# --------------------------------------------------------------------------
+
+def eval_acc(true_labels, model_output, acc=None):
+    """Accuracy of argmax predictions vs integer labels (scheteronet.py:44)."""
+    pred = np.asarray(model_output).argmax(1)
+    y = np.asarray(true_labels)
+    if y.ndim == 2 and y.shape[1] == 1:
+        y = y[:, 0]
+    elif y.ndim == 2:
+        y = y.argmax(1)
+    return float((pred == y).mean())
+
+
+def stable_cumsum(arr, rtol=1e-05, atol=1e-08):
+    """float64 cumsum with a final-value consistency check (scheteronet.py:1034)."""
+    out = np.cumsum(arr, dtype=np.float64)
+    expected = np.sum(arr, dtype=np.float64)
+    if not np.allclose(out[-1], expected, rtol=rtol, atol=atol):
+        raise RuntimeError("cumsum was found to be unstable: its last element "
+                           "does not correspond to sum")
+    return out
+
+
+def fpr_and_fdr_at_recall(y_true, y_score, recall_level=0.95, pos_label=None):
+    """FPR at the score threshold reaching ``recall_level`` on positives
+    (parity: scheteronet.py:1055)."""
+    y_true = np.asarray(y_true)
+    y_score = np.asarray(y_score)
+    classes = np.unique(y_true)
+    if (pos_label is None
+            and not any(np.array_equal(classes, c)
+                        for c in ([0, 1], [-1, 1], [0], [-1], [1]))):
+        raise ValueError("Data is not binary and pos_label is not specified")
+    if pos_label is None:
+        pos_label = 1.0
+    y_true = y_true == pos_label
+    desc = np.argsort(y_score, kind="mergesort")[::-1]
+    y_score, y_true = y_score[desc], y_true[desc]
+    distinct = np.where(np.diff(y_score))[0]
+    threshold_idxs = np.r_[distinct, y_true.size - 1]
+    tps = stable_cumsum(y_true)[threshold_idxs]
+    fps = 1 + threshold_idxs - tps
+    recall = tps / tps[-1]
+    last_ind = tps.searchsorted(tps[-1])
+    sl = slice(last_ind, None, -1)
+    recall, fps = np.r_[recall[sl], 1], np.r_[fps[sl], 0]
+    cutoff = np.argmin(np.abs(recall - recall_level))
+    return float(fps[cutoff] / (np.sum(~y_true) or 1))
+
+
+def get_measures(in_scores, out_scores, recall_level=0.95):
+    """(auroc, aupr, fpr@recall) for OOD scores (parity: scheteronet.py
+    get_measures); delegates to the framework's ood_measures."""
+    from dance_tpu.utils.metrics import ood_measures
+    return ood_measures(in_scores, out_scores)

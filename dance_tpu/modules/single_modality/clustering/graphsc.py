@@ -208,3 +208,27 @@ class GraphSC(BaseClusteringMethod):
 
     def get_latent(self):
         return self.z
+
+
+def run_leiden(embeddings, n_neighbors: int = 15, resolution: float = 1.0,
+               seed: int = 0) -> np.ndarray:
+    """Leiden labels from an embedding's kNN graph (parity: graphsc.py
+    run_leiden; first-party Leiden replaces the leidenalg dependency)."""
+    from dance_tpu.ops.cluster import leiden
+    from dance_tpu.ops.neighbors import knn_graph
+    emb = np.asarray(embeddings, np.float32)
+    adj = knn_graph(emb, min(n_neighbors, len(emb) - 1))
+    return np.asarray(leiden(adj, resolution=resolution, seed=seed))
+
+
+class InnerProductDecoder(nn.Module):
+    """sigmoid(Z Zᵀ) adjacency decoder (parity: graphsc.py InnerProductDecoder)."""
+
+    @nn.compact
+    def __call__(self, z):
+        return nn.sigmoid(z @ z.T)
+
+
+# reference name for the gene-indexed learned-alpha conv
+# (graphsc.py WeightedGraphConvAlpha == the AdaptiveSAGE message rule)
+from dance_tpu.nn.gnn import AdaptiveSAGE as WeightedGraphConvAlpha  # noqa: E402,F401

@@ -23,8 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import scipy.sparse as sp
 
 from dance_tpu.modules.base import BaseRegressionMethod
+from dance_tpu.ops.cluster import louvain
 from dance_tpu.ops.segment import spmm
 from dance_tpu.ops.sparse import csr_from_scipy
 from dance_tpu.settings import logger
@@ -316,3 +318,81 @@ class ScGNN2(BaseRegressionMethod):
         if metric == "PCC":
             return float(np.corrcoef(true.ravel(), imp.ravel())[0, 1])
         raise ValueError(f"Unknown metric {metric!r}")
+
+
+# --------------------------------------------------------------------------
+# reference-named graph/cluster utilities (parity: scgnn2.py:194-689)
+# --------------------------------------------------------------------------
+
+def calculateKNNgraphDistanceMatrixStatsSingleThread(featureMatrix,
+                                                     distanceType="euclidean",
+                                                     k=10):
+    """Weighted kNN edge list, weight = 1/distance (parity: scgnn2.py:675);
+    vectorized over all rows instead of the reference's per-row cdist."""
+    from scipy.spatial.distance import cdist
+    featureMatrix = np.asarray(featureMatrix)
+    dist = cdist(featureMatrix, featureMatrix, distanceType)
+    order = dist.argsort(axis=1)
+    edge_list = []
+    for i in range(featureMatrix.shape[0]):
+        for j in order[i, 1:k + 1]:
+            edge_list.append((i, int(j), 1.0 / (dist[i, j] + 1e-16)))
+    return edge_list
+
+
+def edgeList2edgeDict(edgeList, nodesize):
+    """Adjacency dict-of-lists from an edge list (parity: scgnn2.py)."""
+    graphdict = {i: [] for i in range(nodesize)}
+    for edge in edgeList:
+        graphdict[edge[0]].append(edge[1])
+    return graphdict
+
+
+def generateLouvainCluster(edgeList):
+    """Louvain labels from a weighted edge list (parity: scgnn2.py:194);
+    the igraph dependency is replaced by the first-party Louvain."""
+    n = max(max(e[0], e[1]) for e in edgeList) + 1
+    rows = [e[0] for e in edgeList]
+    cols = [e[1] for e in edgeList]
+    w = [e[2] if len(e) > 2 else 1.0 for e in edgeList]
+    adj = sp.csr_matrix((w, (rows, cols)), shape=(n, n))
+    adj = adj.maximum(adj.T)
+    labels = louvain(adj, seed=0)
+    return list(labels), len(set(labels))
+
+
+def trimClustering(listResult, minMemberinCluster=5, maxClusterNumber=30):
+    """Merge small/overflow clusters into one (parity: scgnn2.py:229)."""
+    listResult = list(listResult)
+    counts = {}
+    for item in listResult:
+        counts[item] = counts.get(item, 0) + 1
+    size = len(set(listResult))
+    change = {item for item in range(size)
+              if counts.get(item, 0) < minMemberinCluster
+              or item >= maxClusterNumber}
+    return [maxClusterNumber if item in change else item for item in listResult]
+
+
+def feature2adj(X_embed, neighborhood_factor, retain_weights):
+    """kNN adjacency from an embedding (parity: scgnn2.py:650). Returns
+    ``(adj, adj_train, edgeList)`` with self-loops cleared in adj_train."""
+    n = X_embed.shape[0]
+    k = (neighborhood_factor if neighborhood_factor > 1
+         else round(n * neighborhood_factor))
+    k = k - 1 if k == n else k
+    edge_list = calculateKNNgraphDistanceMatrixStatsSingleThread(X_embed, k=k)
+    rows = [e[0] for e in edge_list]
+    cols = [e[1] for e in edge_list]
+    if retain_weights:
+        vals = [e[2] for e in edge_list]
+    else:
+        vals = np.ones(len(edge_list))
+        # undirected 0/1 adjacency, like nx.from_dict_of_lists
+    adj = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    if not retain_weights:
+        adj = ((adj + adj.T) > 0).astype(np.float64)
+    adj_train = adj - sp.dia_matrix((adj.diagonal()[np.newaxis, :], [0]),
+                                    shape=adj.shape)
+    adj_train.eliminate_zeros()
+    return adj, adj_train, edge_list

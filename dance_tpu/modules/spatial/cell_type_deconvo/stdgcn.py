@@ -366,3 +366,12 @@ class StdGCN(BaseRegressionMethod):
 # reference tuning harnesses import the model under this name (reference
 # examples/tuning/deconv_stdgcn/main.py:13)
 stdGCNWrapper = StdGCN
+
+
+def adj_normalize(adj) -> sp.csr_matrix:
+    """Symmetric D^-1/2 A D^-1/2 normalization (parity: stdgcn.py adj_normalize)."""
+    return _sym_normalize(np.asarray(adj.todense() if sp.issparse(adj) else adj))
+
+
+# reference class name for the two-tower network (stdgcn.py conGCN :95)
+conGCN = _ConGCN

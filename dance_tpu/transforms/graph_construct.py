@@ -126,3 +126,126 @@ def gen_batch_features(ad_inputs) -> np.ndarray:
     for ad in ad_inputs:
         feats.append(batch_features(ad.X, np.asarray(ad.obs["batch"])))
     return np.concatenate(feats, axis=0)
+
+
+def csr_cosine_similarity(input_csr_matrix) -> np.ndarray:
+    """Dense cosine-similarity matrix of sparse rows (graph_construct.py:24)."""
+    similarity = input_csr_matrix * input_csr_matrix.T
+    square_mag = similarity.diagonal()
+    with np.errstate(divide="ignore"):
+        inv_square_mag = 1.0 / square_mag
+    inv_square_mag[np.isinf(inv_square_mag)] = 0
+    inv_mag = np.sqrt(inv_square_mag)
+    return np.asarray(similarity.multiply(inv_mag).T.multiply(inv_mag).todense())
+
+
+def cosine_similarity_gene(input_matrix) -> np.ndarray:
+    """Absolute cosine similarity between rows (graph_construct.py:34)."""
+    from sklearn.metrics.pairwise import cosine_similarity
+    return np.abs(cosine_similarity(input_matrix))
+
+
+def extract_color(x_pixel=None, y_pixel=None, image=None, beta=49) -> np.ndarray:
+    """Variance-weighted grayscale per spot from an H&E image patch
+    (parity: graph_construct.py:40; used by SpaGCN's histology graph)."""
+    beta_half = round(beta / 2)
+    max_x, max_y = image.shape[0], image.shape[1]
+    g = []
+    for xi, yi in zip(x_pixel, y_pixel):
+        nbs = image[max(0, xi - beta_half):min(max_x, xi + beta_half + 1),
+                    max(0, yi - beta_half):min(max_y, yi + beta_half + 1)]
+        g.append(nbs.mean(axis=(0, 1)))
+    g = np.asarray(g)
+    c0, c1, c2 = g[:, 0], g[:, 1], g[:, 2]
+    vs = np.array([np.var(c0), np.var(c1), np.var(c2)])
+    return (c0 * vs[0] + c1 * vs[1] + c2 * vs[2]) / vs.sum()
+
+
+def basic_feature_graph_propagation(g, layers=3, alpha=0.5, beta=0.5,
+                                    cell_init=None, feature_init="id",
+                                    device=None, verbose=True):
+    """Per-layer propagated cell embeddings over a cell-feature graph
+    (parity: graph_construct.py:598; same recurrence as
+    joint_embedding.scmogcn.cell_feature_propagation)."""
+    from dance_tpu.modules.multi_modality.joint_embedding.scmogcn import (
+        cell_feature_propagation)
+    assert layers > 2, ("Less than two feature graph propagation layers is "
+                        "equivalent to original features.")
+    return cell_feature_propagation(g, alpha=alpha, beta=beta,
+                                    cell_init=cell_init,
+                                    feature_init=feature_init, layers=layers)
+
+
+def basic_feature_propagation(dataset, layers, transformed=True, device=None):
+    """Propagate both modalities' cell-feature graphs
+    (parity: graph_construct.py:582). Duck-typed on the legacy
+    ``dataset.sparse_features()`` / ``dataset.preprocessed_features``
+    protocol the reference function expects (its own current datasets no
+    longer provide it)."""
+    if transformed:
+        feats = dataset.preprocessed_features
+        g1 = construct_basic_feature_graph(feats["mod1_train"],
+                                           feats["mod1_test"], device=device)
+        g2 = construct_basic_feature_graph(feats["mod2_train"],
+                                           feats["mod2_test"], device=device)
+    else:
+        sf = dataset.sparse_features()
+        g1 = construct_basic_feature_graph(sf[0], sf[2], device=device)
+        g2 = construct_basic_feature_graph(sf[1], sf[3], device=device)
+    return (basic_feature_graph_propagation(g1, layers, verbose=False),
+            basic_feature_graph_propagation(g2, layers, verbose=False))
+
+
+def scGNNgenerateAdj(featureMatrix, graphType="KNNgraph", para=None,
+                     parallelLimit=0, adjTag=True):
+    """scGNN edge-list/adjacency generation (parity: graph_construct.py:659).
+
+    Supports the reference's main modes: ``KNNgraph`` (``para='<dist>:<k>'``,
+    kNN on a scipy cdist matrix) and ``KNNgraphPairwise``. Returns
+    ``(adj, edgeList)`` with ``adj=None`` when ``adjTag`` is False."""
+    from scipy.spatial.distance import cdist
+
+    featureMatrix = np.asarray(featureMatrix)
+    distance_type, k = "euclidean", 10
+    if para is not None:
+        words = str(para).split(":")
+        if graphType == "KNNgraphPairwise":
+            k = int(words[1])
+        else:
+            distance_type = words[0]
+            if len(words) > 1:
+                k = int(words[1])
+    dist = cdist(featureMatrix, featureMatrix, metric=distance_type
+                 if graphType != "KNNgraphPairwise" else "minkowski")
+    edge_list = []
+    for i in range(dist.shape[0]):
+        for j in dist[i].argsort()[:k]:
+            edge_list.append((i, int(j)))
+    adj = None
+    if adjTag:
+        rows, cols = zip(*edge_list)
+        n = featureMatrix.shape[0]
+        adj = sp.csr_matrix((np.ones(len(edge_list)), (rows, cols)),
+                            shape=(n, n))
+        adj = ((adj + adj.T) > 0).astype(np.float32)
+    return adj, edge_list
+
+
+def generate_cell_features(data, *, group_batch: bool = False,
+                           batch_col_id: str = "batch"):
+    """Per-cell statistical node features from AnnData objects
+    (parity: graph_construct.py:433): cell mean/std, nonzero quartiles/max/
+    count/mean/std, optionally averaged within batches."""
+    data = data if isinstance(data, list) else [data]
+    feats = []
+    for adata in data:
+        x = adata.X
+        batches = (np.asarray(adata.obs[batch_col_id])
+                   if batch_col_id in getattr(adata.obs, "columns", [])
+                   else np.zeros(adata.shape[0], int))
+        if group_batch:
+            feats.append(batch_features(x, batches))
+        else:
+            stats = batch_features(x, np.arange(adata.shape[0]))
+            feats.append(stats)
+    return np.concatenate(feats, axis=0)

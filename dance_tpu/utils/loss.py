@@ -571,3 +571,74 @@ def cdisttf(data_1, data_2):
     d2 = (jnp.sum(data_1 ** 2, 1)[:, None] + jnp.sum(data_2 ** 2, 1)[None, :]
           - 2 * data_1 @ data_2.T)
     return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+
+# --------------------------------------------------------------------------
+# reference-named module-level losses (dcca.py:?/scmvae.py:54-116 expose these
+# as plain functions; jnp equivalents, per-sample reductions preserved)
+# --------------------------------------------------------------------------
+
+def binary_cross_entropy(recon_x, x):
+    """Per-sample summed BCE (parity: scmvae.py:54)."""
+    recon_x = jnp.asarray(recon_x)
+    x = jnp.asarray(x)
+    return -jnp.sum(x * jnp.log(recon_x + 1e-8)
+                    + (1 - x) * jnp.log(1 - recon_x + 1e-8), axis=1)
+
+
+def log_nb_positive(x, mu, theta, eps=1e-8):
+    """NB log-likelihood, scvi parameterization (parity: scmvae.py:76)."""
+    return scvi_log_nb_positive(jnp.asarray(x), jnp.asarray(mu),
+                                jnp.asarray(theta), eps=eps)
+
+
+def log_zinb_positive(x, mu, theta, pi, eps=1e-8):
+    """ZINB log-likelihood, scvi parameterization (parity: scmvae.py:58)."""
+    return scvi_log_zinb_positive(jnp.asarray(x), jnp.asarray(mu),
+                                  jnp.asarray(theta), jnp.asarray(pi), eps=eps)
+
+
+def NB_loss(y_true, y_pred, theta, eps=1e-10):
+    """Per-sample summed NB NLL (parity: scmvae.py:85)."""
+    y_true = jnp.asarray(y_true, jnp.float32)
+    y_pred = jnp.asarray(y_pred, jnp.float32)
+    theta = jnp.asarray(theta, jnp.float32)
+    t1 = (jax.scipy.special.gammaln(theta + eps)
+          + jax.scipy.special.gammaln(y_true + 1.0)
+          - jax.scipy.special.gammaln(y_true + theta + eps))
+    t2 = ((theta + y_true) * jnp.log1p(y_pred / (theta + eps))
+          + y_true * (jnp.log(theta + eps) - jnp.log(y_pred + eps)))
+    return jnp.sum(t1 + t2, axis=1)
+
+
+def mse_loss(y_true, y_pred):
+    """Per-sample masked (sign of truth) squared error (parity: scmvae.py:99)."""
+    y_true = jnp.asarray(y_true, jnp.float32)
+    y_pred = jnp.asarray(y_pred, jnp.float32)
+    mask = jnp.sign(y_true)
+    return jnp.sum(((y_pred - y_true) * mask) ** 2, axis=1)
+
+
+def poisson_loss(y_true, y_pred):
+    """Per-sample summed Poisson NLL (parity: scmvae.py:110)."""
+    y_true = jnp.asarray(y_true, jnp.float32)
+    y_pred = jnp.asarray(y_pred, jnp.float32)
+    return jnp.sum(y_pred - y_true * jnp.log(y_pred + 1e-10)
+                   + jax.scipy.special.gammaln(y_true + 1.0), axis=1)
+
+
+def adjust_learning_rate(init_lr, optimizer, iteration, max_lr, adjust_epoch):
+    """Stepwise-decayed LR value (parity: scmvae.py:119). The reference
+    mutates a torch optimizer in place; optax schedules are functional, so
+    this returns the LR for the given iteration (also usable directly as an
+    optax schedule via functools.partial)."""
+    return max(init_lr * (0.9 ** (iteration // adjust_epoch)), max_lr)
+
+
+def get_mean(d, K: int = 100):
+    """Mean of a distribution-like object (parity: scmm.py get_mean):
+    uses ``.mean`` when available, else draws K samples."""
+    mean = getattr(d, "mean", None)
+    if mean is not None:
+        return mean
+    return jnp.mean(d.sample((K,)), axis=0)

@@ -282,3 +282,99 @@ def test_reference_functional_surface():
     clf = LRClassifier_celltypist(feats, labels, C=1.0, solver=None,
                                   max_iter=200, n_jobs=1)
     assert (clf.predict(feats) == labels).mean() > 0.9
+
+
+def test_reference_functional_surface_round2b():
+    """Second batch of reference-named helpers (losses, propagation, eval)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    # module-level losses (scmvae/dcca surface)
+    from dance_tpu.utils.loss import (NB_loss, adjust_learning_rate,
+                                      binary_cross_entropy, get_mean,
+                                      log_nb_positive, log_zinb_positive,
+                                      mse_loss, poisson_loss)
+    rng = np.random.default_rng(0)
+    y = rng.poisson(2.0, (4, 6)).astype(np.float32)
+    mu = rng.random((4, 6)).astype(np.float32) + 0.5
+    th = rng.random(6).astype(np.float32) + 0.5
+    assert np.isfinite(np.asarray(NB_loss(y, mu, th))).all()
+    assert np.isfinite(np.asarray(log_nb_positive(y, mu, th))).all()
+    assert np.asarray(mse_loss(y, mu)).shape == (4,)
+    assert adjust_learning_rate(1e-2, None, 20, 1e-4, 10) < 1e-2
+
+    # scMM preprocessing
+    from dance_tpu.modules.multi_modality.predict_modality.scmm import (
+        Constants, atac_preprocessing, protein_preprocessing,
+        rna_preprocessing)
+    t = rng.poisson(3.0, (5, 8)).astype(np.float32)
+    assert np.asarray(atac_preprocessing(t)).max() == 1
+    assert np.isfinite(np.asarray(protein_preprocessing(t))).all()
+    assert Constants.eta == 1e-6
+
+    # propagation surface
+    from dance_tpu.modules.multi_modality.joint_embedding.scmogcn import (
+        cell_feature_propagation, propagation_layer_combination)
+    from dance_tpu.transforms.graph.scmogcn_graph import (
+        construct_enhanced_feature_graph)
+    u = np.repeat(np.arange(20), 3)
+    v = rng.integers(0, 10, 60)
+    g = construct_enhanced_feature_graph(u, v, np.ones(60, np.float32), 20,
+                                         10, rng.random((20, 4)))
+    hcell = cell_feature_propagation(g, layers=3)
+    assert len(hcell) == 2
+    comb = propagation_layer_combination(hcell, np.arange(5),
+                                         np.zeros(len(hcell)))
+    assert comb.shape[0] == 5
+
+    # graph_construct leftovers
+    from dance_tpu.transforms.graph_construct import (
+        basic_feature_graph_propagation, cosine_similarity_gene,
+        csr_cosine_similarity, extract_color, generate_cell_features,
+        scGNNgenerateAdj)
+    m = sp.random(8, 5, density=0.5, random_state=0, format="csr")
+    cs = csr_cosine_similarity(m)
+    assert cs.shape == (8, 8)
+    img = rng.random((30, 30, 3))
+    c3 = extract_color([5, 10], [5, 10], img)
+    assert c3.shape == (2,)
+    adj, el = scGNNgenerateAdj(rng.random((15, 4)), para="euclidean:4")
+    assert adj.shape == (15, 15) and len(el) == 60
+
+    # scgnn2 utilities
+    from dance_tpu.modules.single_modality.imputation.scgnn2 import (
+        feature2adj, generateLouvainCluster, trimClustering)
+    labels, k = generateLouvainCluster([(0, 1, 1.0), (1, 2, 1.0),
+                                        (3, 4, 1.0)])
+    assert len(labels) == 5
+
+    # eval helpers + run_leiden + class aliases
+    from dance_tpu.modules.single_modality.cell_type_annotation.scheteronet import (
+        eval_acc, fpr_and_fdr_at_recall, get_measures, stable_cumsum)
+    assert eval_acc([0, 1], np.array([[2., 0], [0, 2]])) == 1.0
+    assert stable_cumsum([1, 2, 3])[-1] == 6
+    from dance_tpu.modules.multi_modality.joint_embedding.jae import (
+        random_classification_loss)
+    assert np.isclose(float(random_classification_loss(np.zeros((4, 3)),
+                                                       np.zeros(3))),
+                      np.log(3), atol=1e-4)
+    from dance_tpu.modules.single_modality.clustering.graphsc import (
+        InnerProductDecoder, WeightedGraphConvAlpha, run_leiden)
+    from dance_tpu.modules.multi_modality.predict_modality.babel import (
+        ClippedSoftplus, Exp)
+    assert float(np.asarray(Exp()(np.array(100.0)))) == 1e6
+    from dance_tpu.modules.multi_modality.predict_modality.scmogcn import ScMoGCN
+    from dance_tpu.modules.spatial.cell_type_deconvo.stdgcn import (adj_normalize,
+                                                                    conGCN)
+    an = adj_normalize(np.ones((4, 4)))
+    assert np.allclose(np.ravel(an.sum(1)), 1.0)
+
+    # atlas yaml repair
+    from dance_tpu.atlas.sc_similarity.anndata_similarity import (
+        extract_type_target_params, fix_yaml_string)
+    import yaml
+    out = yaml.safe_load(fix_yaml_string(
+        "- type: normalize\\n  target: Log1P\\n  params: {}"))
+    assert out[0]["target"] == "Log1P"
+    from dance_tpu.atlas.data_dropbox_upload import (get_ans, get_link,
+                                                     upload_file_to_dropbox)
