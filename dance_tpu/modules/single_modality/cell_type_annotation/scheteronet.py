@@ -402,3 +402,94 @@ def get_measures(in_scores, out_scores, recall_level=0.95):
     get_measures); delegates to the framework's ood_measures."""
     from dance_tpu.utils.metrics import ood_measures
     return ood_measures(in_scores, out_scores)
+
+
+# --------------------------------------------------------------------------
+# reference-named data plumbing + architecture names (parity:
+# scheteronet.py:68-160, 339-575, 791-830)
+# --------------------------------------------------------------------------
+
+class HetConv(nn.Module):
+    """One neighborhood-aggregation step: [A1 x ; A2 x] (scheteronet.py:374)."""
+
+    @nn.compact
+    def __call__(self, x, adj_t, adj_t2):
+        return jnp.concatenate([spmm(adj_t, x), spmm(adj_t2, x)], axis=1)
+
+
+# the framework's HeteroNet/ZINBDecoder under the reference class names
+HeteroNet = _HeteroNet
+ZINBDecoder = _ZINBDecoder
+
+
+class NCDataset:
+    """Plain graph/label container with named splits (parity:
+    scheteronet.py:68; based off ogb's NodePropPredDataset, arrays instead
+    of torch tensors)."""
+
+    def __init__(self, name):
+        self.name = name
+        self.graph = {}
+        self.label = None
+        self.split_idx = {}
+
+    def get_idx_split(self):
+        return self.split_idx
+
+    def __getitem__(self, idx):
+        assert idx == 0, "This dataset has only one graph"
+        return self.graph, self.label
+
+    def __len__(self):
+        return 1
+
+    def __repr__(self):
+        return f"{self.__class__.__name__}({len(self)})"
+
+
+def get_genename(raw_adata):
+    """Gene names from var['gene_id'/'symbol'] or the index
+    (parity: scheteronet.py:791)."""
+    if "gene_id" in raw_adata.var.keys():
+        return raw_adata.var["gene_id"].values
+    if "symbol" in raw_adata.var.keys():
+        return raw_adata.var["symbol"].values
+    return raw_adata.var.index
+
+
+def set_split(data, train_idx=(), val_idx=(), test_idx=()):
+    """Record train/val/test + in-distribution/OOD splits in ``uns``; the
+    rarest cell type becomes the OOD class and is dropped from the labeled
+    splits (parity: scheteronet.py:801)."""
+    from collections import Counter
+
+    import pandas as pd
+    adata = data.data
+    y = np.argmax(np.asarray(adata.obsm["cell_type"]), axis=1)
+    for obsm in list(adata.obsm.keys()):
+        if obsm == "cell_type":
+            adata.obs[obsm + "_raw"] = y
+        if isinstance(adata.obsm[obsm], pd.DataFrame):
+            adata.obsm[obsm] = adata.obsm[obsm].values
+    adata.obs["cell"] = y
+    adata.var["gene_name"] = get_genename(adata)
+    ood_class = min(Counter(y).items(), key=lambda kv: kv[1])[0]
+    ood_idx = [i for i, v in enumerate(y) if v == ood_class]
+    id_idx = [i for i, v in enumerate(y) if v != ood_class]
+    adata.uns["train_idx"] = [i for i in train_idx if i not in ood_idx]
+    adata.uns["val_idx"] = [i for i in val_idx if i not in ood_idx]
+    adata.uns["test_idx"] = [i for i in test_idx if i not in ood_idx]
+    adata.uns["ood_idx"] = ood_idx
+    adata.uns["id_idx"] = id_idx
+    return data
+
+
+def set_graph_split(adata, ref_adata_name, g):
+    """Boolean split masks onto a Graph's ndata from ``uns`` index lists
+    (parity: scheteronet.py:110; masks instead of DGL node data)."""
+    num_nodes = g.adj.shape[0]
+    for name in ("train", "val", "test", "id", "ood"):
+        mask = np.zeros(num_nodes, bool)
+        mask[np.asarray(adata.uns[f"{name}_idx"], int)] = True
+        g.ndata[f"{name}_mask"] = mask
+    return g

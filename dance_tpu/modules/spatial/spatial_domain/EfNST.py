@@ -167,3 +167,151 @@ class EfNsSTRunner(BaseClusteringMethod):
 
 # reference export name
 EfNST = EfNsSTRunner
+
+
+# --------------------------------------------------------------------------
+# reference-named augmentation chain (parity: EfNST.py:190-345). The
+# reference augments each spot's expression with a weighted sum of adjacent
+# spots' expression, weighted by physical x transcriptional (x morphological)
+# similarity.
+# --------------------------------------------------------------------------
+
+def cal_spatial_weight(data, spatial_k: int = 50, spatial_type: str = "KDTree"):
+    """Binary spatial kNN weight matrix (parity: EfNST.py:190); the exact
+    device kNN replaces the per-backend sklearn trees."""
+    from dance_tpu.ops.neighbors import knn
+    data = np.asarray(data, np.float32)
+    n = data.shape[0]
+    _, idx = knn(data, min(spatial_k, n - 1), include_self=False)
+    idx = np.asarray(idx)
+    w = np.zeros((n, n), np.float32)
+    w[np.repeat(np.arange(n), idx.shape[1]), idx.ravel()] = 1.0
+    return w
+
+
+def cal_gene_weight(data, n_components: int = 50, gene_dist_type: str = "cosine"):
+    """1 - pairwise distance of PCA-reduced expression (parity: EfNST.py:214)."""
+    from sklearn.metrics.pairwise import pairwise_distances
+
+    from dance_tpu.ops.linalg import pca
+    data = np.asarray(data.todense() if sp.issparse(data) else data, np.float32)
+    k = min(n_components, min(data.shape) - 1)
+    data_pca = np.asarray(pca(data, k).embedding)
+    return 1 - pairwise_distances(data_pca, metric=gene_dist_type)
+
+
+def cal_weight_matrix(adata, platform: str = "Visium",
+                      pd_dist_type: str = "euclidean",
+                      md_dist_type: str = "cosine",
+                      gb_dist_type: str = "correlation",
+                      n_components: int = 50, no_morphological: bool = True,
+                      spatial_k: int = 30, spatial_type: str = "KDTree",
+                      verbose: bool = False):
+    """Combined physical x gene (x morphological) spot-similarity weights into
+    ``adata.obsm`` (parity: EfNST.py:226). The Visium path estimates the
+    pixel-per-array unit by least squares like the reference's
+    LinearRegression and links spots within 3 units."""
+    from sklearn.metrics.pairwise import pairwise_distances
+    if platform == "Visium" and "spatial_pixel" in adata.obsm:
+        pix = adata.obsm["spatial_pixel"]
+        arr = adata.obsm["spatial"]
+        img_row, img_col = np.asarray(pix["x_pixel"]), np.asarray(pix["y_pixel"])
+        arr_row, arr_col = np.asarray(arr["x"]), np.asarray(arr["y"])
+
+        def slope(a, b):
+            a = a.astype(np.float64) - a.mean()
+            return (a @ (b - b.mean())) / np.maximum((a @ a), 1e-12)
+
+        unit = np.sqrt(slope(arr_row, img_row) ** 2
+                       + slope(arr_col, img_col) ** 2)
+        coords = np.column_stack([img_col, img_row]).astype(np.float64)
+        d = pairwise_distances(coords, metric=pd_dist_type)
+        physical_distance = sp.csr_matrix((d <= 3 * unit).astype(np.int8))
+    else:
+        physical_distance = cal_spatial_weight(np.asarray(adata.obsm["spatial"]),
+                                               spatial_k=spatial_k,
+                                               spatial_type=spatial_type)
+    gene_correlation = cal_gene_weight(adata.X.copy(),
+                                       gene_dist_type=gb_dist_type,
+                                       n_components=n_components)
+    if verbose:
+        adata.obsm["gene_correlation"] = gene_correlation
+        adata.obsm["physical_distance"] = physical_distance
+    dense_pd = (np.asarray(physical_distance.todense())
+                if sp.issparse(physical_distance) else physical_distance)
+    if platform == "Visium" and "image_feat_pca" in adata.obsm:
+        morphological_similarity = 1 - pairwise_distances(
+            np.asarray(adata.obsm["image_feat_pca"]), metric=md_dist_type)
+        morphological_similarity[morphological_similarity < 0] = 0
+        if verbose:
+            adata.obsm["morphological_similarity"] = morphological_similarity
+        adata.obsm["weights_matrix_all"] = (dense_pd * gene_correlation
+                                            * morphological_similarity)
+        if no_morphological:
+            adata.obsm["weights_matrix_nomd"] = gene_correlation * dense_pd
+    else:
+        adata.obsm["weights_matrix_nomd"] = gene_correlation * dense_pd
+        adata.obsm.setdefault("weights_matrix_all",
+                              adata.obsm["weights_matrix_nomd"])
+    return adata
+
+
+def find_adjacent_spot(adata, use_data: str = "raw", neighbour_k: int = 4,
+                       weights: str = "weights_matrix_all",
+                       verbose: bool = False):
+    """Weighted neighbor-expression profile per spot into
+    ``obsm['adjacent_data']`` (parity: EfNST.py:280, including its
+    off-by-one top-k slicing)."""
+    if use_data == "raw":
+        gene_matrix = np.asarray(adata.X.todense() if sp.issparse(adata.X)
+                                 else adata.X, np.float32)
+    else:
+        gene_matrix = np.asarray(adata.obsm[use_data], np.float32)
+    wmat = np.asarray(adata.obsm[weights])
+    weights_list, final_rows = [], []
+    for i in range(adata.shape[0]):
+        if weights == "physical_distance":
+            current = wmat[i].argsort()[-(neighbour_k + 3):][:(neighbour_k + 2)]
+        else:
+            current = wmat[i].argsort()[-neighbour_k:][:neighbour_k - 1]
+        spot_weight = wmat[i][current]
+        if spot_weight.sum() > 0:
+            w = spot_weight / spot_weight.sum()
+            weights_list.append(w)
+            final_rows.append((w[:, None] * gene_matrix[current]).sum(0))
+        else:
+            weights_list.append(np.zeros(len(current)))
+            final_rows.append(np.zeros(gene_matrix.shape[1]))
+    adata.obsm["adjacent_data"] = np.asarray(final_rows)
+    if verbose:
+        adata.obsm["adjacent_weight"] = np.asarray(weights_list)
+    return adata
+
+
+def augment_gene_data(adata, Adj_WT: float = 0.2):
+    """X + Adj_WT x adjacent profile into ``obsm['augment_gene_data']``
+    (parity: EfNST.py:317)."""
+    adj_data = adata.obsm["adjacent_data"].astype(float)
+    x = np.asarray(adata.X.todense() if sp.issparse(adata.X) else adata.X)
+    adata.obsm["augment_gene_data"] = x + Adj_WT * adj_data
+    return adata
+
+
+def augment_adata(adata, platform: str = "Visium",
+                  pd_dist_type: str = "euclidean", md_dist_type: str = "cosine",
+                  gb_dist_type: str = "correlation", n_components: int = 50,
+                  no_morphological: bool = False, use_data: str = "raw",
+                  neighbour_k: int = 4, weights: str = "weights_matrix_all",
+                  Adj_WT: float = 0.2, spatial_k: int = 30,
+                  spatial_type: str = "KDTree"):
+    """Full augmentation chain (parity: EfNST.py:328)."""
+    adata = cal_weight_matrix(adata, platform=platform,
+                              pd_dist_type=pd_dist_type,
+                              md_dist_type=md_dist_type,
+                              gb_dist_type=gb_dist_type,
+                              n_components=n_components,
+                              no_morphological=no_morphological,
+                              spatial_k=spatial_k, spatial_type=spatial_type)
+    adata = find_adjacent_spot(adata, use_data=use_data,
+                               neighbour_k=neighbour_k, weights=weights)
+    return augment_gene_data(adata, Adj_WT=Adj_WT)

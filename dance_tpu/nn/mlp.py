@@ -24,3 +24,18 @@ class VanillaMLP(nn.Module):
             x = nn.relu(x)
         return nn.Dense(self.output_dim, kernel_init=nn.initializers.xavier_uniform(),
                         dtype=self.dtype)(x)
+
+
+def buildNetwork(layers, activation: str = "relu", dtype=None):
+    """Dense stack builder (the reference's per-model buildNetwork helpers,
+    e.g. scdeepcluster.py/scdcc.py/graphsci.py): returns a flax
+    ``nn.Sequential`` of Dense layers with the given activation between
+    them (torch's nn.Sequential equivalent)."""
+    act = {"relu": nn.relu, "sigmoid": nn.sigmoid, "tanh": nn.tanh,
+           "elu": nn.elu, "gelu": nn.gelu}[activation]
+    mods = []
+    for i in range(1, len(layers)):
+        mods.append(nn.Dense(layers[i], dtype=dtype))
+        if i < len(layers) - 1:
+            mods.append(act)
+    return nn.Sequential(mods)

@@ -102,3 +102,22 @@ class ZINBAutoencoder(nn.Module):
 
 
 __all__ = ["MLPStack", "TorchDense", "ZINBAutoencoder", "disp_act", "mean_act"]
+
+
+class MeanAct:
+    """Callable class form of :func:`mean_act` (the reference defines MeanAct
+    as an nn.Module in five model files; one shared definition here)."""
+
+    def __call__(self, x):
+        return mean_act(x)
+
+    forward = __call__
+
+
+class DispAct:
+    """Callable class form of :func:`disp_act` (reference DispAct)."""
+
+    def __call__(self, x):
+        return disp_act(x)
+
+    forward = __call__

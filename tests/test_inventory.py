@@ -378,3 +378,39 @@ def test_reference_functional_surface_round2b():
     assert out[0]["target"] == "Log1P"
     from dance_tpu.atlas.data_dropbox_upload import (get_ans, get_link,
                                                      upload_file_to_dropbox)
+
+
+def test_reference_functional_surface_round2c():
+    """Third batch: EfNST augmentation chain, scHeteroNet plumbing, shared NN."""
+    import numpy as np
+
+    from dance_tpu.data import AnnData
+    from dance_tpu.modules.spatial.spatial_domain.EfNST import (
+        augment_adata, cal_gene_weight, cal_spatial_weight, cal_weight_matrix,
+        find_adjacent_spot, augment_gene_data)
+    rng = np.random.default_rng(0)
+    n = 60
+    ad = AnnData(rng.poisson(2.0, (n, 30)).astype(np.float32))
+    ad.obsm["spatial"] = rng.random((n, 2)).astype(np.float32) * 10
+    ad = augment_adata(ad, platform="generic", spatial_k=6, neighbour_k=4,
+                       weights="weights_matrix_nomd")
+    aug = ad.obsm["augment_gene_data"]
+    assert aug.shape == (n, 30) and np.isfinite(aug).all()
+    w = cal_spatial_weight(np.asarray(ad.obsm["spatial"]), spatial_k=6)
+    assert (w.sum(1) == 6).all()
+
+    from dance_tpu.modules.single_modality.cell_type_annotation.scheteronet import (
+        HetConv, HeteroNet, NCDataset, ZINBDecoder, get_genename,
+        set_graph_split, set_split)
+    ds = NCDataset("toy")
+    assert len(ds) == 1
+
+    from dance_tpu.nn.mlp import buildNetwork
+    from dance_tpu.nn.zinb_ae import DispAct, MeanAct
+    import jax
+    import jax.numpy as jnp
+    net = buildNetwork([6, 4, 2])
+    p = net.init(jax.random.key(0), jnp.ones((1, 6)))
+    assert net.apply(p, jnp.ones((3, 6))).shape == (3, 2)
+    assert float(MeanAct()(jnp.array(0.0))) == 1.0
+    assert float(DispAct()(jnp.array(0.0))) > 0
