@@ -492,3 +492,22 @@ class scMVAE(BaseRegressionMethod):
             return (scores, emb) if return_pred else scores["final_scores"]
         scores = labeled_clustering_evaluate(emb, y, n_clusters=len(np.unique(y)))
         return (scores, emb) if return_pred else scores["dance_nmi"]
+
+
+class ProductOfExperts:
+    """Callable PoE combiner (parity: scmvae.py:844); delegates to
+    :func:`product_of_experts`."""
+
+    def __call__(self, mu, logvar, eps: float = 1e-8):
+        return product_of_experts(jnp.asarray(mu), jnp.asarray(logvar), eps=eps)
+
+    forward = __call__
+
+
+def prior_expert(size):
+    """Spherical N(0, I) prior expert parameters (parity: scmvae.py:862)."""
+    return jnp.zeros(size), jnp.zeros(size)
+
+
+# reference name for the shared dense-stack builder (scmvae.py:build_multi_layers)
+from dance_tpu.nn.mlp import buildNetwork as build_multi_layers  # noqa: E402,F401

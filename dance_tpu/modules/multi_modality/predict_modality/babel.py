@@ -173,3 +173,9 @@ class ClippedSoftplus:
         return jnp.clip(sp_val, self.min_value, self.max_value)
 
     forward = __call__
+
+
+def recursive_to_device(t, device=None):
+    """Move a (possibly nested) array structure to device
+    (parity: babel.py recursive_to_device; jax.device_put over pytrees)."""
+    return jax.device_put(t, device)

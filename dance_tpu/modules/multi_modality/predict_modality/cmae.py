@@ -159,3 +159,49 @@ class CMAE(BaseRegressionMethod):
         func = resolve_score_func(score_func or "rmse")
         s = func(as_numpy(y), pred)
         return (s, pred) if return_pred else s
+
+
+def get_model_list(dirname, key):
+    """Latest checkpoint path containing ``key`` in ``dirname``
+    (parity: cmae.py get_model_list)."""
+    import os
+    if not os.path.exists(dirname):
+        return None
+    models = [os.path.join(dirname, f) for f in os.listdir(dirname)
+              if os.path.isfile(os.path.join(dirname, f)) and key in f
+              and f.endswith(".pt")]
+    if not models:
+        return None
+    return sorted(models)[-1]
+
+
+def weights_init(init_type: str = "gaussian"):
+    """Flax initializer by reference name (parity: cmae.py weights_init —
+    the torch version mutates modules in place; flax passes initializers at
+    construction, so this returns the matching kernel initializer)."""
+    import flax.linen as fnn
+    inits = {
+        "gaussian": fnn.initializers.normal(0.02),
+        "xavier": fnn.initializers.xavier_normal(),
+        "kaiming": fnn.initializers.kaiming_normal(),
+        "orthogonal": fnn.initializers.orthogonal(),
+        "default": fnn.initializers.lecun_normal(),
+    }
+    if init_type not in inits:
+        raise AssertionError(f"Unsupported initialization: {init_type}")
+    return inits[init_type]
+
+
+def get_scheduler(hyperparameters, iterations: int = -1):
+    """optax LR schedule from the reference hyperparameter dict
+    (parity: cmae.py get_scheduler — torch StepLR equivalent)."""
+    import optax
+    policy = hyperparameters.get("lr_policy")
+    if policy is None or policy == "constant":
+        return optax.constant_schedule(hyperparameters.get("lr", 1e-4))
+    if policy == "step":
+        return optax.exponential_decay(
+            hyperparameters.get("lr", 1e-4),
+            transition_steps=hyperparameters["step_size"],
+            decay_rate=hyperparameters.get("gamma", 0.1), staircase=True)
+    raise NotImplementedError(f"learning rate policy [{policy}] is not implemented")

@@ -493,3 +493,16 @@ def set_graph_split(adata, ref_adata_name, g):
         mask[np.asarray(adata.uns[f"{name}_idx"], int)] = True
         g.ndata[f"{name}_mask"] = mask
     return g
+
+
+def print_statistics(adata, name: str = "dataset"):
+    """Log basic dataset statistics (parity: scheteronet.py print_statistics)."""
+    logger.info("%s: %d cells x %d genes", name, adata.shape[0], adata.shape[1])
+    if "cell" in getattr(adata.obs, "columns", []):
+        import collections
+        counts = collections.Counter(np.asarray(adata.obs["cell"]))
+        logger.info("%s class counts: %s", name, dict(sorted(counts.items())))
+
+
+# reference name for the plain MLP baseline head (scheteronet.py:339)
+from dance_tpu.nn.mlp import VanillaMLP as MLP  # noqa: E402,F401

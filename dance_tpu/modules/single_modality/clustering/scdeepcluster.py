@@ -198,3 +198,8 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
 
     def get_latent(self):
         return np.asarray(self.z)
+
+
+def euclidean_dist(x, y):
+    """Pairwise squared-difference sum (parity: scdeepcluster.py euclidean_dist)."""
+    return jnp.sum(jnp.square(jnp.asarray(x) - jnp.asarray(y)))

@@ -396,3 +396,53 @@ def feature2adj(X_embed, neighborhood_factor, retain_weights):
                                     shape=adj.shape)
     adj_train.eliminate_zeros()
     return adj, adj_train, edge_list
+
+
+def normalize_features_dense(node_features_dense):
+    """Row-sum normalize dense features; all-zero rows pass through
+    (parity: scgnn2.py:622)."""
+    assert isinstance(node_features_dense, np.ndarray), (
+        f"Expected np matrix got {type(node_features_dense)}.")
+    return node_features_dense / np.clip(
+        node_features_dense.sum(1, keepdims=True), a_min=1, a_max=None)
+
+
+def convert_adj_to_edge_index(adjacency_matrix):
+    """(2, E) edge-index array from a dense adjacency (parity: scgnn2.py:631)."""
+    assert isinstance(adjacency_matrix, np.ndarray), (
+        f"Expected NumPy array got {type(adjacency_matrix)}.")
+    height, width = adjacency_matrix.shape
+    assert height == width, f"Expected square shape got = {adjacency_matrix.shape}."
+    rows, cols = np.nonzero(adjacency_matrix)
+    return np.stack([rows, cols])
+
+
+def edgeList2edgeIndex(edgeList):
+    """[(u, v), ...] pairs from a (u, v, w) edge list (parity: scgnn2.py:510)."""
+    return [[i[0], i[1]] for i in edgeList]
+
+
+def normalize_cell_cell_matrix(x):
+    """Row-average normalization with masked zero rows (parity: scgnn2.py:726)."""
+    x = np.asarray(x, dtype=np.float64)
+    rowsum = x.sum(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        factor = np.where(rowsum != 0, 1.0 / rowsum, 0.0)
+    return factor * x
+
+
+def generateCelltypeRegu(listResult):
+    """Block-diagonal same-celltype indicator matrix (parity: scgnn2.py:733)."""
+    labels = np.asarray(listResult)
+    return (labels[:, None] == labels[None, :]).astype(np.float64)
+
+
+def preprocess_graph(adj):
+    """Symmetric normalization with self-loops, returned as our device CSR
+    (parity: scgnn2.py:1191 — the reference returns a torch sparse tensor;
+    use :func:`sparse_mx_to_torch_sparse_tensor` for torch interop)."""
+    adj = sp.coo_matrix(adj)
+    adj_ = adj + sp.eye(adj.shape[0])
+    rowsum = np.asarray(adj_.sum(1)).ravel()
+    dis = sp.diags(np.power(rowsum, -0.5))
+    return csr_from_scipy(sp.csr_matrix(adj_.dot(dis).transpose().dot(dis)))

@@ -161,3 +161,15 @@ def split_mask_for_validation(pseudo_train_mask, valid_ratio: float = 0.3,
     valid_mask[valid_idx] = True
     train_mask = mask & ~valid_mask
     return train_mask, valid_mask
+
+
+def masked_softmax_cross_entropy(preds, labels, mask):
+    """Mean softmax CE over masked nodes (parity: dstg.py
+    masked_softmax_cross_entropy; preds are logits)."""
+    import optax
+    preds = jnp.asarray(preds)
+    labels = jnp.asarray(labels, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+    loss = optax.softmax_cross_entropy(preds, labels)
+    mask = mask / jnp.maximum(mask.mean(), 1e-12)
+    return jnp.mean(loss * mask)

@@ -375,3 +375,26 @@ def adj_normalize(adj) -> sp.csr_matrix:
 
 # reference class name for the two-tower network (stdgcn.py conGCN :95)
 conGCN = _ConGCN
+
+
+def get_idx(train_valid_len, test_len, train_valid_ratio: float = 0.9):
+    """(train, valid, test) index ranges (parity: stdgcn.py:194)."""
+    train_idx = range(int(train_valid_len * train_valid_ratio))
+    valid_idx = range(len(train_idx), train_valid_len)
+    test_idx = range(test_len)
+    return train_idx, valid_idx, test_idx
+
+
+def full_block(in_features, out_features, p_drop):
+    """Dense -> LayerNorm -> ELU -> Dropout block as a flax Sequential
+    (parity: stdgcn.py:516)."""
+    return nn.Sequential([
+        nn.Dense(out_features),
+        nn.LayerNorm(),
+        nn.elu,
+        nn.Dropout(rate=p_drop, deterministic=True),
+    ])
+
+
+# reference name for the split-block placement helper (stdgcn.py:489)
+A_intra_transfer = _expand_block

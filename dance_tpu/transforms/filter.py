@@ -802,3 +802,39 @@ class ScrubletTransform(BaseTransform):
         self.logger.info("Removing %d predicted doublets", int((~mask).sum()))
         data.filter_by_mask(mask)
         return data
+
+
+def get_count(count_or_ratio, total: int):
+    """Resolve a count-or-ratio spec to an integer count (parity: filter.py:28)."""
+    if count_or_ratio is None:
+        return None
+    if isinstance(count_or_ratio, bool):
+        raise TypeError("count_or_ratio must be either float or int, got bool")
+    if isinstance(count_or_ratio, float):
+        if count_or_ratio > 1.0:
+            raise ValueError(f"{count_or_ratio=} is greater than 1. "
+                             "Ratio cannot be greater than 1.")
+        return int(count_or_ratio * total)
+    if isinstance(count_or_ratio, int):
+        if count_or_ratio > total:
+            raise ValueError(f"{count_or_ratio=} is greater than {total=}")
+        return count_or_ratio
+    raise TypeError("count_or_ratio must be either float or int, "
+                    f"got {type(count_or_ratio)}")
+
+
+def get_marker_genes_giotto(group1, group2, group_detection_1,
+                            group_detection_2, min_expr_gini_score=0.2,
+                            min_det_gini_score=0.2, rank_score=1, min_genes=5,
+                            genes=None):
+    """Giotto-style marker scoring of one group pair (parity: filter.py:971);
+    delegates to the vectorized scorer the FilterGenesMarkerGini transform
+    uses. Returns the selected-marker DataFrame."""
+    n = np.asarray(group1).shape[0]
+    if genes is None:
+        genes = np.arange(n)
+    return FilterGenesMarkerGini._score_pair(
+        np.asarray(group1), np.asarray(group2), np.asarray(group_detection_1),
+        np.asarray(group_detection_2), np.asarray(genes),
+        min_expr_gini=min_expr_gini_score, min_det_gini=min_det_gini_score,
+        rank_score=rank_score, min_genes=min_genes)

@@ -464,3 +464,29 @@ def row_normalize(mx):
         r_inv = np.power(rowsum, -1.0)
     r_inv[np.isinf(r_inv)] = 0.0
     return sp.diags(r_inv).dot(mx)
+
+
+def sparse_mx_to_torch_sparse_tensor(sparse_mx):
+    """scipy sparse -> torch sparse COO tensor (parity: preprocess.py:528) —
+    a torch-interop shim for callers bridging to the reference stack."""
+    import torch
+    sparse_mx = sparse_mx.tocoo().astype(np.float32)
+    indices = torch.from_numpy(
+        np.vstack((sparse_mx.row, sparse_mx.col)).astype(np.int64))
+    values = torch.from_numpy(sparse_mx.data)
+    return torch.sparse_coo_tensor(indices, values, tuple(sparse_mx.shape))
+
+
+def load_graph(path, data):
+    """Load an edge-list file into a row-normalized symmetric adjacency with
+    self loops (parity: preprocess.py:493 load_graph, used by scDSC).
+    Returns the framework's device CSR instead of a torch sparse tensor."""
+    from dance_tpu.ops.sparse import csr_from_scipy
+    n = data.shape[0]
+    edges = np.genfromtxt(path, dtype=np.int32)
+    adj = sp.coo_matrix((np.ones(edges.shape[0]),
+                         (edges[:, 0], edges[:, 1])), shape=(n, n),
+                        dtype=np.float32)
+    adj = adj + adj.T.multiply(adj.T > adj) - adj.multiply(adj.T > adj)
+    adj = sp.csr_matrix(adj) + sp.eye(adj.shape[0], format="csr")
+    return csr_from_scipy(sp.csr_matrix(row_normalize(adj), dtype=np.float32))
