@@ -54,8 +54,17 @@ class BaseMethod(ABC):
         math to ``fit`` (modulo ≤dp-1 wrap-padded rows when the cell count is
         not divisible by the dp size). Host-side (sklearn-backed) methods
         simply run unsharded.
+
+        Models with a ``use_bsr`` knob default to the CSR segment path here
+        (unless the caller forces it): the Pallas block-sparse kernels are
+        single-device programs, and XLA's partitioner handles the gather/
+        segment formulation of message passing natively.
         """
+        import inspect
+
         from dance_tpu.parallel.mesh import current_mesh, dp_context
+        if "use_bsr" in inspect.signature(self.fit).parameters:
+            kwargs.setdefault("use_bsr", False)
         mesh = mesh or current_mesh()
         with dp_context(mesh):
             return self.fit(*args, **kwargs)
