@@ -315,3 +315,141 @@ def augment_adata(adata, platform: str = "Visium",
     adata = find_adjacent_spot(adata, use_data=use_data,
                                neighbour_k=neighbour_k, weights=weights)
     return augment_gene_data(adata, Adj_WT=Adj_WT)
+
+
+# --------------------------------------------------------------------------
+# reference-named pipeline transforms (parity: EfNST.py:906-1006)
+# --------------------------------------------------------------------------
+
+from dance_tpu.registry import register_preprocessor  # noqa: E402
+from dance_tpu.transforms.base import BaseTransform  # noqa: E402
+
+
+@register_preprocessor("misc")
+class EfNSTImageTransform(BaseTransform):
+    """H&E tile CNN features into ``obsm['image_feat_pca']``
+    (parity: EfNST.py:907; the EfficientNet is replaced by the framework's
+    self-supervised tile encoder — see MorphologyFeatureCNN)."""
+
+    _DISPLAY_ATTRS = ("data_name", "pca_n_comps", "crop_size", "target_size")
+
+    def __init__(self, data_name: str = "", cnnType: str = "efficientnet-b0",
+                 pca_n_comps: int = 200, save_path: str = "./",
+                 verbose: bool = False, crop_size: int = 50,
+                 target_size: int = 224, **kwargs):
+        super().__init__(**kwargs)
+        self.data_name = data_name
+        self.cnnType = cnnType
+        self.pca_n_comps = pca_n_comps
+        self.verbose = verbose
+        self.crop_size = crop_size
+        self.target_size = target_size
+
+    def __call__(self, data):
+        MorphologyFeatureCNN(
+            n_components=min(self.pca_n_comps, 50),
+            crop_size=min(self.crop_size, 20),
+            target_size=min(self.target_size, 64),
+            out="image_feat_pca")(data)
+        return data
+
+
+@register_preprocessor("misc")
+class EfNSTAugmentTransform(BaseTransform):
+    """Neighbor-expression augmentation into ``obsm['augment_gene_data']``
+    (parity: EfNST.py:935; the :func:`augment_adata` chain)."""
+
+    _DISPLAY_ATTRS = ("Adj_WT", "neighbour_k", "weights", "spatial_k")
+
+    def __init__(self, Adj_WT: float = 0.2, neighbour_k: int = 4,
+                 weights: str = "weights_matrix_all", spatial_k: int = 30,
+                 platform: str = "Visium", **kwargs):
+        super().__init__(**kwargs)
+        self.Adj_WT = Adj_WT
+        self.neighbour_k = neighbour_k
+        self.weights = weights
+        self.spatial_k = spatial_k
+        self.platform = platform
+
+    def __call__(self, data):
+        augment_adata(data.data, Adj_WT=self.Adj_WT,
+                      neighbour_k=self.neighbour_k, platform=self.platform,
+                      weights=self.weights, spatial_k=self.spatial_k)
+        return data
+
+
+@register_preprocessor("graph", "cell")
+class EfNSTGraphTransform(BaseTransform):
+    """Spatial radius/kNN graph dict into ``uns['EfNSTGraph']``
+    (parity: EfNST.py:961): ``adj_org`` (0/1) and the symmetrically
+    normalized ``adj_norm`` with self loops."""
+
+    _DISPLAY_ATTRS = ("distType", "k", "rad_cutoff")
+
+    def __init__(self, distType: str = "Radius", k: int = 12,
+                 rad_cutoff: float = 150, **kwargs):
+        super().__init__(**kwargs)
+        self.distType = distType
+        self.k = k
+        self.rad_cutoff = rad_cutoff
+
+    def __call__(self, data):
+        coords = np.asarray(data.data.obsm["spatial"], np.float32)
+        n = coords.shape[0]
+        if self.distType == "Radius":
+            d2 = ((coords[:, None] - coords[None, :]) ** 2).sum(-1)
+            adj = sp.csr_matrix(((d2 <= self.rad_cutoff ** 2)
+                                 & ~np.eye(n, dtype=bool)).astype(np.float32))
+        else:
+            from dance_tpu.ops.neighbors import knn_graph
+            adj = knn_graph(coords, min(self.k, n - 1))
+        adj_sl = adj + sp.eye(n, format="csr", dtype=np.float32)
+        deg = np.asarray(adj_sl.sum(1)).ravel()
+        dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+        adj_norm = sp.diags(dinv) @ adj_sl @ sp.diags(dinv)
+        data.data.uns["EfNSTGraph"] = {"adj_org": adj,
+                                       "adj_norm": sp.csr_matrix(adj_norm)}
+        return data
+
+
+class EfNSTConcatgTransform(BaseTransform):
+    """Swap X for the augmented matrix and derive ``obsm['feature.cell']``
+    (parity: EfNST.py:976): PCA of normalized/log/scaled augmented data when
+    ``dim_reduction``, else seurat_v3 HVG subset."""
+
+    _DISPLAY_ATTRS = ("dim_reduction", "min_cells", "platform", "pca_n_comps")
+
+    def __init__(self, dim_reduction: bool = True, min_cells: int = 3,
+                 platform: str = "Visium", pca_n_comps: int = 200, **kwargs):
+        super().__init__(**kwargs)
+        self.dim_reduction = dim_reduction
+        self.min_cells = min_cells
+        self.platform = platform
+        self.pca_n_comps = pca_n_comps
+
+    def __call__(self, data):
+        from dance_tpu import sc as _sc
+        from dance_tpu.ops.linalg import pca as _pca
+        adata = data.data
+        if self.platform == "Visium":
+            adata.X = adata.obsm["augment_gene_data"].astype(float)
+            _sc.pp.filter_genes(adata, min_cells=self.min_cells)
+            if self.dim_reduction:
+                _sc.pp.normalize_total(adata, target_sum=1)
+                _sc.pp.log1p(adata)
+                _sc.pp.scale(adata)
+                k = min(self.pca_n_comps, min(adata.shape) - 1)
+                concat_x = np.asarray(
+                    _pca(np.asarray(adata.X, np.float32), k).embedding)
+            else:
+                _sc.pp.highly_variable_genes(adata, flavor="seurat_v3",
+                                             n_top_genes=3000)
+                _sc.pp.normalize_total(adata, target_sum=1)
+                _sc.pp.log1p(adata)
+                concat_x = np.asarray(
+                    adata[:, np.asarray(adata.var["highly_variable"],
+                                        bool)].X)
+        else:
+            concat_x = adata.obsm["augment_gene_data"]
+        adata.obsm["feature.cell"] = concat_x
+        return data
