@@ -174,22 +174,44 @@ class DCCA(BaseRegressionMethod):
 
     @partial(jax.jit, static_argnames=("self", "which", "use_attention"))
     def _phase_epoch(self, params, opt_state, x, x_raw, log_sf, z_pre, stats_pre,
-                     kl_weight, key, which: int, use_attention: bool):
+                     kl_weight, key, which: int, use_attention: bool, idx=None):
+        """One phase epoch. ``idx=None`` runs full-batch (one step over all
+        cells); an (nb, bs) index matrix runs a scanned minibatch epoch —
+        peak activation memory scales with the batch, not the dataset, which
+        is what lets DCCA train datasets the reference OOMs on (SURVEY §6:
+        dcca needs >64GB there)."""
         net = self.net1 if which == 1 else self.net2
         sf_att = self.sf2 if which == 1 else self.sf1
+        mean_pre, logvar_pre = stats_pre
 
-        def loss_fn(params):
-            out = net.apply({"params": params}, x, log_sf, rng=key, training=True,
-                            rngs={"dropout": jax.random.fold_in(key, 3)})
-            loss = net.nll(out, x_raw) + kl_weight * _gaussian_kl(
+        def loss_fn(params, bx, bxr, blsf, bz, bm, blv, rng):
+            out = net.apply({"params": params}, bx, blsf, rng=rng, training=True,
+                            rngs={"dropout": jax.random.fold_in(rng, 3)})
+            loss = net.nll(out, bxr) + kl_weight * _gaussian_kl(
                 out["mean"], out["logvar"])
             if use_attention:
-                loss = loss + sf_att * self._attn(out, z_pre, stats_pre)
+                loss = loss + sf_att * self._attn(out, bz, (bm, blv))
             return jnp.mean(loss)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = self._tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        if idx is None:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, x, x_raw, log_sf, z_pre, mean_pre, logvar_pre, key)
+            updates, opt_state = self._tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        def step(carry, batch_idx):
+            params, opt_state, key = carry
+            key, rng = jax.random.split(key)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, x[batch_idx], x_raw[batch_idx], log_sf[batch_idx],
+                z_pre[batch_idx], mean_pre[batch_idx], logvar_pre[batch_idx],
+                rng)
+            updates, opt_state = self._tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state, key), loss
+
+        (params, opt_state, _), losses = jax.lax.scan(
+            step, (params, opt_state, key), idx)
+        return params, opt_state, losses.mean()
 
     def _latent(self, which: int):
         net, params = ((self.net1, self.params1) if which == 1
@@ -200,6 +222,7 @@ class DCCA(BaseRegressionMethod):
 
     def _run_phase(self, which: int, use_attention: bool, epochs: int, lr: float,
                    key, anneal_epoch: int = 10):
+        from dance_tpu.utils.batch import epoch_batches
         params = self.params1 if which == 1 else self.params2
         x, xr, lsf = ((self._x1, self._xr1, self._lsf1) if which == 1
                       else (self._x2, self._xr2, self._lsf2))
@@ -213,9 +236,12 @@ class DCCA(BaseRegressionMethod):
         for epoch in range(1, epochs + 1):
             key, ek = jax.random.split(key)
             kl_weight = min(1.0, epoch / anneal_epoch)
+            idx = (None if self._batch_size is None else
+                   epoch_batches(jax.random.fold_in(ek, 7), x.shape[0],
+                                 self._batch_size))
             params, opt_state, loss = self._phase_epoch(
                 params, opt_state, x, xr, lsf, z_pre, (mean_pre, logvar_pre),
-                kl_weight, ek, which, use_attention)
+                kl_weight, ek, which, use_attention, idx)
         if which == 1:
             self.params1 = params
         else:
@@ -224,14 +250,20 @@ class DCCA(BaseRegressionMethod):
 
     def fit(self, x_mod1, x_mod2, x_mod1_raw=None, x_mod2_raw=None, *,
             epochs: int = 100, lr1: float = 1e-2, lr2: float = 1e-2,
-            first: str = "RNA"):
+            first: str = "RNA", batch_size: Optional[int] = None):
         """Cycle training (parity: DCCA.fit, dcca.py:733-826).
 
         used_cycle 0 initializes the modality-1 VAE alone; odd cycles train
         the modality-2 VAE with attention transfer from the frozen modality-1
         latents (twice on cycle 1, mirroring the reference); later even
         cycles re-train modality 1 with attention from modality 2.
+
+        ``batch_size=None`` (default) trains full-batch — one fused step per
+        epoch; set it to scan shuffled minibatches instead (the reference's
+        DataLoader mode) so activation memory scales with the batch, for
+        datasets beyond HBM capacity.
         """
+        self._batch_size = batch_size
         x1 = jnp.asarray(as_numpy(x_mod1), jnp.float32)
         x2 = jnp.asarray(as_numpy(x_mod2), jnp.float32)
         xr1 = (jnp.asarray(as_numpy(x_mod1_raw), jnp.float32)

@@ -154,3 +154,25 @@ def test_scmogcn_bsr_parity():
         model.fit(x_tr, y_tr, x_test=x_te, epochs=40, use_bsr=use_bsr)
         preds[use_bsr] = model.predict(x_te)
     np.testing.assert_allclose(preds[False], preds[True], atol=1e-3)
+
+
+def test_dcca_minibatch_mode():
+    """DCCA's scanned minibatch mode (memory-bounded path) trains as well as
+    full-batch — the scalability lever for datasets beyond HBM capacity."""
+    import numpy as np
+    from sklearn.metrics import normalized_mutual_info_score
+
+    from dance_tpu.modules.multi_modality.joint_embedding import DCCA
+    from dance_tpu.ops.cluster import kmeans
+
+    rng = np.random.default_rng(0)
+    n, d1, d2, k = 150, 60, 30, 3
+    c1, c2 = rng.random((k, d1)) * 4, rng.random((k, d2)) * 4
+    y = rng.integers(0, k, n)
+    x1 = np.log1p(rng.poisson(c1[y] * 3)).astype(np.float32)
+    x2 = (rng.poisson(c2[y]) > 0).astype(np.float32)
+    model = DCCA(seed=0)
+    model.fit(x1, x2, epochs=20, batch_size=48)
+    lab = np.asarray(kmeans(model.predict(), k, n_init=5, seed=0).labels)
+    nmi = normalized_mutual_info_score(y, lab)
+    assert nmi > 0.8, f"minibatch DCCA NMI too low: {nmi}"
