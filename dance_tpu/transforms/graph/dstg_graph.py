@@ -138,25 +138,24 @@ def knn(cell_embedding, spots1, spots2, k):
 
 
 def mnn(neighbors, colnames, num):
-    """Mutual nearest-neighbor pairs from a knn() bundle (dstg_graph.py:144)."""
+    """Mutual nearest-neighbor pairs from a knn() bundle (dstg_graph.py:144).
+
+    A pair (c, j) is kept when j is among c's top-5 cross neighbors AND c
+    appears among j's top-5 reverse neighbors; like the reference, a pair is
+    emitted once per matching reverse slot. Vectorized over all pairs."""
     import pandas as pd
-    max_nn = np.array([neighbors[1][1].shape[1], neighbors[2][1].shape[1]])
-    if (num > max_nn).any():
-        num = int(np.min(max_nn))
-    spots1 = colnames
-    nn_spots1 = np.asarray(neighbors[4])
-    cell1_index = [list(nn_spots1).index(i) for i in spots1
-                   if (nn_spots1 == i).any()]
-    ncell = np.array(range(neighbors[1][1].shape[0]))
-    ncell = ncell[np.in1d(ncell, cell1_index)]
-    mnn_cell1, mnn_cell2 = [], []
-    for cell in ncell:
-        neighbors_ab = neighbors[1][1][cell, 0:5]
-        mutual = np.where(neighbors[2][1][neighbors_ab, 0:5] == cell)[0]
-        for i in neighbors_ab[mutual]:
-            mnn_cell1.append(cell)
-            mnn_cell2.append(i)
-    mnns = pd.DataFrame(np.column_stack((mnn_cell1, mnn_cell2)))
+    ab = np.asarray(neighbors[1][1])[:, :5]  # (n1, 5) set1 -> set2
+    ba = np.asarray(neighbors[2][1])[:, :5]  # (n2, 5) set2 -> set1
+    present = np.in1d(np.arange(ab.shape[0]),
+                      [list(np.asarray(neighbors[4])).index(s)
+                       for s in colnames
+                       if (np.asarray(neighbors[4]) == s).any()])
+    cells = np.repeat(np.arange(ab.shape[0]), ab.shape[1])
+    cands = ab.ravel()
+    # multiplicity = how many of the candidate's reverse slots point back
+    counts = (ba[cands] == cells[:, None]).sum(1) * present[cells]
+    keep = np.repeat(np.arange(len(cands)), counts)
+    mnns = pd.DataFrame(np.column_stack((cells[keep], cands[keep])))
     mnns.columns = ["spot1", "spot2"]
     return mnns
 
@@ -171,7 +170,9 @@ def filter_edge(edges, neighbors, mats, features, k_filter):
     cn_data2 = l2norm(mat2)
     nn = query_knn(data=cn_data2.loc[nn_spots2], k=k_filter,
                    query=cn_data1.loc[nn_spots1])
-    ind = [j in nn[1][i] for _, (i, j) in edges.iterrows()]
+    i = edges["spot1"].to_numpy().astype(int)
+    j = edges["spot2"].to_numpy().astype(int)
+    ind = (nn[1][i] == j[:, None]).any(1)
     return edges[ind].copy().reset_index(drop=True)
 
 
