@@ -39,8 +39,8 @@ def compute_markov(data, k: int = 10, epsilon: float = 1,
     data = as_numpy(data).astype(np.float32)
     n = data.shape[0]
     k = min(k, n)
-    dists, indices = knn(data, k, include_self=True)
-    dists = np.sqrt(np.maximum(as_numpy(dists), 0.0))
+    dists, indices = knn(data, k, include_self=True)  # euclidean, sorted
+    dists = as_numpy(dists)
     indices = as_numpy(indices)
     if ka > 0:
         # autotune: divide each row by its (ka+1)-th smallest distance

@@ -599,7 +599,8 @@ def log_zinb_positive(x, mu, theta, pi, eps=1e-8):
 
 
 def NB_loss(y_true, y_pred, theta, eps=1e-10):
-    """Per-sample summed NB NLL (parity: scmvae.py:85)."""
+    """Per-sample NEGATED summed NB NLL — the reference returns ``-sum``
+    (parity: scmvae.py:85-97)."""
     y_true = jnp.asarray(y_true, jnp.float32)
     y_pred = jnp.asarray(y_pred, jnp.float32)
     theta = jnp.asarray(theta, jnp.float32)
@@ -608,7 +609,7 @@ def NB_loss(y_true, y_pred, theta, eps=1e-10):
           - jax.scipy.special.gammaln(y_true + theta + eps))
     t2 = ((theta + y_true) * jnp.log1p(y_pred / (theta + eps))
           + y_true * (jnp.log(theta + eps) - jnp.log(y_pred + eps)))
-    return jnp.sum(t1 + t2, axis=1)
+    return -jnp.sum(t1 + t2, axis=1)
 
 
 def mse_loss(y_true, y_pred):
