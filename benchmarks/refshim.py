@@ -67,7 +67,7 @@ STUB_ROOTS = frozenset({
     "efficientnet_pytorch", "networkx", "openpyxl", "xlrd", "requests",
     "psutil", "seaborn", "matplotlib", "plotly", "scikit_misc", "skmisc",
     "annoy", "pynndescent", "umap", "rpy2", "opencv_python", "numexpr",
-    "tables", "h5py", "patsy", "tifffile", "squidpy", "cellstar",
+    "tables", "h5py", "patsy", "tifffile", "squidpy", "cellstar", "skimage",
     "torch_geometric", "torch_sparse", "torch_scatter", "torch_cluster",
 })
 

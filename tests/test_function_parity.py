@@ -160,3 +160,100 @@ def test_babel_activations_match_reference_torch():
     np.testing.assert_allclose(RefCS()(torch.tensor(x)).numpy(),
                                np.asarray(ClippedSoftplus()(x)), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_dstg_link_chain_matches_reference():
+    """The CCA->MNN->filter edge chain produces the same link set as the
+    reference's (KD-tree + pandas) implementation."""
+    import pandas as pd
+    ref_clg = refshim.import_ref("dance.transforms.graph.dstg_graph",
+                                 "construct_link_graph")
+    from dance_tpu.transforms.graph.dstg_graph import construct_link_graph
+    rng = np.random.default_rng(0)
+    # both spot sets must exceed the reference's hard-coded k=30+1 kNN
+    n_genes, n_ref, n_inf = 120, 45, 40
+    base = rng.random((n_genes, 5))
+    p_df = pd.DataFrame(base @ rng.dirichlet(np.ones(5), n_ref).T
+                        + 0.01 * rng.random((n_genes, n_ref)),
+                        index=[f"g{i}" for i in range(n_genes)],
+                        columns=range(n_ref))
+    r_df = pd.DataFrame(base @ rng.dirichlet(np.ones(5), n_inf).T
+                        + 0.01 * rng.random((n_genes, n_inf)),
+                        index=[f"g{i}" for i in range(n_genes)],
+                        columns=range(n_ref, n_ref + n_inf))
+    g_ref = ref_clg(p_df.copy(), r_df.copy(), k_filter=20, num_cc=10)
+    g_our = construct_link_graph(p_df.copy(), r_df.copy(), k_filter=20,
+                                 num_cc=10)
+    ref_set = set(map(tuple, g_ref.to_numpy().astype(int)))
+    our_set = set(map(tuple, g_our.to_numpy().astype(int)))
+    # SVD sign/rounding at the CCA stage can flip a few marginal edges
+    overlap = len(ref_set & our_set) / max(len(ref_set | our_set), 1)
+    assert overlap > 0.9, f"link-edge overlap too low: {overlap}"
+
+
+def test_efnst_weights_match_reference(counts):
+    ref_gene = refshim.import_ref(
+        "dance.modules.spatial.spatial_domain.EfNST", "cal_gene_weight")
+    ref_spatial = refshim.import_ref(
+        "dance.modules.spatial.spatial_domain.EfNST", "cal_spatial_weight")
+    from dance_tpu.modules.spatial.spatial_domain.EfNST import (
+        cal_gene_weight, cal_spatial_weight)
+    gw_ref = ref_gene(counts.astype(np.float64), n_components=10)
+    gw_our = cal_gene_weight(counts.astype(np.float64), n_components=10)
+    # PCA sign conventions differ; cosine distances of embeddings agree
+    np.testing.assert_allclose(gw_ref, gw_our, atol=5e-2)
+    coords = np.random.default_rng(2).normal(size=(60, 2)) * 10
+    sw_ref = ref_spatial(coords, spatial_k=8)
+    sw_our = cal_spatial_weight(coords, spatial_k=8)
+    agree = (sw_ref == sw_our).mean()
+    assert agree > 0.995, f"spatial weight agreement {agree}"
+
+
+def test_cardref_matches_reference_quality():
+    """Our CARDref recovers mixture proportions at least as well as the
+    reference's (whose Lambda never updates — card.py:60,92)."""
+    ref_card = refshim.import_ref(
+        "dance.modules.spatial.cell_type_deconvo.card", "CARDref")
+    from dance_tpu.modules.spatial.cell_type_deconvo.card import CARDref
+    rng = np.random.default_rng(0)
+    m_genes, n_spots, k = 60, 40, 3
+    U = rng.random((m_genes, k)) * 3
+    V_true = rng.dirichlet(np.ones(k), n_spots)
+    X = (U @ V_true.T) + 0.05 * rng.random((m_genes, n_spots))
+    kwargs = dict(Xinput=X, U=U, W=None, phi=0.0, max_iter=100, epsilon=1e-10,
+                  V=np.abs(rng.random((n_spots, k))), b=np.zeros((k, 1)),
+                  sigma_e2=0.1, Lambda=np.full(k, 10.0))
+    pred_ref, _ = ref_card(**{key: (v.copy() if hasattr(v, "copy") else v)
+                              for key, v in kwargs.items()})
+    pred_our, _ = CARDref(**kwargs)
+    err_ref = np.abs(pred_ref - V_true).mean()
+    err_our = np.abs(pred_our - V_true).mean()
+    assert err_our <= err_ref + 0.01, (err_our, err_ref)
+    assert err_our < 0.1
+
+
+def test_celltypist_lr_matches_reference(monkeypatch):
+    # the reference passes multi_class='ovr', removed in this sklearn; shim
+    # the name in ITS module namespace with a factory dropping the dead kwarg
+    import importlib
+
+    from sklearn.linear_model import LogisticRegression
+    ref_lr = refshim.import_ref(
+        "dance.modules.single_modality.cell_type_annotation.celltypist",
+        "LRClassifier_celltypist")
+    ref_mod = importlib.import_module(
+        "dance.modules.single_modality.cell_type_annotation.celltypist")
+
+    def factory(*args, multi_class=None, **kwargs):
+        return LogisticRegression(*args, **kwargs)
+
+    monkeypatch.setattr(ref_mod, "LogisticRegression", factory)
+    from dance_tpu.modules.single_modality.cell_type_annotation.celltypist import (
+        LRClassifier_celltypist)
+    rng = np.random.default_rng(0)
+    labels = np.array(["A"] * 20 + ["B"] * 20)
+    x = np.concatenate([rng.random((20, 5)), rng.random((20, 5)) + 1.5])
+    clf_ref = ref_lr(x, labels, C=1.0, solver=None, max_iter=200, n_jobs=1)
+    clf_our = LRClassifier_celltypist(x, labels, C=1.0, solver=None,
+                                      max_iter=200, n_jobs=1)
+    assert (clf_ref.predict(x) == clf_our.predict(x)).all()
