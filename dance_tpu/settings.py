@@ -43,6 +43,10 @@ METADIR = DANCEPKGDIR / "metadata"
 ATLASDIR = DANCEDIR / "atlas_data"
 CACHEDIR = pathlib.Path(os.environ.get("DANCE_TPU_CACHE_DIR", str(CURDIR / "cache")))
 
-# Default telemetry (sweep summary CSVs always written; external trackers optional).
-ENTITY = os.environ.get("DANCE_TPU_ENTITY", "dance-tpu")
-PROJECT = os.environ.get("DANCE_TPU_PROJECT", "dance-tpu")
+EXAMPLESDIR = DANCEDIR / "examples"
+SIMILARITYDIR = ATLASDIR / "sc_similarity_examples"
+
+# Default telemetry (sweep summary CSVs always written; external trackers
+# optional). Lower-case aliases mirror the reference's settings.py:53-54.
+ENTITY = entity = os.environ.get("DANCE_TPU_ENTITY", "dance-tpu")
+PROJECT = project = os.environ.get("DANCE_TPU_PROJECT", "dance-tpu")
