@@ -100,3 +100,11 @@ def get_ans(data, tissue: str, dataset_id: str, local_path, ACCESS_TOKEN,
     ans["is_ALL_Integer"] = bool(np.all(np.equal(np.asarray(vals),
                                                  np.asarray(vals).astype(int))))
     return ans
+
+
+def get_data(path):
+    """Load an AnnData for upload from an h5ad path. (The reference's
+    upload_data.py example imports this name although its own module never
+    defines it; provided here so the import surface resolves.)"""
+    from dance_tpu.data.io import read_h5ad
+    return read_h5ad(str(path))

@@ -490,3 +490,19 @@ def load_graph(path, data):
     adj = adj + adj.T.multiply(adj.T > adj) - adj.multiply(adj.T > adj)
     adj = sp.csr_matrix(adj) + sp.eye(adj.shape[0], format="csr")
     return csr_from_scipy(sp.csr_matrix(row_normalize(adj), dtype=np.float32))
+
+
+def calculate_log_library_size(Dataset):
+    """Per-dataset log-library mean/var columns (parity: preprocess.py:89);
+    raises on zero-read cells like the reference."""
+    t = np.asarray(np.asarray(Dataset).sum(axis=1)).astype(np.float64).ravel()
+    zero_idx = np.where(t == 0)[0]
+    if zero_idx.any():
+        raise ValueError(
+            f"Cells with zero reads encountered (index up to first ten): "
+            f"{zero_idx[:10]}\nPlease perform necessary filtering to remove "
+            "trivial cells to suppress this error.")
+    lib_size = np.log(t)
+    n = len(t)
+    return (np.full((n, 1), np.mean(lib_size)),
+            np.full((n, 1), np.var(lib_size)))
