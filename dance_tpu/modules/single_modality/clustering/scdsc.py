@@ -145,22 +145,37 @@ class ScDSC(NNPretrain, BaseClusteringMethod):
     # --- training ---------------------------------------------------------
 
     @partial(jax.jit, static_argnames=("self",))
-    def _pretrain_step(self, params, opt_state, x):
-        def loss_fn(params):
-            x_bar, *_ = self.model.apply({"params": params}, x,
-                                         method=lambda m, x: m.ae(x))
-            return jnp.mean((x_bar - x) ** 2)
+    def _pretrain_epoch(self, params, opt_state, x, idx, key):
+        """Scanned minibatch AE pretrain epoch (the reference's DataLoader
+        batching, scdsc.py pretrain); ``idx`` is the (nb, bs) shuffled index
+        matrix so activation memory is bounded by the batch."""
+        def loss_fn(params, bx):
+            x_bar, *_ = self.model.apply({"params": params}, bx,
+                                         method=lambda m, xx: m.ae(xx))
+            return jnp.mean((x_bar - bx) ** 2)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = self._pt_tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        def step(carry, batch_idx):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, x[batch_idx])
+            updates, opt_state = self._pt_tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state),
+                                                   idx)
+        return params, opt_state, losses.mean()
 
     def pretrain(self, x, batch_size: int = 256, epochs: int = 200, lr: float = 1e-3):
+        from dance_tpu.utils.batch import epoch_batches
         x = jnp.asarray(x, jnp.float32)
         self._pt_tx = optax.adam(lr)
         opt_state = self._pt_tx.init(self.params)
+        key = jax.random.key(self.seed)
+        bs = min(batch_size, x.shape[0])
         for epoch in range(epochs):
-            self.params, opt_state, loss = self._pretrain_step(self.params, opt_state, x)
+            key, ek = jax.random.split(key)
+            idx = epoch_batches(ek, x.shape[0], bs)
+            self.params, opt_state, loss = self._pretrain_epoch(
+                self.params, opt_state, x, idx, ek)
             if epoch % 100 == 0:
                 logger.info("AE pretrain epoch %d, MSE %.6f", epoch, float(loss))
 
