@@ -108,9 +108,20 @@ class BabelWrapper(BaseRegressionMethod):
         return params, opt_state, losses.mean()
 
     def fit(self, x_train, y_train, val_ratio: float = 0.15, epochs: int = 100,
-            lr: float = 1e-3, batch_size: int = 64):
-        x1 = to_device(as_numpy(x_train), jnp.float32)
-        x2 = to_device(as_numpy(y_train), jnp.float32)
+            lr: float = 1e-3, batch_size: int = 64, earlystop: int = 20):
+        """``val_ratio`` holds out cells whose cross-modal prediction RMSE
+        selects the best parameters and early-stops past ``earlystop``
+        non-improving epochs (parity: babel.py:815-860); set to 0 to train
+        on everything with no selection."""
+        x1_all = as_numpy(x_train).astype(np.float32)
+        x2_all = as_numpy(y_train).astype(np.float32)
+        n = x1_all.shape[0]
+        n_val = int(n * val_ratio) if n > 20 else 0
+        rng = np.random.default_rng(self.seed)
+        perm = rng.permutation(n)
+        tr, va = perm[:n - n_val or None], perm[n - n_val:] if n_val else []
+        x1 = to_device(x1_all[tr], jnp.float32)
+        x2 = to_device(x2_all[tr], jnp.float32)
         lib1 = x1.sum(1, keepdims=True)
         if self.params is None:
             self.net = _Babel(dim1=x1.shape[1], dim2=x2.shape[1], hidden=self.hidden)
@@ -120,12 +131,31 @@ class BabelWrapper(BaseRegressionMethod):
         opt_state = self._tx.init(self.params)
         key = jax.random.key(self.seed)
         bs = min(batch_size, x1.shape[0])
+        if n_val:
+            xv1 = to_device(x1_all[va], jnp.float32)
+            xv2 = x2_all[va]
+        vals, best_params = [], self.params
         for epoch in range(epochs):
             key, ek = jax.random.split(key)
             self.params, opt_state, loss = self._train_epoch(
                 self.params, opt_state, x1, x2, lib1, ek, bs)
+            if n_val:
+                z1 = self.net.apply({"params": self.params}, jnp.log1p(xv1),
+                                    method=self.net.encode1)
+                pred = np.asarray(self.net.apply({"params": self.params}, z1,
+                                                 method=self.net.dec2))
+                vals.append(float(np.sqrt(((pred - xv2) ** 2).mean())))
+                if min(vals) == vals[-1]:
+                    best_params = self.params
+                if (epoch > earlystop
+                        and min(vals) != min(vals[-earlystop:])):
+                    logger.info("BABEL early stopped at epoch %d (val RMSE "
+                                "%.5f)", epoch, min(vals))
+                    break
             if epoch % 20 == 0:
                 logger.info("BABEL epoch %d, loss %.5f", epoch, float(loss))
+        if n_val:
+            self.params = best_params
         return self
 
     def predict(self, x):

@@ -175,11 +175,18 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
                 latent = self._encode(self.params, x)
                 q = soft_assign(latent, self.mu, self.alpha)
                 p = target_distribution(q)
+                y_pred_new = np.asarray(q.argmax(1))
+                # DEC early stop on label-change fraction (scdeepcluster.py:446)
+                delta_label = float((y_pred_new != self.y_pred).mean())
                 self.q, self.z = np.asarray(q), np.asarray(latent)
-                self.y_pred = np.asarray(q.argmax(1))
+                self.y_pred = y_pred_new
                 snapshots.append((self.q, self.z, self.y_pred))
                 if y is not None:
                     aris.append(self.score(None, y))
+                if epoch > 0 and delta_label < tol:
+                    logger.info("Reach tolerance threshold (%.3e < %.3e). "
+                                "Stopping training.", delta_label, tol)
+                    break
             key, ek = jax.random.split(key)
             self.params, self.mu, opt_state, loss = self._cluster_epoch(
                 self.params, self.mu, opt_state, x, x_raw, sf, p, ek, bs)

@@ -131,7 +131,8 @@ class ScTAG(NNPretrain, BaseClusteringMethod):
 
     @partial(jax.jit, static_argnames=("self", "use_cluster"))
     def _step(self, params, mu, opt_state, adj, x, x_raw, sf, adj_target, p,
-              w_a, w_x, w_c, w_d, use_cluster: bool):
+              w_a, w_x, w_c, w_d, use_cluster: bool, min_dist=0.5,
+              max_dist=20.0):
         def loss_fn(theta):
             params, mu = theta
             z, adj_logits, mean, disp, pi = self.net.apply({"params": params}, adj, x)
@@ -140,7 +141,9 @@ class ScTAG(NNPretrain, BaseClusteringMethod):
                        + (1 - adj_target) * jnp.log(1 - adj_logits + eps)).mean()
             x_loss = zinb_nll(x_raw, mean, disp, pi, scale_factor=sf[:, None])
             loss = w_a * a_loss + w_x * x_loss
-            loss = jnp.where(w_d > 0, loss + w_d * dist_loss(z), loss)
+            loss = jnp.where(w_d > 0,
+                             loss + w_d * dist_loss(z, min_dist, max_dist),
+                             loss)
             if use_cluster:
                 q = soft_assign(z, mu, self.alpha)
                 loss = loss + w_c * cluster_kl_loss(p, q)
@@ -171,7 +174,7 @@ class ScTAG(NNPretrain, BaseClusteringMethod):
         for epoch in range(epochs):
             self.params, mu, opt_state, loss = self._step(
                 self.params, mu, opt_state, self.adj_n, x, x_raw, sf, self.adj_dense,
-                p, w_a, w_x, 0.0, w_d, False)
+                p, w_a, w_x, 0.0, w_d, False, min_dist, max_dist)
             if epoch % max(info_step * 10, 1) == 0:
                 logger.info("Pretrain epoch %d, loss %.6f", epoch, float(loss))
 
@@ -199,7 +202,8 @@ class ScTAG(NNPretrain, BaseClusteringMethod):
             self._perm = np.asarray(perm)
             x, x_raw, n_counts = x[perm], x_raw[perm], n_counts[perm]
         self._pretrain(adj, x, x_raw, n_counts, epochs=pretrain_epochs, lr=lr, w_a=w_a,
-                       w_x=w_x, w_d=w_d, force_pretrain=force_pretrain)
+                       w_x=w_x, w_d=w_d, min_dist=min_dist, max_dist=max_dist,
+                       force_pretrain=force_pretrain)
         x = jnp.asarray(x, jnp.float32)
         x_raw = jnp.asarray(x_raw, jnp.float32)
         sf = jnp.asarray(n_counts / np.median(n_counts), jnp.float32)
@@ -223,7 +227,7 @@ class ScTAG(NNPretrain, BaseClusteringMethod):
                 snapshots.append(self.q)
             self.params, self.mu, opt_state, loss = self._step(
                 self.params, self.mu, opt_state, self.adj_n, x, x_raw, sf,
-                self.adj_dense, p, w_a, w_x, w_c, w_d, True)
+                self.adj_dense, p, w_a, w_x, w_c, w_d, True, min_dist, max_dist)
         if aris:
             self.q = snapshots[int(np.argmax(aris))]
         return self

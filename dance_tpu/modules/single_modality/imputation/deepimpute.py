@@ -171,16 +171,53 @@ class DeepImpute(BaseRegressionMethod):
         self._tx = optax.adam(lr)
         opt_state = self._tx.init(self.params)
 
-        Xj, Yj, Mj = to_device(X), to_device(Y), to_device(mask_arr)
-        bs = min(batch_size, X.shape[0])
-        best = np.inf
+        # 95/5 validation split for early stopping (parity: deepimpute.py:264,
+        # :299 — the reference stops each subnet on its val loss with
+        # `patience`; the vmapped ensemble shares one val signal, the mean)
+        n = X.shape[0]
+        n_val = max(int(0.05 * n), 1) if n > 20 and patience else 0
+        rng = np.random.default_rng(self.seed)
+        perm = rng.permutation(n)
+        val_sel, tr_sel = perm[:n_val], perm[n_val:]
+        Xj, Yj, Mj = (to_device(X[tr_sel]), to_device(Y[tr_sel]),
+                      to_device(mask_arr[tr_sel]))
+        if n_val:
+            Xv, Yv, Mv = (to_device(X[val_sel]), to_device(Y[val_sel]),
+                          to_device(mask_arr[val_sel]))
+        bs = min(batch_size, len(tr_sel))
+        best, best_params, counter = np.inf, self.params, 0
         for epoch in range(n_epochs):
             key, ek = jax.random.split(key)
             self.params, opt_state, loss = self._train_epoch(
                 self.params, opt_state, Xj, Yj, Mj, ek, bs)
+            if n_val:
+                val = float(self._val_loss(self.params, Xv, Yv, Mv))
+                if val < best:
+                    best, best_params, counter = val, self.params, 0
+                else:
+                    counter += 1
+                    if counter >= patience:
+                        logger.info("DeepImpute early stopped at epoch %d "
+                                    "(val wMSE %.6f)", epoch, best)
+                        break
             if epoch % 20 == 0:
                 logger.info("DeepImpute epoch %d, wMSE %.6f", epoch, float(loss))
+        if n_val:
+            self.params = best_params
         return self
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _val_loss(self, params, X, Y, M):
+        pred_idx, targ_idx, targ_mask = self._idx
+
+        def one(sub_params, p_idx, t_idx, t_mask):
+            pred = self.net.apply({"params": sub_params}, X[:, p_idx])
+            y = Y[:, t_idx]
+            m = M[:, t_idx] * t_mask[None, :]
+            w = y  # same wMSE weighting as the train loss
+            return (w * m * (pred - y) ** 2).sum() / jnp.maximum(m.sum(), 1.0)
+
+        return jax.vmap(one)(params, pred_idx, targ_idx, targ_mask).mean()
 
     @partial(jax.jit, static_argnames=("self",))
     def _predict_all(self, params, X):

@@ -104,17 +104,25 @@ class GraphSCI(BaseRegressionMethod):
 
     @partial(jax.jit, static_argnames=("self",))
     def _step(self, params, opt_state, adj, gene_feat, x, x_raw, sf, adj_target,
-              loss_mask, key):
+              loss_mask, key, le, la, ke, ka):
         def loss_fn(params):
             adj_logits, mean, disp, mu, logvar = self.net.apply(
                 {"params": params}, adj, gene_feat, x, key)
             eps = 1e-7
+            # loss-term weights mirror the reference (graphsci.py:476-497):
+            # la scales the adjacency BCE, le the expression NLL, ka the
+            # adjacency KL
             a_loss = -(adj_target * jnp.log(adj_logits + eps)
                        + (1 - adj_target) * jnp.log(1 - adj_logits + eps)).mean()
             x_loss = (nb_nll(x_raw, mean, disp, scale_factor=sf[:, None], reduce=False)
                       * loss_mask).sum() / jnp.maximum(loss_mask.sum(), 1.0)
             kl = kl_divergence(mu, logvar) / mu.shape[0]
-            return a_loss + x_loss + 0.1 * kl
+            # ke subtracts an expression-embedding anchor like the reference's
+            # kl_exp term; our AE has no stochastic expression latent, so its
+            # anchor is the masked recon MSE of the NB mean in log space
+            exp_anchor = (((jnp.log1p(mean) - x) ** 2) * loss_mask).mean()
+            return (la * a_loss + le * x_loss + 0.1 * ka * kl
+                    + 0.5 * ke * exp_anchor)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = self._tx.update(grads, opt_state, params)
@@ -149,7 +157,7 @@ class GraphSCI(BaseRegressionMethod):
             key, sk = jax.random.split(key)
             self.params, opt_state, loss = self._step(
                 self.params, opt_state, dg.adj, gene_feat, xj, xrj, sf,
-                adj_target, maskj, sk)
+                adj_target, maskj, sk, le, la, ke, ka)
             if epoch % 50 == 0:
                 logger.info("GraphSCI epoch %d, loss %.6f", epoch, float(loss))
         self._cache = (dg, gene_feat, xj)

@@ -25,8 +25,13 @@ from dance_tpu.utils.wrappers import as_numpy
 
 
 @partial(jax.jit, static_argnames=("max_iter",))
-def _cardref(X, U, W, phi, V0, max_iter: int):
-    """CARD V updates (parity: card.py:44-120); X is genes × spots."""
+def _cardref(X, U, W, phi, V0, max_iter: int, epsilon: float = 0.0):
+    """CARD V updates (parity: card.py:44-120); X is genes × spots.
+
+    ``epsilon > 0`` enables the reference's convergence stop inside a
+    lax.while_loop: exit past iteration 5 when the V root-mean-square change
+    drops below epsilon (card.py:111-118's logic2; the objective-based
+    logic1 is subsumed — V stationarity implies objective stationarity)."""
     n_sample = X.shape[1]
     k = U.shape[1]
     has_w = W is not None
@@ -46,8 +51,8 @@ def _cardref(X, U, W, phi, V0, max_iter: int):
         D = L = jnp.zeros((n_sample, n_sample))
         accu_L = 1.0
 
-    def body(_, carry):
-        V, Lambda, b = carry
+    def update(carry):
+        i, V, Lambda, b = carry
         vecOne = jnp.ones((n_sample, 1))
         temp = (V.T - b @ vecOne.T) @ L @ (V - vecOne @ b.T)
         Lambda = (jnp.diag(temp) / 2.0 + beta) / (n_sample / 2.0 + alpha + 1.0)
@@ -60,12 +65,23 @@ def _cardref(X, U, W, phi, V0, max_iter: int):
         # vectorized per-cell-type multiplicative update
         den = Lambda[None, :] * (V @ UtU) + part1
         num = Lambda[None, :] * XtU + part2
-        V = V * num / jnp.maximum(den, 1e-12)
-        return V, Lambda, b
+        V_new = V * num / jnp.maximum(den, 1e-12)
+        return i + 1, V_new, Lambda, b, V
+
+    def cond(carry):
+        i, V, Lambda, b, V_old = carry
+        rms = jnp.sqrt(jnp.sum((V - V_old) ** 2) / (n_sample * k))
+        converged = (i > 5) & (rms < epsilon)
+        return (i < max_iter) & ~converged
+
+    def body(carry):
+        i, V, Lambda, b, _ = carry
+        return update((i, V, Lambda, b))
 
     Lambda0 = jnp.full(k, 10.0)
     b0 = jnp.zeros((k, 1))
-    V, Lambda, b = jax.lax.fori_loop(0, max_iter, body, (V0, Lambda0, b0))
+    init = (jnp.int32(0), V0, Lambda0, b0, jnp.full_like(V0, jnp.inf))
+    _, V, Lambda, b, _ = jax.lax.while_loop(cond, body, init)
     # final objective (for phi selection)
     normNMF = (X * X).sum() - 2.0 * jnp.trace(UtX @ V) + jnp.trace(UtU @ (V.T @ V))
     m, n = X.shape
@@ -125,7 +141,7 @@ class Card(BaseRegressionMethod):
 
         for phi in ([0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99] if kernel is not None
                     else [0.0]):
-            pred, obj = _cardref(X, b_mat, kernel, phi, V0, max_iter)
+            pred, obj = _cardref(X, b_mat, kernel, phi, V0, max_iter, epsilon)
             obj = float(obj)
             if obj > self.best_obj:
                 self.best_obj = obj

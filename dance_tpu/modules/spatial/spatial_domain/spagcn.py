@@ -373,23 +373,33 @@ class SpaGCN(BaseClusteringMethod):
 
         w0 = jnp.eye(embed.shape[1], dtype=jnp.float32)
         z0 = np.asarray(a_norm @ (xj @ w0))
+        # init_spa=False clusters on expression only, ignoring the spatial
+        # propagation (parity: spagcn.py:475-487)
+        init_feats = z0 if init_spa else embed
 
         # initialize cluster assignment
         if init == "louvain":
             from dance_tpu.ops.cluster import louvain
             from dance_tpu.ops.neighbors import knn_graph
-            g = knn_graph(z0, min(n_neighbors, len(z0) - 1), mode="connectivity",
-                          include_self=False)
+            g = knn_graph(init_feats, min(n_neighbors, len(init_feats) - 1),
+                          mode="connectivity", include_self=False)
             y0 = louvain(g, resolution=res, seed=self.seed)
         else:
             from dance_tpu.ops.cluster import kmeans
-            y0 = np.asarray(kmeans(z0, n_clusters or 10, seed=self.seed).labels)
+            y0 = np.asarray(kmeans(init_feats, n_clusters or 10,
+                                   seed=self.seed).labels)
         k = int(y0.max()) + 1
         mu0 = np.stack([z0[y0 == c].mean(0) if (y0 == c).any() else z0.mean(0)
                         for c in range(k)])
 
         theta = (w0, jnp.asarray(mu0, jnp.float32))
-        self._tx = optax.adam(lr)
+        # opt/weight_decay mirror the reference's optimizer knobs (:427,:467)
+        if opt == "sgd":
+            self._tx = optax.chain(optax.add_decayed_weights(weight_decay),
+                                   optax.sgd(lr, momentum=0.9))
+        else:
+            self._tx = (optax.adamw(lr, weight_decay=weight_decay)
+                        if weight_decay else optax.adam(lr))
         opt_state = self._tx.init(theta)
         y_last = y0
         for epoch in range(epochs):

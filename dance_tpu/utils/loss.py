@@ -97,12 +97,13 @@ def cluster_kl_loss(p, q):
 # --------------------------------------------------------------------------
 
 def dist_loss(z, min_dist: float = 1.0, max_dist: float = 20.0):
-    """Penalize latent pairwise distances collapsing below ``min_dist``."""
+    """Soft two-sided barrier keeping latent pairwise distances inside
+    [min_dist, max_dist]: mean of exp(-(d-min)) + exp(-(max-d))
+    (parity: loss.py:832; the reference returns the matrix and callers take
+    the mean — folded in here since every caller does)."""
     d2 = jnp.sum((z[:, None, :] - z[None, :, :]) ** 2, axis=-1)
-    n = z.shape[0]
-    mask = 1.0 - jnp.eye(n)
-    pen = jnp.square(jnp.maximum(min_dist - jnp.sqrt(d2 + EPS), 0.0))
-    return jnp.sum(pen * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    d = jnp.sqrt(d2 + 1e-10)
+    return jnp.mean(jnp.exp(-(d - min_dist)) + jnp.exp(-(max_dist - d)))
 
 
 # --------------------------------------------------------------------------
