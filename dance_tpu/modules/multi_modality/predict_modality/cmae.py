@@ -140,6 +140,18 @@ class CMAE(BaseRegressionMethod):
             if epoch % 50 == 0:
                 logger.info("CMAE epoch %d, G %.5f D %.5f", epoch, float(g_loss),
                             float(d_loss))
+        if checkpoint_directory is not None:
+            # the reference snapshots G/D states under the checkpoint dir
+            # (cmae.py resume/save); one final-state snapshot here
+            import os
+            import pickle
+            os.makedirs(checkpoint_directory, exist_ok=True)
+            path = os.path.join(checkpoint_directory,
+                                f"gen_{epochs:08d}.pt.pkl")
+            with open(path, "wb") as fh:
+                pickle.dump({"gen": jax.device_get(self.params),
+                             "dis": jax.device_get(d_params)}, fh)
+            logger.info("CMAE checkpoint written to %s", path)
         return self
 
     def predict(self, x):

@@ -230,6 +230,10 @@ class ScGNN2(BaseRegressionMethod):
     # --- EM loop --------------------------------------------------------------
 
     def fit(self, x, x_raw=None, mask=None):
+        """``x`` is the log-normalized matrix the EM loop trains on (the
+        reference's Feature/Graph/Cluster AEs also consume the normalized
+        data, scgnn2.py:1123); ``x_raw`` is accepted for the shared
+        imputation-fit signature and not used by this method."""
         from dance_tpu.ops.neighbors import knn_graph
         import scipy.sparse as sp
 
