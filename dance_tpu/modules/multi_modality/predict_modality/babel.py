@@ -144,7 +144,9 @@ class BabelWrapper(BaseRegressionMethod):
                                     method=self.net.encode1)
                 pred = np.asarray(self.net.apply({"params": self.params}, z1,
                                                  method=self.net.dec2))
-                vals.append(float(np.sqrt(((pred - xv2) ** 2).mean())))
+                # under dp sharding to_device wrap-pads rows; drop the pad
+                vals.append(float(np.sqrt(
+                    ((pred[:len(xv2)] - xv2) ** 2).mean())))
                 if min(vals) == vals[-1]:
                     best_params = self.params
                 if (epoch > earlystop
