@@ -124,10 +124,29 @@ class AnnDataSimilarity:
     # --- preparation ------------------------------------------------------
 
     def filter_gene(self, n_top_genes: int = 3000):
-        common = sorted(set(self.origin_adata1.var_names)
-                        & set(self.origin_adata2.var_names))
-        self.adata1 = self.origin_adata1[:, np.asarray(common)]
-        self.adata2 = self.origin_adata2[:, np.asarray(common)]
+        """Restrict both datasets to the intersection of their top
+        highly-variable genes (parity: anndata_similarity.py:100-119);
+        datasets with fewer genes fall back to the plain intersection."""
+        from dance_tpu import sc as _sc
+        a1, a2 = self.origin_adata1, self.origin_adata2
+        if min(a1.n_vars, a2.n_vars) > n_top_genes:
+            _sc.pp.filter_genes(a1, min_counts=3)
+            _sc.pp.filter_genes(a2, min_counts=3)
+            _sc.pp.highly_variable_genes(a1, n_top_genes=n_top_genes,
+                                         flavor="seurat_v3", check_values=False)
+            _sc.pp.highly_variable_genes(a2, n_top_genes=n_top_genes,
+                                         flavor="seurat_v3", check_values=False)
+            hv1 = set(np.asarray(a1.var_names)[np.asarray(
+                a1.var["highly_variable"], bool)])
+            hv2 = set(np.asarray(a2.var_names)[np.asarray(
+                a2.var["highly_variable"], bool)])
+            common = sorted(hv1 & hv2)
+        else:
+            common = sorted(set(a1.var_names) & set(a2.var_names))
+        if not common:  # degenerate inputs: keep the plain intersection
+            common = sorted(set(a1.var_names) & set(a2.var_names))
+        self.adata1 = a1[:, np.asarray(common)]
+        self.adata2 = a2[:, np.asarray(common)]
         self.common_genes = common
 
     def preprocess(self):

@@ -684,6 +684,8 @@ def save_summary_data(entity=None, project=None, sweep_id=None, summary_file_pat
                 rows.append({**dict(run.config), **dict(run.summary)})
         df = pd.DataFrame(rows)
     if save and summary_file_path:
+        if root_path is not None and not os.path.isabs(summary_file_path):
+            summary_file_path = os.path.join(root_path, summary_file_path)
         os.makedirs(os.path.dirname(os.path.abspath(summary_file_path)), exist_ok=True)
         df.to_csv(summary_file_path, index=False)
     return df
@@ -753,11 +755,17 @@ def get_step3_yaml(result_load_path: str, step2_pipeline_planer: PipelinePlaner,
             if required_params and i_req < len(required_params):
                 elem["params"] = required_params[i_req]
             pipeline_elems.insert(min(idx, len(pipeline_elems)), elem)
-        cfg = Config({"type": planer_cfg.get("type", "preprocessor"),
-                      "tune_mode": "params",
-                      "parameter_tuning_freq_n":
-                          getattr(step2_pipeline_planer, "parameter_tuning_freq_n", 20),
-                      "pipeline": pipeline_elems})
+        # conf_load_path supplies a base template (the reference's
+        # step3_default_params.yaml, pipeline.py:1044) the generated fields
+        # overlay
+        base = (Config.from_file(conf_load_path).to_dict()
+                if conf_load_path else {})
+        base.update({"type": planer_cfg.get("type", "preprocessor"),
+                     "tune_mode": "params",
+                     "parameter_tuning_freq_n":
+                         getattr(step2_pipeline_planer, "parameter_tuning_freq_n", 20),
+                     "pipeline": pipeline_elems})
+        cfg = Config(base)
         if step2_pipeline_planer.wandb_config:
             cfg["wandb"] = step2_pipeline_planer.wandb_config
         path = os.path.join(conf_save_path, f"{rank}_params_tuning_config.yaml")

@@ -347,6 +347,12 @@ def highly_variable_genes(adata, *, flavor: str = "seurat", n_top_genes: Optiona
     elif flavor == "seurat_v3":
         if n_top_genes is None:
             n_top_genes = 2000
+        if check_values:
+            sample = (X.data[:100] if sp.issparse(X)
+                      else np.asarray(X).ravel()[:1000])
+            if not np.allclose(sample, np.round(sample)):
+                logger.warning("`flavor='seurat_v3'` expects raw count data, "
+                               "but non-integers were found.")
         Xd = X
         mean = np.asarray(Xd.mean(axis=0)).ravel()
         if sp.issparse(Xd):
@@ -394,6 +400,18 @@ def calculate_qc_metrics(adata, *, percent_top=(50, 100, 200, 500), inplace: boo
     total = _row_sums(X)
     adata.obs["n_genes_by_counts"] = n_genes
     adata.obs["total_counts"] = total
+    if percent_top:
+        # scanpy's pct_counts_in_top_N_genes: share of each cell's counts in
+        # its N most-expressed genes
+        dense = _dense(X)
+        tops = sorted(int(t) for t in percent_top if t <= X.shape[1])
+        if tops:
+            part = -np.sort(-dense, axis=1)[:, :max(tops)]
+            csum = np.cumsum(part, axis=1)
+            denom = np.maximum(total, 1e-12)
+            for t in tops:
+                adata.obs[f"pct_counts_in_top_{t}_genes"] = (
+                    csum[:, t - 1] / denom * 100.0)
     adata.var["n_cells_by_counts"] = np.asarray((X > 0).sum(axis=0)).ravel()
     adata.var["total_counts"] = _col_sums(X)
     adata.var["mean_counts"] = adata.var["total_counts"] / X.shape[0]
