@@ -257,3 +257,18 @@ def test_celltypist_lr_matches_reference(monkeypatch):
     clf_our = LRClassifier_celltypist(x, labels, C=1.0, solver=None,
                                       max_iter=200, n_jobs=1)
     assert (clf_ref.predict(x) == clf_our.predict(x)).all()
+
+
+def test_scmm_preprocessing_matches_reference(counts):
+    import torch
+    ref_mod = "dance.modules.multi_modality.predict_modality.scmm"
+    ref_prot = refshim.import_ref(ref_mod, "protein_preprocessing")
+    ref_atac = refshim.import_ref(ref_mod, "atac_preprocessing")
+    from dance_tpu.modules.multi_modality.predict_modality.scmm import (
+        atac_preprocessing, protein_preprocessing)
+    t = counts[:20, :12] + 0.0
+    np.testing.assert_allclose(ref_prot(torch.tensor(t)).numpy(),
+                               np.asarray(protein_preprocessing(t)), rtol=1e-5)
+    np.testing.assert_allclose(
+        ref_atac(torch.tensor(t.copy())).numpy(),
+        np.asarray(atac_preprocessing(t.copy())), rtol=1e-6)
