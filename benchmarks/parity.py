@@ -888,7 +888,14 @@ def run_scmm_match():
     torch.manual_seed(0)
     np.random.seed(0)
     ref = RefMMVAE("rna-protein", params)
-    ref.fit(torch.from_numpy(x_tr), torch.from_numpy(y_tr))
+    import tempfile
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as tmp:
+        os.chdir(tmp)  # the reference fit writes models/model_{seed}.pth to CWD
+        try:
+            ref.fit(torch.from_numpy(x_tr), torch.from_numpy(y_tr))
+        finally:
+            os.chdir(cwd)
     n = len(x_te)
     # hard top-1 accuracy from the reference's soft matching matrix
     pred = ref.predict(torch.from_numpy(x_te), torch.from_numpy(y_te),

@@ -15,30 +15,32 @@ import numpy as np
 import optax
 
 from dance_tpu.modules.base import BaseRegressionMethod
-from dance_tpu.modules.multi_modality.predict_modality.scmogcn import _ScMoGCN
+from dance_tpu.modules.multi_modality.predict_modality.scmogcn import (
+    ScMoGCN as _Trunk, build_hetero_graph)
 from dance_tpu.settings import logger
 from dance_tpu.typing import LogLevel, Optional
 from dance_tpu.utils.wrappers import as_numpy
 
 
 class _JENet(nn.Module):
-    """Bipartite GNN trunk -> z embedding -> cell-type head."""
+    """Full scMoGNN trunk -> z embedding -> cell-type head."""
 
     z_dim: int
     n_ct: int
     hidden: int
     n_layers: int
+    feature_size: int
 
     def setup(self):
-        self.trunk = _ScMoGCN(out_dim=self.z_dim, hidden=self.hidden,
-                              n_layers=self.n_layers)
+        self.trunk = _Trunk(out_size=self.z_dim, feature_size=self.feature_size,
+                            hidden_size=self.hidden, conv_layers=self.n_layers)
         self.head = nn.Dense(self.n_ct)
 
-    def embed(self, adj, cell_feat, feat_feat):
-        return self.trunk(adj, cell_feat, feat_feat)
+    def embed(self, g):
+        return self.trunk(g)
 
-    def __call__(self, adj, cell_feat, feat_feat):
-        z = self.trunk(adj, cell_feat, feat_feat)
+    def __call__(self, g):
+        z = self.trunk(g)
         return z, self.head(nn.relu(z))
 
 
@@ -64,9 +66,10 @@ class ScMoGCNWrapper(BaseRegressionMethod):
                           "label_channel_type": "obs"}, log_level=log_level)
 
     @partial(jax.jit, static_argnames=("self", "has_labels"))
-    def _step(self, params, opt_state, adj, cell_feat, feat_feat, ct, has_labels):
+    def _step(self, params, opt_state, g, ct, rng, has_labels):
         def loss_fn(params):
-            emb, logits = self.net.apply({"params": params}, adj, cell_feat, feat_feat)
+            emb, logits = self.net.apply({"params": params}, g,
+                                         rngs={"dropout": rng})
             loss = 1e-4 * jnp.mean(emb ** 2)  # mild embedding regularization
             if has_labels:
                 loss = loss + optax.softmax_cross_entropy_with_integer_labels(
@@ -77,14 +80,11 @@ class ScMoGCNWrapper(BaseRegressionMethod):
         updates, opt_state = self._tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    def fit(self, x_mod1, x_mod2, cell_type=None, epochs: int = 150, lr: float = 1e-2):
-        from dance_tpu.modules.multi_modality.predict_modality.scmogcn import (
-            ScMoGCNWrapper as _P)
+    def fit(self, x_mod1, x_mod2, cell_type=None, epochs: int = 150,
+            lr: float = 1e-2, use_bsr="auto", bsr_block: int = 128):
         x = np.concatenate([as_numpy(x_mod1), as_numpy(x_mod2)], axis=1).astype(
             np.float32)
-        adj = _P._build_graph(x)
-        cell_feat = jnp.asarray(np.log1p(x))
-        feat_feat = jnp.asarray(np.log1p(x).T[:, :min(64, x.shape[0])])
+        g = build_hetero_graph(x, use_bsr=use_bsr, bsr_block=bsr_block)
         has_labels = cell_type is not None
         if has_labels:
             names, ct = np.unique(as_numpy(cell_type), return_inverse=True)
@@ -92,25 +92,24 @@ class ScMoGCNWrapper(BaseRegressionMethod):
         else:
             ct, n_ct = np.zeros(len(x), np.int64), 1
         self.net = _JENet(z_dim=self.z_dim, n_ct=n_ct, hidden=self.hidden,
-                          n_layers=self.n_layers)
+                          n_layers=self.n_layers, feature_size=g.n_feats)
         key = jax.random.key(self.seed)
-        self.params = self.net.init(key, adj, cell_feat, feat_feat)["params"]
+        self.params = self.net.init({"params": key, "dropout": key}, g)["params"]
         self._tx = optax.adam(lr)
         opt_state = self._tx.init(self.params)
         ctj = jnp.asarray(ct, jnp.int32)
         for epoch in range(epochs):
-            self.params, opt_state, loss = self._step(self.params, opt_state, adj,
-                                                      cell_feat, feat_feat, ctj,
-                                                      has_labels)
+            rng = jax.random.fold_in(key, epoch)
+            self.params, opt_state, loss = self._step(self.params, opt_state, g,
+                                                      ctj, rng, has_labels)
             if epoch % 50 == 0:
                 logger.info("scMoGNN-JE epoch %d, loss %.5f", epoch, float(loss))
-        self._cache = (adj, cell_feat, feat_feat)
+        self._cache = g
         return self
 
     def predict(self, x=None):
-        adj, cell_feat, feat_feat = self._cache
-        return np.asarray(self.net.apply({"params": self.params}, adj, cell_feat,
-                                         feat_feat, method=self.net.embed))
+        return np.asarray(self.net.apply({"params": self.params}, self._cache,
+                                         method=self.net.embed))
 
     def score(self, x, y, *, score_func=None, return_pred: bool = False,
               metric: str = "clustering", batch=None, **kwargs):

@@ -1,14 +1,295 @@
 """scMoGNN v2 joint embedding (parity: dance/modules/multi_modality/
-joint_embedding/scmogcnv2.py:325,:933).
+joint_embedding/scmogcnv2.py:933-1213 — the file's operative second half).
 
-The v2 recipe (auxiliary supervised heads over the bipartite GNN trunk) is the
-implementation served by :mod:`.scmogcn`; this module keeps the reference
-import path.
+The v2 recipe trains the full scMoGNN GNN trunk encode-only over the
+concatenated-modality cell-feature graph with a *structured latent*:
+columns [0, ct_dim) form a cell-type space (supervised by an auxiliary
+``c_decoder`` CE head and a ``cc_decoder`` cell-cycle MSE head,
+scmogcnv2.py:1069-1070), columns [shared_start, -2) a shared space, and the
+last two the phase slot.  The decoder reconstructs both modality blocks
+from ``[emb[:, :ct_dim], emb[:, shared_start:-2], one_hot(batch)]``
+(scmogcnv2.py:1048-1059); training runs on cell minibatches with
+degree-weighted feature sampling (0.6 rate, :1023), best-validation
+selection, early stopping and lr decay after epoch 150 (:1091-1102).  The
+joint embedding is ``[emb[:, :ct_dim], emb[:, shared_start:-2]]`` (:1167).
+
+(The reference's ``embed`` method at :927-930 is dimensionally inconsistent
+dead code — ``cc_decoder`` is Linear(47, 20) but is applied to a 2-column
+slice — so ``predict`` here follows the operative :1167 path.)
+
+TPU design: the sampled subgraph is two on-device gathers into a dense
+(batch × sampled-features) block — see predict_modality/scmogcn.py — and the
+whole train step is one jitted program.
 """
 
-from dance_tpu.modules.multi_modality.joint_embedding.scmogcn import (_JENet,
-                                                                      ScMoGCNWrapper)
+from typing import Optional
 
-ScMoGCNWrapperV2 = ScMoGCNWrapper
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
 
-__all__ = ["ScMoGCNWrapper", "ScMoGCNWrapperV2"]
+from dance_tpu.modules.multi_modality.predict_modality.scmogcn import (
+    HeteroExpnGraph, ScMoGCN as _Trunk, build_hetero_graph)
+from dance_tpu.settings import logger
+from dance_tpu.typing import LogLevel
+from dance_tpu.utils.wrappers import as_numpy
+
+
+def propagation_layer_combination(X, idx, wt, from_logits: bool = True):
+    """Softmax-weighted layer combination (parity: scmogcnv2.py:625-633)."""
+    wt = jnp.asarray(wt)
+    if from_logits:
+        wt = jax.nn.softmax(wt, -1)
+    x = 0
+    for i in range(wt.shape[0]):
+        x = x + wt[i] * jnp.asarray(X[i])[jnp.asarray(idx)]
+    return x
+
+
+class _ScMoGCNv2Net(nn.Module):
+    """GNN trunk encode + structured-latent decoder + auxiliary heads
+    (parity: scmogcnv2.py:636-931)."""
+
+    feature_size: int
+    out_size: int                 # feat1 + feat2 reconstruction target
+    n_ct: int
+    phase_dim: int = 2
+    hidden_size: int = 14
+    conv_layers: int = 4
+    readout_layers: int = 1
+    ct_dim: int = 20
+    shared_start: int = 45
+    model_dropout: float = 0.2
+    edge_dropout: float = 0.3
+
+    def setup(self):
+        self.trunk = _Trunk(out_size=1, feature_size=self.feature_size,
+                            hidden_size=self.hidden_size,
+                            conv_layers=self.conv_layers,
+                            model_dropout=self.model_dropout,
+                            edge_dropout=self.edge_dropout)
+        dec_hid = self.ct_dim + (self.latent_dim - self.shared_start - 2)
+        self.decoder = [nn.Dense(dec_hid)
+                        for _ in range(self.readout_layers - 1)] + \
+            [nn.Dense(self.out_size)]
+        self.c_decoder = nn.Dense(self.n_ct)
+        self.cc_decoder = nn.Dense(self.phase_dim)
+        self.drop = nn.Dropout(self.model_dropout)
+
+    @property
+    def latent_dim(self) -> int:
+        return self.hidden_size * self.conv_layers
+
+    def encode(self, g: HeteroExpnGraph, deterministic: bool = True):
+        return self.trunk.encode(g, deterministic)
+
+    def decode(self, h, deterministic: bool = True):
+        for lin in self.decoder[:-1]:
+            h = self.drop(nn.gelu(lin(h)), deterministic=deterministic)
+        return self.decoder[-1](h)
+
+    def structured(self, emb, batch_onehot):
+        """[emb[:, :ct], emb[:, ss:-2], one_hot(batch)] (scmogcnv2.py:1048)."""
+        return jnp.concatenate([emb[:, :self.ct_dim],
+                                emb[:, self.shared_start:-2], batch_onehot], 1)
+
+    def __call__(self, g: HeteroExpnGraph, batch_onehot,
+                 deterministic: bool = True):
+        emb = self.encode(g, deterministic)
+        out = self.decode(self.structured(emb, batch_onehot), deterministic)
+        return emb, out, self.c_decoder(emb[:, :self.ct_dim]), \
+            self.cc_decoder(emb[:, :self.ct_dim])
+
+
+class ScMoGCNWrapperV2:
+    """v2 wrapper (parity: scmogcnv2.py:933-1213)."""
+
+    _DISPLAY_ATTRS = ("hidden_size", "conv_layers")
+
+    def __init__(self, args=None, hidden_size: int = 14, conv_layers: int = 4,
+                 ct_dim: int = 20, shared_start: int = 45,
+                 learning_rate: float = 1e-2, weight_decay: float = 1e-5,
+                 lr_decay: float = 0.99, early_stopping: int = 10,
+                 node_sampling_rate: float = 0.6, seed: int = 0):
+        if args is not None:
+            hidden_size = getattr(args, "hidden_size", hidden_size)
+            conv_layers = getattr(args, "conv_layers", conv_layers)
+            learning_rate = getattr(args, "learning_rate", learning_rate)
+            weight_decay = getattr(args, "weight_decay", weight_decay)
+            lr_decay = getattr(args, "lr_decay", lr_decay)
+            early_stopping = getattr(args, "early_stopping", early_stopping)
+            seed = getattr(args, "seed", seed)
+        if hidden_size * conv_layers < shared_start + 3:
+            raise ValueError("latent too small: hidden_size*conv_layers must "
+                             "exceed shared_start + 2")
+        self.hidden_size = hidden_size
+        self.conv_layers = conv_layers
+        self.ct_dim = ct_dim
+        self.shared_start = shared_start
+        self.learning_rate = learning_rate
+        self.weight_decay = weight_decay
+        self.lr_decay = lr_decay
+        self.early_stopping = early_stopping
+        self.node_sampling_rate = node_sampling_rate
+        self.seed = seed
+        self.params = None
+
+    @staticmethod
+    def preprocessing_pipeline(log_level: LogLevel = "INFO"):
+        from dance_tpu.transforms import SetConfig
+        return SetConfig({"feature_mod": ["mod1", "mod2"],
+                          "feature_channel": [None, None],
+                          "feature_channel_type": ["X", "X"],
+                          "label_mod": "mod1", "label_channel": "cell_type",
+                          "label_channel_type": "obs"}, log_level=log_level)
+
+    def fit(self, x_mod1, x_mod2, cell_type=None, train_labels=None,
+            batch_label=None, phase_score=None, epochs: int = 500,
+            batch_size: int = 5000):
+        """v2 fit (parity: scmogcnv2.py:948-1104).
+
+        ``train_labels`` accepts the reference 4-list
+        ``[cell_type_codes, batch_codes, _, phase_score]``; the keyword form
+        (``cell_type``/``batch_label``/``phase_score``) is equivalent."""
+        x1 = as_numpy(x_mod1).astype(np.float32)
+        x2 = as_numpy(x_mod2).astype(np.float32)
+        if train_labels is not None:
+            ct_codes = np.asarray(train_labels[0], np.int64)
+            batch_label = train_labels[1]
+            phase_score = train_labels[3]
+            n_ct = int(ct_codes.max()) + 1
+        else:
+            names, ct_codes = np.unique(as_numpy(cell_type), return_inverse=True)
+            n_ct = len(names)
+        n = len(x1)
+        feat1, feat2 = x1.shape[1], x2.shape[1]
+        x = np.concatenate([x1, x2], axis=1)
+        if batch_label is None:
+            batch_codes = np.zeros(n, np.int64)
+        else:
+            _, batch_codes = np.unique(as_numpy(batch_label), return_inverse=True)
+        n_batches = int(batch_codes.max()) + 1
+        if phase_score is None:
+            phase_score = np.zeros((n, 2), np.float32)
+        phase_score = as_numpy(phase_score).astype(np.float32)
+
+        g = build_hetero_graph(x, use_bsr=False)  # sampled fit gathers dense
+        self.net = _ScMoGCNv2Net(
+            feature_size=g.n_feats, out_size=feat1 + feat2, n_ct=n_ct,
+            phase_dim=phase_score.shape[1], hidden_size=self.hidden_size,
+            conv_layers=self.conv_layers, ct_dim=self.ct_dim,
+            shared_start=self.shared_start)
+        self._feat12 = (feat1, feat2)
+        key = jax.random.key(self.seed)
+        bf1 = jax.nn.one_hot(jnp.asarray(batch_codes), n_batches)
+        self.params = self.net.init({"params": key, "dropout": key}, g,
+                                    bf1)["params"]
+        self._lr = self.learning_rate
+        tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=self._lr, weight_decay=self.weight_decay)
+        opt_state = tx.init(self.params)
+        net = self.net
+        x_dense = jnp.asarray(x)
+        yj = x_dense
+        ctj = jnp.asarray(ct_codes, jnp.int32)
+        phj = jnp.asarray(phase_score)
+        f1, f2 = feat1, feat2
+
+        @jax.jit
+        def step(params, opt_state, cell_idx, feat_idx, rng):
+            w = x_dense[cell_idx][:, feat_idx]
+            sub = HeteroExpnGraph(
+                f2c=w, c2f=w.T, pw=None,
+                deg_c=(w != 0).sum(1).astype(jnp.float32),
+                deg_f=(w != 0).sum(0).astype(jnp.float32), deg_pw=None,
+                feature_ids=feat_idx.astype(jnp.int32),
+                cell_ids=jnp.ones(w.shape[0], jnp.int32), cell_feats=None,
+                batch_feats=None)
+
+            def loss_fn(p):
+                emb, out, ct_logits, cc_pred = net.apply(
+                    {"params": p}, sub, bf1[cell_idx], deterministic=False,
+                    rngs={"dropout": rng})
+                l1 = ((out[:, :f1] - yj[cell_idx, :f1]) ** 2).mean()
+                l2 = ((out[:, -f2:] - yj[cell_idx, -f2:]) ** 2).mean()
+                l3 = optax.softmax_cross_entropy_with_integer_labels(
+                    ct_logits, ctj[cell_idx]).mean()
+                l5 = ((cc_pred - phj[cell_idx]) ** 2).mean()
+                return 0.5 * l1 + 0.5 * l2 + l3 + l5
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        @jax.jit
+        def val_loss(params, idx):
+            emb, out, _, _ = net.apply({"params": params}, g, bf1)
+            l1 = ((out[idx, :f1] - yj[idx, :f1]) ** 2).mean()
+            l2 = ((out[idx, -f2:] - yj[idx, -f2:]) ** 2).mean()
+            return jnp.sqrt(0.5 * l1 + 0.5 * l2)
+
+        rng_np = np.random.default_rng(self.seed)
+        idx = rng_np.permutation(n)
+        train_idx = idx[:max(1, int(n * 0.9))]
+        val_idx = jnp.asarray(idx[int(n * 0.9):]) if n >= 10 else jnp.asarray(idx)
+        bs = min(batch_size, len(train_idx))
+        n_samp = max(1, int(self.node_sampling_rate * g.n_feats))
+        deg_f = np.asarray(g.deg_f)
+        p_feat = deg_f / max(deg_f.sum(), 1e-12)
+        vals, best = [], self.params
+        for epoch in range(epochs):
+            perm = rng_np.permutation(train_idx)
+            n_steps = max(1, len(perm) // bs)
+            total = 0.0
+            for s in range(n_steps):
+                cell_idx = jnp.asarray(perm[s * bs:(s + 1) * bs])
+                feat_idx = jnp.asarray(rng_np.choice(g.n_feats, n_samp,
+                                                     replace=False, p=p_feat))
+                rng = jax.random.fold_in(key, epoch * 100003 + s)
+                self.params, opt_state, loss = step(self.params, opt_state,
+                                                    cell_idx, feat_idx, rng)
+                total += float(loss)
+            vals.append(float(val_loss(self.params, val_idx)))
+            if min(vals) == vals[-1]:
+                best = self.params
+            if (epoch > self.early_stopping
+                    and min(vals) != min(vals[-self.early_stopping:])):
+                logger.info("scMoGNN-v2 early stopped at epoch %d", epoch)
+                break
+            if epoch > 150:
+                self._lr *= self.lr_decay
+                opt_state.hyperparams["learning_rate"] = self._lr
+            if epoch % 20 == 0:
+                logger.info("scMoGNN-v2 epoch %d, loss %.5f, val %.5f", epoch,
+                            total / n_steps, vals[-1])
+        self.params = best
+        self._cache = (g, bf1)
+        return self
+
+    def predict(self, x=None):
+        """Joint embedding [emb[:, :ct], emb[:, ss:-2]] (scmogcnv2.py:1167)."""
+        g, _ = self._cache
+        emb = self.net.apply({"params": self.params}, g, method=self.net.encode)
+        return np.asarray(jnp.concatenate(
+            [emb[:, :self.ct_dim], emb[:, self.shared_start:-2]], 1))
+
+    def score(self, x, y, *, score_func=None, return_pred: bool = False,
+              metric: str = "clustering", batch=None, **kwargs):
+        from dance_tpu.utils.metrics import (integration_openproblems_evaluate,
+                                             labeled_clustering_evaluate)
+        emb = self.predict()
+        y = as_numpy(y)
+        if metric == "openproblems":
+            scores = integration_openproblems_evaluate(emb, y, batch, **kwargs)
+            return (scores, emb) if return_pred else scores["final_scores"]
+        scores = labeled_clustering_evaluate(emb, y,
+                                             n_clusters=len(np.unique(y)))
+        return (scores, emb) if return_pred else scores["dance_nmi"]
+
+
+# the reference import path exposes the operative wrapper under both names
+ScMoGCNWrapper = ScMoGCNWrapperV2
+
+__all__ = ["ScMoGCNWrapper", "ScMoGCNWrapperV2", "propagation_layer_combination"]

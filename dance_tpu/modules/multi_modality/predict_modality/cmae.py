@@ -179,9 +179,11 @@ def get_model_list(dirname, key):
     import os
     if not os.path.exists(dirname):
         return None
+    # substring '.pt' match (reference semantics) so the framework's own
+    # gen_XXXXXXXX.pt.pkl checkpoints are discoverable
     models = [os.path.join(dirname, f) for f in os.listdir(dirname)
               if os.path.isfile(os.path.join(dirname, f)) and key in f
-              and f.endswith(".pt")]
+              and ".pt" in f]
     if not models:
         return None
     return sorted(models)[-1]

@@ -1,15 +1,36 @@
-"""scMoGNN: cell-feature bipartite GNN for modality prediction.
+"""scMoGNN: cell-feature bipartite hetero-GNN for modality prediction.
 
-Parity target: dance/modules/multi_modality/predict_modality/scmogcn.py
-(ScMoGCN :417 — alternating cell↔feature propagation over the expression
-bipartite graph with layer-weighted readout; wrapper :23 with full-batch and
-sampled fits). Full-graph propagation is a pair of CSR SpMMs per layer on TPU;
-the DGL sampling path (scmogcn.py:223) is unnecessary on-chip and replaced by
-the same full-batch step.
+Parity target: dance/modules/multi_modality/predict_modality/scmogcn.py —
+the full reference architecture:
+
+- initial embedding machinery (feature id embedding table, cell embedding /
+  SVD projection, batch-feature extra encoder, per-type input MLP stacks;
+  reference scmogcn.py:640-669),
+- per-layer hetero SAGE convolution over the feature2cell / cell2feature
+  (+ optional pathway) relations with edge-weight dropout
+  (scmogcn.py:614-638),
+- pathway aggregation of the two feature-side conv results via
+  sum / attention / one_gate / two_gate / alpha / cat (attention_agg,
+  scmogcn.py:574-612),
+- hist residual connections (none / res_add / res_cat, initial_residual;
+  scmogcn.py:690-722),
+- readout: learned softmax-weighted layer sum, concatenation, or last layer
+  (scmogcn.py:724-751),
+- full-batch fit with best-validation selection, late early stopping and lr
+  decay (scmogcn.py:98-221) and the cell/feature-sampled fit
+  (fit_with_sampling, scmogcn.py:223-414).
+
+TPU-native design: the hetero graph lives as static-shape weighted CSR (or
+Pallas block-sparse BSR) adjacencies per relation; DGL's SAGEConv
+``update_all`` becomes one weighted SpMM + degree division per relation.  The
+sampled fit replaces DGL ``node_subgraph`` with dense on-device gathers —
+a (batch × sampled-features) expression block is dense at TPU tile
+granularity, so the subgraph convolution runs directly on the MXU.
 """
 
-from functools import partial
-from typing import Tuple
+import math
+from types import SimpleNamespace
+from typing import Any, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -19,65 +40,418 @@ import optax
 import scipy.sparse as sp
 
 from dance_tpu.modules.base import BaseRegressionMethod
-from dance_tpu.ops.sparse import CSRMatrix, csr_from_scipy, csr_matmat, csr_rmatmat
+from dance_tpu.ops.sparse import CSRMatrix, csr_from_scipy
 from dance_tpu.settings import logger
 from dance_tpu.transforms import SetConfig
-from dance_tpu.typing import LogLevel, Optional
+from dance_tpu.typing import LogLevel
 from dance_tpu.utils.wrappers import as_numpy
 
 
-class _ScMoGCN(nn.Module):
-    out_dim: int
-    hidden: int = 64
-    n_layers: int = 2
+# --------------------------------------------------------------------------
+# graph container
+# --------------------------------------------------------------------------
+
+class HeteroExpnGraph(NamedTuple):
+    """Cell-feature hetero graph as a pytree of per-relation operators.
+
+    ``f2c`` carries feature→cell messages (n_cells × n_feats), ``c2f`` the
+    reverse, ``pw`` optional pathway feature→feature edges.  Each is a
+    :class:`CSRMatrix`, a :class:`~dance_tpu.ops.pallas_kernels.BSRMatrix`,
+    or a dense block (the sampled-subgraph path).  Degrees are the incoming
+    edge counts used by the mean aggregator (static per graph — computed
+    host-side per CLAUDE.md convention)."""
+
+    f2c: Any
+    c2f: Any
+    pw: Any                      # None when the graph has no pathway edges
+    deg_c: jax.Array             # (n_cells,)
+    deg_f: jax.Array             # (n_feats,)
+    deg_pw: Any                  # (n_feats,) or None
+    feature_ids: jax.Array       # (n_feats,) int32
+    cell_ids: Any                # (n_cells,) int32 (cell_init='none') or None
+    cell_feats: Any              # (n_cells, d) float (cell_init='svd') or None
+    batch_feats: Any             # (n_cells, batch_num) float or None
+
+    @property
+    def n_cells(self) -> int:
+        return self.deg_c.shape[0]
+
+    @property
+    def n_feats(self) -> int:
+        return self.deg_f.shape[0]
+
+
+def _rel_sum(adj, h_src: jax.Array, n_out: int) -> jax.Array:
+    """sum_e w_e * h_src[e] per destination — one weighted SpMM."""
+    from dance_tpu.ops.pallas_kernels import BSRMatrix
+    from dance_tpu.ops.segment import spmm
+    if isinstance(adj, jax.Array):          # dense sampled block
+        return adj @ h_src
+    if isinstance(adj, BSRMatrix):
+        return spmm(adj, h_src, n_out=n_out)
+    return spmm(adj, h_src)
+
+
+def _rel_mean(adj, h_src: jax.Array, deg: jax.Array, n_out: int) -> jax.Array:
+    return _rel_sum(adj, h_src, n_out) / jnp.maximum(deg, 1.0)[:, None]
+
+
+def build_hetero_graph(x: np.ndarray, *, pathway_edges=None, cell_init: str = "none",
+                       cell_svd_feats: Optional[np.ndarray] = None,
+                       batch_features: Optional[np.ndarray] = None,
+                       use_bsr="auto", bsr_block: int = 128) -> HeteroExpnGraph:
+    """Host-side graph build from a (cells × features) expression matrix.
+
+    Edge weights are the raw expression values (reference ScMoGNNGraph,
+    scmogcn_graph.py:318-327 — no normalization; the SAGE mean divides by
+    in-degree).  ``pathway_edges`` is an ``(uu, vv, ee)`` triple from
+    :func:`~dance_tpu.transforms.graph.scmogcn_graph.create_pathway_graph`.
+    """
+    from dance_tpu.ops.pallas_kernels import bipartite_bsr, resolve_use_bsr
+    a = sp.csr_matrix(x.astype(np.float32))
+    n_cells, n_feats = a.shape
+    deg_c = np.diff(a.indptr).astype(np.float32)
+    at = a.T.tocsr()
+    deg_f = np.diff(at.indptr).astype(np.float32)
+    if resolve_use_bsr(use_bsr, a, bsr_block, reorder=False):
+        pair = bipartite_bsr(a, block=bsr_block)
+        f2c, c2f = pair.fwd, pair.bwd
+    else:
+        f2c, c2f = csr_from_scipy(a), csr_from_scipy(at)
+    pw = deg_pw = None
+    if pathway_edges is not None:
+        uu, vv, ee = pathway_edges
+        pw_sp = sp.csr_matrix((np.asarray(ee, np.float32),
+                               (np.asarray(vv), np.asarray(uu))),
+                              shape=(n_feats, n_feats))
+        deg_pw = jnp.asarray(np.diff(pw_sp.indptr).astype(np.float32))
+        pw = csr_from_scipy(pw_sp)
+    cell_ids = cell_feats = None
+    if cell_init == "none":
+        cell_ids = jnp.ones(n_cells, jnp.int32)
+    else:
+        cell_feats = jnp.asarray(cell_svd_feats, jnp.float32)
+    bf = None if batch_features is None else jnp.asarray(batch_features, jnp.float32)
+    return HeteroExpnGraph(f2c, c2f, pw, jnp.asarray(deg_c), jnp.asarray(deg_f),
+                           deg_pw, jnp.arange(n_feats, dtype=jnp.int32),
+                           cell_ids, cell_feats, bf)
+
+
+# --------------------------------------------------------------------------
+# model
+# --------------------------------------------------------------------------
+
+_ACTS = {"gelu": nn.gelu, "relu": nn.relu, "leaky_relu": nn.leaky_relu,
+         "prelu": nn.leaky_relu}
+
+
+class _Norm(nn.Module):
+    """group / layer / batch / none normalization (reference normalization
+    knob, scmogcn.py:456-464).  'batch' is training-mode batch
+    standardization with learned affine (no running stats — the jit-friendly
+    equivalent; the benchmark default is 'group')."""
+
+    kind: str = "group"
 
     @nn.compact
-    def __call__(self, adj, cell_feat, feat_feat):
-        """adj: (cells × features) normalized expression — a :class:`CSRMatrix`
-        or a :class:`~dance_tpu.ops.pallas_kernels.BipartiteBSR` (Pallas path);
-        returns cell outputs."""
-        from dance_tpu.ops.pallas_kernels import BipartiteBSR
-        from dance_tpu.ops.segment import spmm
-        n_cells, n_feats = cell_feat.shape[0], feat_feat.shape[0]
-        if isinstance(adj, BipartiteBSR):
-            def matmat(h):
-                return spmm(adj.fwd, h, n_out=n_cells)
+    def __call__(self, h):
+        if self.kind == "none":
+            return h
+        if self.kind == "layer":
+            return nn.LayerNorm(epsilon=1e-5)(h)
+        if self.kind == "batch":
+            mu, var = h.mean(0), h.var(0)
+            scale = self.param("scale", nn.initializers.ones, (h.shape[-1],))
+            bias = self.param("bias", nn.initializers.zeros, (h.shape[-1],))
+            return (h - mu) / jnp.sqrt(var + 1e-5) * scale + bias
+        groups = math.gcd(4, h.shape[-1])
+        return nn.GroupNorm(num_groups=groups, epsilon=1e-5)(h)
 
-            def rmatmat(h):
-                return spmm(adj.bwd, h, n_out=n_feats)
+
+class _SAGERelation(nn.Module):
+    """One DGL-SAGEConv-equivalent relation conv (scmogcn.py:477 uses
+    dglnn.SAGEConv(aggregator_type=mean|gcn, norm=None) with edge weights).
+
+    mean: out = W_self·h_dst + W_neigh·(Σ w·h_src / deg)
+    gcn:  out = W_neigh·((Σ w·h_src + h_dst) / (deg + 1))
+    """
+
+    out_dim: int
+    agg: str = "mean"
+
+    @nn.compact
+    def __call__(self, adj, h_src, h_dst, deg):
+        n_out = h_dst.shape[0]
+        if self.agg == "gcn":
+            neigh = (_rel_sum(adj, h_src, n_out) + h_dst) / (deg + 1.0)[:, None]
+            return nn.Dense(self.out_dim)(neigh)
+        neigh = _rel_mean(adj, h_src, deg, n_out)
+        return nn.Dense(self.out_dim, use_bias=False)(h_dst) + \
+            nn.Dense(self.out_dim)(neigh)
+
+
+def _drop_adj(adj, drop: nn.Module, deterministic: bool):
+    """Edge dropout on the adjacency weights (F.dropout on edge data,
+    scmogcn.py:620)."""
+    from dance_tpu.ops.pallas_kernels import BSRMatrix
+    if adj is None:
+        return None
+    if isinstance(adj, jax.Array):
+        return drop(adj, deterministic=deterministic)
+    if isinstance(adj, BSRMatrix):
+        return BSRMatrix(drop(adj.blocks, deterministic=deterministic),
+                         adj.block_rows, adj.block_cols, adj.shape)
+    return adj._replace(data=drop(adj.data, deterministic=deterministic))
+
+
+class ScMoGCN(nn.Module):
+    """The full scMoGNN trunk (parity: scmogcn.py:417-751).
+
+    All reference knobs are fields; defaults mirror the benchmark example
+    (examples/multi_modality/predict_modality/scmogcn.py:103-149).
+    """
+
+    out_size: int
+    feature_size: int
+    hidden_size: int = 48
+    conv_layers: int = 4
+    embedding_layers: int = 1
+    readout_layers: int = 1
+    agg_function: str = "mean"
+    activation: str = "gelu"
+    normalization: str = "group"
+    pathway: bool = False
+    pathway_aggregation: str = "alpha"
+    pathway_alpha: float = 0.25
+    residual: str = "res_cat"
+    initial_residual: bool = False
+    batch_num: int = 0           # >0 enables the batch-feature extra encoder
+    cell_init: str = "none"
+    weighted_sum: bool = False
+    no_readout_concatenate: bool = False
+    edge_dropout: float = 0.3
+    model_dropout: float = 0.2
+    subpath_activation: bool = False
+    output_relu: str = "none"
+
+    @property
+    def n_edges(self) -> int:
+        return 3 if self.pathway else 2
+
+    def setup(self):
+        hid = self.hidden_size
+        ne = self.n_edges
+        self.act = _ACTS[self.activation]
+        if self.batch_num > 0:
+            self.extra_encoder = nn.Dense(hid)
+        if self.cell_init == "none":
+            self.embed_cell = nn.Embed(2, hid)
         else:
-            def matmat(h):
-                return csr_matmat(adj, h)
+            self.embed_cell = nn.Dense(hid)
+        self.embed_feat = nn.Embed(self.feature_size, hid)
+        n_in = self.embedding_layers - 1
+        self.cell_input_linears = [nn.Dense(hid) for _ in range(n_in)]
+        self.feat_input_linears = [nn.Dense(hid) for _ in range(n_in)]
+        self.cell_input_norm = [_Norm(self.normalization) for _ in range(n_in)]
+        self.feat_input_norm = [_Norm(self.normalization) for _ in range(n_in)]
+        # hetero conv: one SAGE relation per edge type per layer
+        self.conv_f2c = [_SAGERelation(hid, self.agg_function)
+                         for _ in range(self.conv_layers)]
+        self.conv_c2f = [_SAGERelation(hid, self.agg_function)
+                         for _ in range(self.conv_layers)]
+        if self.pathway:
+            self.conv_pw = [_SAGERelation(hid, self.agg_function)
+                            for _ in range(self.conv_layers)]
+        self.conv_norm = [_Norm(self.normalization)
+                          for _ in range(self.conv_layers * ne)]
+        if self.pathway_aggregation == "attention":
+            self.att_linears = [nn.Dense(hid) for _ in range(self.conv_layers)]
+        elif self.pathway_aggregation in ("one_gate", "cat"):
+            self.att_linears = [nn.Dense(hid) for _ in range(self.conv_layers)]
+        elif self.pathway_aggregation == "two_gate":
+            self.att_linears = [nn.Dense(hid) for _ in range(self.conv_layers * 2)]
+        if self.weighted_sum or self.no_readout_concatenate:
+            ro_hid = hid
+        else:
+            ro_hid = hid * self.conv_layers
+        self.readout_linears = [nn.Dense(ro_hid)
+                                for _ in range(self.readout_layers - 1)] + \
+            [nn.Dense(self.out_size)]
+        self.wt = self.param("wt", nn.initializers.zeros, (self.conv_layers,))
+        if self.pathway_aggregation == "alpha" and self.pathway_alpha < 0:
+            self.aph = self.param("aph", nn.initializers.zeros, (2,))
+        self.edge_drop = nn.Dropout(self.edge_dropout)
+        self.model_drop = nn.Dropout(self.model_dropout)
+        self.bf_drop = nn.Dropout(0.2)
 
-            def rmatmat(h):
-                return csr_rmatmat(adj, h)
-        hc = nn.relu(nn.Dense(self.hidden)(cell_feat))
-        hf = nn.relu(nn.Dense(self.hidden)(feat_feat))
-        layer_outs = [hc]
-        for _ in range(self.n_layers):
-            hf = nn.relu(nn.Dense(self.hidden)(rmatmat(hc)) + nn.Dense(
-                self.hidden, use_bias=False)(hf))
-            hc = nn.relu(nn.Dense(self.hidden)(matmat(hf)) + nn.Dense(
-                self.hidden, use_bias=False)(hc))
-            layer_outs.append(hc)
-        # learned layer-weighted readout (parity: scMoGNN's weighted sum)
-        w = nn.softmax(self.param("layer_weights", nn.initializers.zeros,
-                                  (len(layer_outs),)))
-        h = sum(wi * li for wi, li in zip(w, layer_outs))
-        h = nn.relu(nn.Dense(self.hidden)(h))
-        return nn.Dense(self.out_dim)(h)
+    # -- reference attention_agg (scmogcn.py:574-612) ----------------------
+    def attention_agg(self, layer: int, h0, h1, h2):
+        ne = self.n_edges
+        if h2 is None:
+            return self.conv_norm[layer * ne + 1](h1)
+        if self.pathway_aggregation == "sum":
+            return h1 + h2
+        if self.subpath_activation:
+            h1, h2 = nn.leaky_relu(h1), nn.leaky_relu(h2)
+        h1 = self.conv_norm[layer * ne + 1](h1)
+        h2 = self.conv_norm[layer * ne + 2](h2)
+        agg = self.pathway_aggregation
+        if agg == "attention":
+            feats = jnp.stack([h1, h2], 1)                      # (n, 2, hid)
+            q = self.att_linears[layer](h0)[:, :, None]         # (n, hid, 1)
+            att = jax.nn.softmax(feats @ q, axis=1)             # (n, 2, 1)
+            return (jnp.swapaxes(att, 1, 2) @ feats)[:, 0, :]
+        if agg == "one_gate":
+            att = nn.sigmoid(self.att_linears[layer](
+                jnp.concatenate([h0, h1, h2], 1)))
+            return att * h1 + (1 - att) * h2
+        if agg == "two_gate":
+            a1 = nn.sigmoid(self.att_linears[layer * 2](
+                jnp.concatenate([h0, h1], 1)))
+            a2 = nn.sigmoid(self.att_linears[layer * 2 + 1](
+                jnp.concatenate([h0, h2], 1)))
+            return a1 * h1 + a2 * h2
+        if agg == "alpha":
+            if self.pathway_alpha < 0:
+                w = jax.nn.softmax(self.aph, -1)
+                return w[0] * h1 + w[1] * h2
+            return (1 - self.pathway_alpha) * h1 + self.pathway_alpha * h2
+        if agg == "cat":
+            return self.att_linears[layer](jnp.concatenate([h1, h2], 1))
+        raise ValueError(f"unknown pathway_aggregation {agg!r}")
+
+    # -- one hetero conv layer (scmogcn.py:614-638) ------------------------
+    def conv(self, g: HeteroExpnGraph, layer: int, h_feat, h_cell, h0_feat,
+             deterministic: bool):
+        det = deterministic
+        f2c = _drop_adj(g.f2c, self.edge_drop, det)
+        c2f = _drop_adj(g.c2f, self.edge_drop, det)
+        out_cell = self.conv_f2c[layer](f2c, h_feat, h_cell, g.deg_c)
+        out_f1 = self.conv_c2f[layer](c2f, h_cell, h_feat, g.deg_f)
+        out_f2 = None
+        if self.pathway and g.pw is not None:
+            pw = _drop_adj(g.pw, self.edge_drop, det)
+            out_f2 = self.conv_pw[layer](pw, h_feat, h_feat, g.deg_pw)
+        ne = self.n_edges
+        new_feat = self.model_drop(
+            self.act(self.attention_agg(layer, h0_feat, out_f1, out_f2)),
+            deterministic=det)
+        new_cell = self.model_drop(
+            self.act(self.conv_norm[layer * ne](out_cell)), deterministic=det)
+        return new_feat, new_cell
+
+    # -- initial embedding (scmogcn.py:640-669) ----------------------------
+    def calculate_initial_embedding(self, g: HeteroExpnGraph,
+                                    deterministic: bool):
+        hfeat = nn.leaky_relu(self.embed_feat(g.feature_ids))
+        if self.cell_init == "none":
+            hcell = nn.leaky_relu(self.embed_cell(g.cell_ids))
+        else:
+            hcell = nn.leaky_relu(self.embed_cell(g.cell_feats))
+        if self.batch_num > 0 and g.batch_feats is not None:
+            hcell = hcell + nn.leaky_relu(
+                self.bf_drop(self.extra_encoder(g.batch_feats),
+                             deterministic=deterministic))
+        for lin, norm in zip(self.feat_input_linears, self.feat_input_norm):
+            hfeat = self.act(lin(hfeat))
+            hfeat = norm(hfeat)
+            hfeat = self.model_drop(hfeat, deterministic=deterministic)
+        for lin, norm in zip(self.cell_input_linears, self.cell_input_norm):
+            hcell = self.act(lin(hcell))
+            hcell = norm(hcell)
+            hcell = self.model_drop(hcell, deterministic=deterministic)
+        return hfeat, hcell
+
+    # -- propagation with hist residuals (scmogcn.py:690-722) --------------
+    def propagate(self, g: HeteroExpnGraph, deterministic: bool):
+        hfeat, hcell = self.calculate_initial_embedding(g, deterministic)
+        hist = [(hfeat, hcell)]
+        for i in range(self.conv_layers):
+            if i == 0 or self.residual == "none":
+                pass
+            elif self.residual == "res_add":
+                ref = hist[0] if self.initial_residual else hist[-2]
+                hfeat, hcell = hfeat + ref[0], hcell + ref[1]
+            elif self.residual == "res_cat":
+                ref = hist[0] if self.initial_residual else hist[-2]
+                hfeat = jnp.concatenate([hfeat, ref[0]], 1)
+                hcell = jnp.concatenate([hcell, ref[1]], 1)
+            h0_feat = hist[-1][0]
+            hfeat, hcell = self.conv(g, i, hfeat, hcell, h0_feat, deterministic)
+            hist.append((hfeat, hcell))
+        return hist
+
+    def _combine(self, hist):
+        if self.weighted_sum:
+            w = jax.nn.softmax(self.wt, -1)
+            return sum(w[i] * hist[i + 1][1] for i in range(self.conv_layers))
+        if not self.no_readout_concatenate:
+            return jnp.concatenate([hc for _, hc in hist[1:]], 1)
+        return hist[-1][1]
+
+    def encode(self, g: HeteroExpnGraph, deterministic: bool = True):
+        """Pre-readout cell representation (the v2 encode, scmogcnv2.py:895)."""
+        return self._combine(self.propagate(g, deterministic))
+
+    def readout(self, hist, deterministic: bool):
+        h = self._combine(hist)
+        for lin in self.readout_linears[:-1]:
+            h = self.model_drop(self.act(lin(h)), deterministic=deterministic)
+        h = self.readout_linears[-1](h)
+        if self.output_relu == "relu":
+            return nn.relu(h)
+        if self.output_relu == "leaky_relu":
+            return nn.leaky_relu(h)
+        return h
+
+    def __call__(self, g: HeteroExpnGraph, deterministic: bool = True):
+        return self.readout(self.propagate(g, deterministic), deterministic)
+
+
+# --------------------------------------------------------------------------
+# wrapper
+# --------------------------------------------------------------------------
+
+def default_args(**overrides) -> SimpleNamespace:
+    """Reference benchmark defaults (examples/.../scmogcn.py:103-149)."""
+    args = dict(epoch=15000, learning_rate=1e-2, lr_decay=0.99, weight_decay=1e-5,
+                hidden_size=48, conv_layers=4, embedding_layers=1,
+                readout_layers=1, agg_function="mean", activation="gelu",
+                normalization="group", pathway=False,
+                pathway_aggregation="alpha", pathway_alpha=0.25,
+                residual="res_cat", initial_residual=False,
+                no_batch_features=True, cell_init="none", weighted_sum=False,
+                no_readout_concatenate=False, edge_dropout=0.3,
+                model_dropout=0.2, subpath_activation=False, output_relu="none",
+                early_stopping=200, batch_size=1000, node_sampling_rate=0.5,
+                eval_interval=1, seed=1)
+    args.update(overrides)
+    return SimpleNamespace(**args)
 
 
 class ScMoGCNWrapper(BaseRegressionMethod):
-    """scMoGNN wrapper (parity: scmogcn.py:23)."""
+    """scMoGNN wrapper (parity: scmogcn.py:23-414).
 
-    _DISPLAY_ATTRS = ("hidden", "n_layers")
+    Accepts a reference-style ``args`` namespace, or keyword overrides of
+    :func:`default_args` (back-compat aliases ``hidden`` → hidden_size and
+    ``n_layers`` → conv_layers are honored).
+    """
 
-    def __init__(self, args=None, hidden: int = 64, n_layers: int = 2, seed: int = 0):
+    _DISPLAY_ATTRS = ("hidden_size", "conv_layers")
+
+    def __init__(self, args=None, hidden: Optional[int] = None,
+                 n_layers: Optional[int] = None, seed: int = 0, **overrides):
+        if args is None:
+            if hidden is not None:
+                overrides.setdefault("hidden_size", hidden)
+            if n_layers is not None:
+                overrides.setdefault("conv_layers", n_layers)
+            overrides.setdefault("seed", seed)
+            args = default_args(**overrides)
         self.args = args
-        self.hidden = hidden
-        self.n_layers = n_layers
-        self.seed = seed
+        self.hidden_size = args.hidden_size
+        self.conv_layers = args.conv_layers
+        self.seed = getattr(args, "seed", seed)
         self.params = None
 
     @staticmethod
@@ -87,77 +461,248 @@ class ScMoGCNWrapper(BaseRegressionMethod):
                           "label_channel": None, "label_channel_type": "X"},
                          log_level=log_level)
 
-    @staticmethod
-    def _build_graph(x: np.ndarray, use_bsr="auto", bsr_block: int = 128):
-        """Row/column-normalized expression bipartite adjacency.
+    # -- model/step builders ----------------------------------------------
+    def _build_net(self, out_size: int, feature_size: int, batch_num: int):
+        a = self.args
+        return ScMoGCN(out_size=out_size, feature_size=feature_size,
+                       hidden_size=a.hidden_size, conv_layers=a.conv_layers,
+                       embedding_layers=a.embedding_layers,
+                       readout_layers=a.readout_layers,
+                       agg_function=a.agg_function, activation=a.activation,
+                       normalization=a.normalization, pathway=a.pathway,
+                       pathway_aggregation=a.pathway_aggregation,
+                       pathway_alpha=a.pathway_alpha, residual=a.residual,
+                       initial_residual=a.initial_residual,
+                       batch_num=0 if a.no_batch_features else batch_num,
+                       cell_init=a.cell_init, weighted_sum=a.weighted_sum,
+                       no_readout_concatenate=a.no_readout_concatenate,
+                       edge_dropout=a.edge_dropout,
+                       model_dropout=a.model_dropout,
+                       subpath_activation=a.subpath_activation,
+                       output_relu=a.output_relu)
 
-        ``use_bsr=True`` tiles the adjacency (and its transpose) to BSR so
-        both propagation directions run on the Pallas kernel — expression
-        bipartite graphs are dense at tile granularity, so no reordering is
-        needed. ``"auto"`` (default) engages it on TPU when the natural-order
-        tiling is dense enough to win."""
-        from dance_tpu.ops.pallas_kernels import bipartite_bsr, resolve_use_bsr
-        a = sp.csr_matrix(x)
-        r = np.asarray(a.sum(1)).ravel()
-        a = sp.diags(1.0 / np.maximum(r, 1e-12)) @ a
-        if resolve_use_bsr(use_bsr, a, bsr_block, reorder=False):
-            return bipartite_bsr(a, block=bsr_block)
-        return csr_from_scipy(a)
+    def _make_step(self):
+        net = self.net
 
-    @partial(jax.jit, static_argnames=("self",))
-    def _step(self, params, opt_state, adj, cell_feat, feat_feat, y, train_mask):
-        def loss_fn(params):
-            pred = self.net.apply({"params": params}, adj, cell_feat, feat_feat)
-            se = ((pred - y) ** 2).mean(1)
-            return (se * train_mask).sum() / jnp.maximum(train_mask.sum(), 1.0)
+        @jax.jit
+        def step(params, opt_state, g, y, idx, rng):
+            def loss_fn(p):
+                pred = net.apply({"params": p}, g, deterministic=False,
+                                 rngs={"dropout": rng})
+                return ((pred[idx] - y[idx]) ** 2).mean()
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = self._tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self._tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
 
-    def fit(self, x_train, y_train, x_test=None, epochs: int = 200, lr: float = 1e-2,
-            weight_decay: float = 1e-5, use_bsr="auto",
-            bsr_block: int = 128):
-        """Trains on train cells; when x_test is given, test cells join the graph
-        (transductive) with masked loss. ``use_bsr=True`` runs both propagation
-        directions on the Pallas block-sparse kernel."""
+        return step
+
+    def _set_lr(self, opt_state, epoch: int):
+        """epoch>1200: lr *= lr_decay every 15 epochs (scmogcn.py:193-196)."""
+        a = self.args
+        if epoch > 1200 and epoch % 15 == 0:
+            self._lr *= a.lr_decay
+            opt_state.hyperparams["learning_rate"] = self._lr
+        return opt_state
+
+    # -- reference-shaped fit (scmogcn.py:98-221) -------------------------
+    def fit_graph(self, g: HeteroExpnGraph, y, split=None, evaluate=False,
+                  y_test=None, sampling: bool = False, epochs: Optional[int] = None,
+                  eval_interval: Optional[int] = None):
+        a = self.args
+        epochs = a.epoch if epochs is None else epochs
+        eval_interval = a.eval_interval if eval_interval is None else eval_interval
+        if sampling:
+            return self._fit_sampling(g, y, split, epochs, eval_interval)
+        y = jnp.asarray(as_numpy(y), jnp.float32)
+        self.net = self._build_net(
+            out_size=y.shape[1], feature_size=g.n_feats,
+            batch_num=0 if g.batch_feats is None else g.batch_feats.shape[1])
+        key = jax.random.key(self.seed)
+        self.params = self.net.init({"params": key, "dropout": key}, g)["params"]
+        self._lr = a.learning_rate
+        self._tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=self._lr, weight_decay=a.weight_decay)
+        opt_state = self._tx.init(self.params)
+        step = self._make_step()
+        train_idx = jnp.asarray(split["train"]) if split else jnp.arange(len(y))
+        val_idx = jnp.asarray(split["valid"]) if split and "valid" in split else None
+        minval, best = np.inf, self.params
+        vals = []
+        for epoch in range(epochs):
+            rng = jax.random.fold_in(key, epoch)
+            self.params, opt_state, loss = step(self.params, opt_state, g, y,
+                                                train_idx, rng)
+            if val_idx is not None and epoch % eval_interval == 0:
+                val = self._score_graph(g, val_idx, y[val_idx])
+                vals.append(val)
+                if val < minval:
+                    minval, best = val, self.params
+                if (epoch > 1500 and a.early_stopping > 0
+                        and min(vals[-a.early_stopping:]) > minval):
+                    logger.info("scMoGNN early stopped at epoch %d", epoch)
+                    break
+            opt_state = self._set_lr(opt_state, epoch)
+            if epoch % 50 == 0:
+                logger.info("scMoGNN epoch %d, MSE %.5f", epoch, float(loss))
+        if val_idx is not None:
+            self.params = best
+        self._graph = g
+        return self
+
+    def _forward(self, params, g):
+        if getattr(self, "_fwd_jit", None) is None:
+            net = self.net
+            self._fwd_jit = jax.jit(
+                lambda p, graph: net.apply({"params": p}, graph))
+        return self._fwd_jit(params, g)
+
+    def _score_graph(self, g, idx, y_ref) -> float:
+        pred = self._forward(self.params, g)[idx]
+        # reference score relu's predictions (scmogcn.py:92)
+        return float(jnp.sqrt(((nn.relu(pred) - y_ref) ** 2).mean()))
+
+    # -- sampled fit (scmogcn.py:223-414) ---------------------------------
+    def _fit_sampling(self, g: HeteroExpnGraph, y, split, epochs: int,
+                      eval_interval: int):
+        """Cell-minibatch + degree-weighted feature-sampled training.
+
+        DGL's ``node_subgraph`` becomes two on-device gathers producing a
+        dense (batch × sampled-features) expression block; the conv then runs
+        as dense matmuls on the MXU.  Requires the dense expression matrix on
+        device (fits HBM for the NeurIPS-scale tasks)."""
+        a = self.args
+        y = jnp.asarray(as_numpy(y), jnp.float32)
+        from dance_tpu.ops.sparse import csr_to_scipy
+        if isinstance(g.f2c, CSRMatrix):
+            x_dense = jnp.asarray(csr_to_scipy(g.f2c).toarray())
+        else:
+            raise ValueError("sampled fit requires the CSR graph path "
+                             "(use_bsr=False)")
+        if a.pathway and g.pw is not None:
+            pw_dense = jnp.asarray(csr_to_scipy(g.pw).toarray())
+        else:
+            pw_dense = None
+        self.net = self._build_net(
+            out_size=y.shape[1], feature_size=g.n_feats,
+            batch_num=0 if g.batch_feats is None else g.batch_feats.shape[1])
+        key = jax.random.key(self.seed)
+        self.params = self.net.init({"params": key, "dropout": key}, g)["params"]
+        self._lr = a.learning_rate
+        self._tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=self._lr, weight_decay=a.weight_decay)
+        opt_state = self._tx.init(self.params)
+        net = self.net
+
+        @jax.jit
+        def sampled_step(params, opt_state, cell_idx, feat_idx, rng):
+            w = x_dense[cell_idx][:, feat_idx]          # dense subgraph block
+            deg_c = (w != 0).sum(1).astype(jnp.float32)
+            deg_f = (w != 0).sum(0).astype(jnp.float32)
+            pw = deg_pw = None
+            if pw_dense is not None:
+                pw = pw_dense[feat_idx][:, feat_idx]
+                deg_pw = (pw != 0).sum(1).astype(jnp.float32)
+            sub = HeteroExpnGraph(
+                f2c=w, c2f=w.T, pw=pw, deg_c=deg_c, deg_f=deg_f, deg_pw=deg_pw,
+                feature_ids=feat_idx.astype(jnp.int32),
+                cell_ids=None if g.cell_ids is None else g.cell_ids[cell_idx],
+                cell_feats=None if g.cell_feats is None else g.cell_feats[cell_idx],
+                batch_feats=None if g.batch_feats is None
+                else g.batch_feats[cell_idx])
+
+            def loss_fn(p):
+                pred = net.apply({"params": p}, sub, deterministic=False,
+                                 rngs={"dropout": rng})
+                return ((pred - y[cell_idx]) ** 2).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self._tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        train_ids = np.asarray(split["train"]) if split else np.arange(len(y))
+        val_idx = jnp.asarray(split["valid"]) if split and "valid" in split else None
+        bs = min(a.batch_size, len(train_ids))
+        n_feat_samp = max(1, int(a.node_sampling_rate * g.n_feats))
+        deg_f_host = np.asarray(g.deg_f)
+        p_feat = deg_f_host / max(deg_f_host.sum(), 1e-12)
+        rng_np = np.random.default_rng(self.seed)
+        minval, best, vals = np.inf, self.params, []
+        for epoch in range(epochs):
+            perm = rng_np.permutation(train_ids)
+            running = 0.0
+            n_steps = max(1, len(perm) // bs)
+            for s in range(n_steps):
+                cell_idx = jnp.asarray(perm[s * bs:(s + 1) * bs])
+                if a.node_sampling_rate < 1:
+                    feat_idx = jnp.asarray(rng_np.choice(
+                        g.n_feats, n_feat_samp, replace=False, p=p_feat))
+                else:
+                    feat_idx = jnp.arange(g.n_feats)
+                rng = jax.random.fold_in(key, epoch * 100003 + s)
+                self.params, opt_state, loss = sampled_step(
+                    self.params, opt_state, cell_idx, feat_idx, rng)
+                running += float(loss)
+            if val_idx is not None and epoch % eval_interval == 0:
+                val = self._score_graph(g, val_idx, y[val_idx])
+                vals.append(val)
+                if val < minval:
+                    minval, best = val, self.params
+                if (epoch > 1500 and a.early_stopping > 0
+                        and min(vals[-a.early_stopping:]) > minval):
+                    break
+            opt_state = self._set_lr(opt_state, epoch)
+            if epoch % 10 == 0:
+                logger.info("scMoGNN sampled epoch %d, MSE %.5f", epoch,
+                            running / n_steps)
+        if val_idx is not None:
+            self.params = best
+        self._graph = g
+        return self
+
+    # -- array-convenience fit (transductive, as the examples use) --------
+    def fit(self, x_train, y_train, x_test=None, epochs: int = 200,
+            lr: Optional[float] = None, weight_decay: Optional[float] = None,
+            use_bsr="auto", bsr_block: int = 128, sampling: bool = False,
+            batch_features=None, pathway_edges=None, val_fraction: float = 0.15):
+        """Trains on train cells (85/15 train/val split for best-epoch
+        selection, reference example scmogcn.py:53); test cells join the
+        graph transductively."""
+        a = self.args
+        if lr is not None:
+            a.learning_rate = lr
+        if weight_decay is not None:
+            a.weight_decay = weight_decay
         x_tr = as_numpy(x_train).astype(np.float32)
         y_tr = as_numpy(y_train).astype(np.float32)
         if x_test is not None:
             x_all = np.concatenate([x_tr, as_numpy(x_test).astype(np.float32)])
-            train_mask = np.concatenate([np.ones(len(x_tr)),
-                                         np.zeros(len(x_all) - len(x_tr))])
-            y_all = np.concatenate([y_tr, np.zeros((len(x_all) - len(x_tr),
-                                                    y_tr.shape[1]), np.float32)])
         else:
-            x_all, train_mask, y_all = x_tr, np.ones(len(x_tr)), y_tr
+            x_all = x_tr
         self._n_train = len(x_tr)
-
-        adj = self._build_graph(x_all, use_bsr=use_bsr, bsr_block=bsr_block)
-        cell_feat = jnp.asarray(np.log1p(x_all))
-        feat_feat = jnp.asarray(np.log1p(x_all).T @ np.eye(x_all.shape[0],
-                                                           min(64, x_all.shape[0]),
-                                                           dtype=np.float32))
-        self.net = _ScMoGCN(out_dim=y_tr.shape[1], hidden=self.hidden,
-                            n_layers=self.n_layers)
-        key = jax.random.key(self.seed)
-        self.params = self.net.init(key, adj, cell_feat, feat_feat)["params"]
-        self._tx = optax.adamw(lr, weight_decay=weight_decay)
-        opt_state = self._tx.init(self.params)
-        yj = jnp.asarray(y_all)
-        mj = jnp.asarray(train_mask, jnp.float32)
-        for epoch in range(epochs):
-            self.params, opt_state, loss = self._step(self.params, opt_state, adj,
-                                                      cell_feat, feat_feat, yj, mj)
-            if epoch % 50 == 0:
-                logger.info("scMoGNN epoch %d, MSE %.5f", epoch, float(loss))
-        self._cache = (adj, cell_feat, feat_feat)
-        return self
+        if sampling:
+            use_bsr = False
+        cell_svd = None
+        if a.cell_init == "svd":
+            from dance_tpu.ops.linalg import svd_embedding
+            k = min(100, min(x_all.shape) - 1)
+            cell_svd = np.asarray(svd_embedding(jnp.asarray(x_all), k)[0])
+        g = build_hetero_graph(x_all, pathway_edges=pathway_edges,
+                               cell_init=a.cell_init, cell_svd_feats=cell_svd,
+                               batch_features=batch_features, use_bsr=use_bsr,
+                               bsr_block=bsr_block)
+        n_val = int(len(x_tr) * val_fraction)
+        idx = np.random.default_rng(self.seed).permutation(len(x_tr))
+        split = {"train": idx[:-n_val] if n_val else idx}
+        if n_val:
+            split["valid"] = idx[-n_val:]
+        y_all = np.concatenate(
+            [y_tr, np.zeros((len(x_all) - len(y_tr), y_tr.shape[1]),
+                            np.float32)]) if len(x_all) != len(y_tr) else y_tr
+        return self.fit_graph(g, y_all, split, sampling=sampling, epochs=epochs)
 
     def predict(self, x=None, idx=None):
-        adj, cell_feat, feat_feat = self._cache
-        pred = np.asarray(self.net.apply({"params": self.params}, adj, cell_feat,
-                                         feat_feat))
+        pred = np.asarray(self._forward(self.params, self._graph))
         if idx is not None:
             return pred[idx]
         if x is not None and len(as_numpy(x)) != pred.shape[0]:
@@ -170,7 +715,3 @@ class ScMoGCNWrapper(BaseRegressionMethod):
         func = resolve_score_func(score_func or "rmse")
         s = func(as_numpy(y), pred)
         return (s, pred) if return_pred else s
-
-
-# reference class name for the propagation trunk (scmogcn.py:417)
-ScMoGCN = _ScMoGCN

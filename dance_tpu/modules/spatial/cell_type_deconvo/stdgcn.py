@@ -337,19 +337,23 @@ class StdGCN(BaseRegressionMethod):
             self.params, opt_state, loss, val = self._step(
                 self.params, opt_state, adj_exp, adj_sp, xj, y, trj, vaj, sk,
                 eval_val)
-            val = round(float(val), 4)
-            if val < best_val:
-                best_val, best_params, patience = val, self.params, 1
-            else:
-                patience += 1
-                if early_stopping_patience > 0 and patience > early_stopping_patience:
-                    logger.info("stdGCN early stop at epoch %d (val %.4f)", epoch,
-                                best_val)
-                    break
+            if eval_val:
+                # with eval off, _step's val is the pre-update train loss —
+                # selecting on it would pick params off by one epoch, so
+                # plain max_epochs training keeps the final-epoch params
+                val = round(float(val), 4)
+                if val < best_val:
+                    best_val, best_params, patience = val, self.params, 1
+                else:
+                    patience += 1
+                    if patience > early_stopping_patience:
+                        logger.info("stdGCN early stop at epoch %d (val %.4f)",
+                                    epoch, best_val)
+                        break
             if epoch % 100 == 0:
-                logger.info("stdGCN epoch %d, KL %.5f (val %.5f)", epoch,
-                            float(loss), val)
-        self.params = best_params
+                logger.info("stdGCN epoch %d, KL %.5f", epoch, float(loss))
+        if eval_val:
+            self.params = best_params
         self._cache = (adj_exp, adj_sp, xj)
         return self
 

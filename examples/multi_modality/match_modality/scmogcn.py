@@ -8,15 +8,17 @@ from _utils import base_parser, multimodal_data, set_seed
 from dance_tpu.modules.multi_modality.match_modality import ScMoGCNWrapper
 
 if __name__ == "__main__":
-    args = base_parser("ScMoGCNWrapper match modality").parse_args()
+    p = base_parser("ScMoGCNWrapper match modality")
+    p.add_argument("-tq", "--threshold_quantile", default=0.95, type=float)
+    args = p.parse_args()
     set_seed(args.seed)
     data = multimodal_data(n_cells=240, n_genes=100, n_prot=25, seed=args.seed)
     x1_tr = np.log1p(data.get_feature(split_name="train", mod="mod1", channel_type="X"))
     x2_tr = np.log1p(data.get_feature(split_name="train", mod="mod2", channel_type="X"))
     x1_te = np.log1p(data.get_feature(split_name="test", mod="mod1", channel_type="X"))
     x2_te = np.log1p(data.get_feature(split_name="test", mod="mod2", channel_type="X"))
-    model = ScMoGCNWrapper(seed=args.seed)
-    model.fit(np.expm1(x1_tr), x2_tr, x_test=np.expm1(x1_te), epochs=150)
-    matching = model.predict_matching(np.expm1(x1_te), x2_te)
+    model = ScMoGCNWrapper(latent_dim=32, seed=args.seed)
+    model.fit(x1_tr, x2_tr, x1_te, x2_te, epochs=60, batch_size=64)
+    matching = model.predict_matching(threshold_quantile=args.threshold_quantile)
     n = matching.shape[0]
     print(f"Matching score: {matching[np.arange(n), np.arange(n)].mean():.4f}")

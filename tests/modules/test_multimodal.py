@@ -124,6 +124,51 @@ def test_scmogcn_joint_embedding(data):
     assert nmi > 0.5, f"scMoGNN-JE NMI too low: {nmi}"
 
 
+def test_scmogcn_matching_contrastive(data):
+    """scMoGNN matching trains the reference's symmetric contrastive + aux
+    objective (match_modality/scmogcn.py:186-248) over propagated features."""
+    from dance_tpu.modules.multi_modality.match_modality import ScMoGCNWrapper
+    x1_tr, x2_tr, x1_te, x2_te = _get_xy(data)
+    model = ScMoGCNWrapper(latent_dim=32, seed=0)
+    model.fit(x1_tr, x2_tr, x1_te, x2_te, epochs=120, batch_size=64)
+    idx = np.arange(model.train_size, model.feat_mod1.shape[1])
+    v = np.arange(len(idx))
+    acc = model.score(idx, labels1=v, labels2=v)
+    # random matching would score ~1/n (~1.4%); require clear signal
+    assert acc > 0.04, f"scMoGNN matching accuracy too low: {acc}"
+    matching = model.predict_matching()
+    assert matching.shape == (len(idx), len(idx))
+
+
+def test_scmogcn_v2_joint_embedding(data):
+    """The real v2 protocol (scmogcnv2.py:948-1104): structured latent,
+    auxiliary ct/cc heads, feature-sampled minibatches."""
+    from dance_tpu.modules.multi_modality.joint_embedding.scmogcnv2 import (
+        ScMoGCNWrapperV2)
+    x1_tr, x2_tr, _, _ = _get_xy(data)
+    ct = data.get_feature(split_name="train", mod="mod1", channel="cell_type",
+                          channel_type="obs")
+    model = ScMoGCNWrapperV2(seed=0)
+    model.fit(x1_tr, x2_tr, cell_type=ct, epochs=60)
+    nmi = model.score(None, ct)
+    assert nmi > 0.5, f"scMoGNN-v2 NMI too low: {nmi}"
+    emb = model.predict()
+    assert emb.shape[1] == model.ct_dim + (56 - model.shared_start - 2)
+
+
+def test_scmogcn_sampled_fit(data):
+    """The fit_with_sampling path (scmogcn.py:223-414) as dense on-device
+    subgraph gathers."""
+    from dance_tpu.modules.multi_modality.predict_modality import ScMoGCNWrapper
+    x1_tr, x2_tr, x1_te, x2_te = _get_xy(data)
+    model = ScMoGCNWrapper(hidden=32, n_layers=2, seed=0, batch_size=64)
+    model.fit(np.expm1(x1_tr), x2_tr, x_test=np.expm1(x1_te), epochs=40,
+              sampling=True)
+    rmse = model.score(np.expm1(x1_te), x2_te)
+    base = _baseline_rmse(x2_te)
+    assert rmse < base, f"sampled scMoGNN rmse {rmse} vs mean-baseline {base}"
+
+
 def test_scmm_matching(data):
     """MMVAE matching path (encode outside apply was a real crash)."""
     from dance_tpu.modules.multi_modality.match_modality import MMVAE
@@ -150,7 +195,10 @@ def test_scmogcn_bsr_parity():
     y_tr = np.log1p(x_tr) @ w
     preds = {}
     for use_bsr in (False, True):
-        model = ScMoGCNWrapper(hidden=32, n_layers=2, seed=0)
+        # dropout masks are laid out differently on CSR vs BSR edge data, so
+        # the parity check runs the deterministic (dropout-free) model
+        model = ScMoGCNWrapper(hidden=32, n_layers=2, seed=0,
+                               edge_dropout=0.0, model_dropout=0.0)
         model.fit(x_tr, y_tr, x_test=x_te, epochs=40, use_bsr=use_bsr)
         preds[use_bsr] = model.predict(x_te)
     np.testing.assert_allclose(preds[False], preds[True], atol=1e-3)
