@@ -25,26 +25,27 @@ from dance_tpu.transforms.graph import StagateGraph
 from dance_tpu.typing import LogLevel, Optional
 
 
-def _edge_attention(adj, feat, attn_l, attn_r, negative_slope: float = 0.2):
-    """Per-edge softmaxed attention coefficients from transformed features."""
+def _edge_attention(adj, feat, attn_src, attn_dst):
+    """Per-edge softmaxed attention from transformed features — STAGATE's
+    custom GATConv message rule (reference stagate.py:125-127):
+    ``alpha = softmax_dst(sigmoid(att_src·f[src] + att_dst·f[dst]))``."""
     from dance_tpu.ops.segment import edge_softmax
-    el = (feat * attn_l).sum(-1)
-    er = (feat * attn_r).sum(-1)
+    el = (feat * attn_src).sum(-1)
+    er = (feat * attn_dst).sum(-1)
     rows = adj.row_ids()
-    logits = nn.leaky_relu(jnp.take(el, adj.indices) + jnp.take(er, rows),
-                           negative_slope)
+    logits = nn.sigmoid(jnp.take(el, adj.indices) + jnp.take(er, rows))
     return edge_softmax(adj, logits)
 
 
-def _fused_gat(adj, feat_logits, attn_l, attn_r, h):
-    """Fused SDDMM+softmax+SpMM on the Pallas BSR kernel: attention logits
-    from ``feat_logits`` (same tied coefficients as the CSR path), messages
-    from ``h``."""
+def _fused_gat(adj, feat_logits, attn_src, attn_dst, h):
+    """Fused SDDMM+softmax+SpMM on the Pallas BSR kernel (sigmoid attention):
+    attention logits from ``feat_logits`` (the same tied coefficients as the
+    CSR path), messages from ``h``."""
     from dance_tpu.ops.pallas_kernels import bsr_gat_ad
-    el = (feat_logits * attn_l).sum(-1)
-    er = (feat_logits * attn_r).sum(-1)
+    el = (feat_logits * attn_src).sum(-1)
+    er = (feat_logits * attn_dst).sum(-1)
     n = h.shape[0]
-    return bsr_gat_ad(adj, er, el, h)[:n]
+    return bsr_gat_ad(adj, er, el, h, act="sigmoid")[:n]
 
 
 def _att_aggregate(adj, feat, att):
@@ -54,9 +55,10 @@ def _att_aggregate(adj, feat, att):
 
 
 class _StagateNet(nn.Module):
-    """GAT AE with TIED decoder: transposed kernels + the encoder's attention
-    coefficients reused on the way back — the constraint that keeps the
-    embedding faithful to the input (parity: stagate.py:31-129)."""
+    """GAT AE with the reference's exact tied dataflow (stagate.py:164-176):
+    h1 = elu(GAT(xW1)) with sigmoid attention; z = h1·W2 WITHOUT propagation
+    (conv2 runs attention=False); h3 = elu(GAT(z·W2ᵀ)) reusing LAYER-1's
+    attention coefficients (tied_attention=conv1.attentions); x̂ = h3·W1ᵀ."""
 
     hidden_dims: Tuple[int, ...]  # (in, h, z)
 
@@ -68,25 +70,20 @@ class _StagateNet(nn.Module):
         w2 = self.param("w2", nn.initializers.glorot_uniform(), (h_dim, z_dim))
         a1l = self.param("a1l", nn.initializers.glorot_uniform(), (1, h_dim))
         a1r = self.param("a1r", nn.initializers.glorot_uniform(), (1, h_dim))
-        a2l = self.param("a2l", nn.initializers.glorot_uniform(), (1, z_dim))
-        a2r = self.param("a2r", nn.initializers.glorot_uniform(), (1, z_dim))
         f1 = x @ w1
         if isinstance(adj, BSRMatrix):
             # Pallas fast path: attention never materializes per edge; each
             # aggregation is one fused streaming kernel over the BSR tiles
             h1 = nn.elu(_fused_gat(adj, f1, a1l, a1r, f1))
-            f2 = h1 @ w2
-            z = _fused_gat(adj, f2, a2l, a2r, f2)
-            h2 = nn.elu(_fused_gat(adj, f2, a2l, a2r, z @ w2.T))
-            x_hat = _fused_gat(adj, f1, a1l, a1r, h2 @ w1.T)
+            z = h1 @ w2
+            h3 = nn.elu(_fused_gat(adj, f1, a1l, a1r, z @ w2.T))
+            x_hat = h3 @ w1.T
             return z, x_hat
         att1 = _edge_attention(adj, f1, a1l, a1r)
         h1 = nn.elu(_att_aggregate(adj, f1, att1))
-        f2 = h1 @ w2
-        att2 = _edge_attention(adj, f2, a2l, a2r)
-        z = _att_aggregate(adj, f2, att2)
-        h2 = nn.elu(_att_aggregate(adj, z @ w2.T, att2))
-        x_hat = _att_aggregate(adj, h2 @ w1.T, att1)
+        z = h1 @ w2
+        h3 = nn.elu(_att_aggregate(adj, z @ w2.T, att1))
+        x_hat = h3 @ w1.T
         return z, x_hat
 
 

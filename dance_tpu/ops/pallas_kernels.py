@@ -305,8 +305,24 @@ __all__ = ["BipartiteBSR", "BSRMatrix", "bipartite_bsr", "bsr_from_scipy",
 # absent (GAT adjacencies are connectivity masks, so this is exact).
 
 
+
+def _att_activation(raw, negative_slope: float, act: str):
+    """Attention-logit nonlinearity: 'leaky_relu' (standard GAT) or 'sigmoid'
+    (STAGATE's custom GATConv, reference stagate.py:125-126)."""
+    if act == "sigmoid":
+        return 1.0 / (1.0 + jnp.exp(-raw))
+    return jnp.where(raw >= 0, raw, negative_slope * raw)
+
+
+def _att_activation_grad(raw, negative_slope: float, act: str):
+    if act == "sigmoid":
+        s = 1.0 / (1.0 + jnp.exp(-raw))
+        return s * (1.0 - s)
+    return jnp.where(raw >= 0, 1.0, negative_slope)
+
+
 def _gat_kernel(brows_ref, bcols_ref, blocks_ref, er_ref, el_ref, h_ref, out_ref,
-                m_ref, l_ref, acc_ref, *, negative_slope: float):
+                m_ref, l_ref, acc_ref, *, negative_slope: float, act: str):
     i = pl.program_id(1)  # tile index (innermost: same-row tiles consecutive)
 
     @pl.when((i == 0) | (brows_ref[i] != brows_ref[jnp.maximum(i - 1, 0)]))
@@ -317,7 +333,7 @@ def _gat_kernel(brows_ref, bcols_ref, blocks_ref, er_ref, el_ref, h_ref, out_ref
 
     mask = blocks_ref[0] != 0.0                      # (B, B) true edges
     logits = er_ref[:] + el_ref[:].reshape(1, -1)    # dst + src contributions
-    logits = jnp.where(logits >= 0, logits, negative_slope * logits)
+    logits = _att_activation(logits, negative_slope, act)
     logits = jnp.where(mask, logits, -jnp.inf)
 
     m_new = jnp.maximum(m_ref[:], logits.max(axis=1, keepdims=True))
@@ -333,10 +349,10 @@ def _gat_kernel(brows_ref, bcols_ref, blocks_ref, er_ref, el_ref, h_ref, out_ref
     out_ref[:] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-12)
 
 
-@partial(jax.jit, static_argnames=("negative_slope", "d_tile", "interpret"))
+@partial(jax.jit, static_argnames=("negative_slope", "d_tile", "interpret", "act"))
 def bsr_gat(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array, *,
             negative_slope: float = 0.2, d_tile: int = 128,
-            interpret: bool = None) -> jax.Array:
+            interpret: bool = None, act: str = "leaky_relu") -> jax.Array:
     """Fused single-head GAT: ``out[i] = Σ_j softmax_i(lrelu(er_i + el_j)) h_j``
     over A's edges. ``er``: (n_rows,) destination logits, ``el``: (n_cols,)
     source logits, ``h``: (n_cols, d) source features."""
@@ -350,7 +366,7 @@ def bsr_gat(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array, *,
     el = jnp.pad(el, (0, n_cols - el.shape[0]), constant_values=0.0)
     grid = (dp // d_tile, bsr.nb)
     out = pl.pallas_call(
-        partial(_gat_kernel, negative_slope=negative_slope),
+        partial(_gat_kernel, negative_slope=negative_slope, act=act),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
@@ -376,7 +392,7 @@ def bsr_gat(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array, *,
 
 def _gat_stats_kernel(brows_ref, bcols_ref, blocks_ref, er_ref, el_ref, h_ref,
                       out_ref, m_out_ref, l_out_ref, m_ref, l_ref, acc_ref, *,
-                      negative_slope: float):
+                      negative_slope: float, act: str):
     """Forward kernel variant that also emits the per-row softmax statistics
     (running max ``m`` and normalizer ``l``) the flash backward needs."""
     i = pl.program_id(1)
@@ -389,7 +405,7 @@ def _gat_stats_kernel(brows_ref, bcols_ref, blocks_ref, er_ref, el_ref, h_ref,
 
     mask = blocks_ref[0] != 0.0
     logits = er_ref[:] + el_ref[:].reshape(1, -1)
-    logits = jnp.where(logits >= 0, logits, negative_slope * logits)
+    logits = _att_activation(logits, negative_slope, act)
     logits = jnp.where(mask, logits, -jnp.inf)
 
     m_new = jnp.maximum(jnp.maximum(m_ref[:], logits.max(axis=1, keepdims=True)),
@@ -405,10 +421,10 @@ def _gat_stats_kernel(brows_ref, bcols_ref, blocks_ref, er_ref, el_ref, h_ref,
     l_out_ref[:] = l_ref[:]
 
 
-@partial(jax.jit, static_argnames=("negative_slope", "d_tile", "interpret"))
+@partial(jax.jit, static_argnames=("negative_slope", "d_tile", "interpret", "act"))
 def bsr_gat_stats(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array, *,
                   negative_slope: float = 0.2, d_tile: int = 128,
-                  interpret: bool = None):
+                  interpret: bool = None, act: str = "leaky_relu"):
     """:func:`bsr_gat` that also returns the softmax stats ``(out, m, l)``."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -420,7 +436,7 @@ def bsr_gat_stats(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array, *,
     el = jnp.pad(el, (0, n_cols - el.shape[0]))
     grid = (dp // d_tile, bsr.nb)
     out, m, l = pl.pallas_call(
-        partial(_gat_stats_kernel, negative_slope=negative_slope),
+        partial(_gat_stats_kernel, negative_slope=negative_slope, act=act),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
@@ -453,7 +469,7 @@ def bsr_gat_stats(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array, *,
 
 def _gat_bwd_kernel(brows_ref, bcols_ref, fv_ref, blocks_ref, er_ref, el_ref,
                     h_ref, g_ref, m_ref, l_ref, r_ref, dh_ref, der_ref, del_ref,
-                    *, negative_slope: float):
+                    *, negative_slope: float, act: str):
     """Flash-GAT backward: one streaming pass over the nonzero tiles.
 
     With the forward stats (m, l) and r_i = ḡ_i·out_i, the softmax jacobian
@@ -475,21 +491,22 @@ def _gat_bwd_kernel(brows_ref, bcols_ref, fv_ref, blocks_ref, er_ref, el_ref,
 
     mask = blocks_ref[0] != 0.0
     raw = er_ref[:] + el_ref[:].reshape(1, -1)
-    logits = jnp.where(raw >= 0, raw, negative_slope * raw)
+    logits = _att_activation(raw, negative_slope, act)
     p = jnp.where(mask, jnp.exp(logits - m_ref[:]), 0.0)
     p = p / jnp.maximum(l_ref[:], 1e-12)
     s = jnp.dot(g_ref[:], h_ref[:].T, preferred_element_type=jnp.float32)
     dlogit = p * (s - r_ref[:])
-    da = dlogit * jnp.where(raw >= 0, 1.0, negative_slope)
+    da = dlogit * _att_activation_grad(raw, negative_slope, act)
     der_ref[:] += da.sum(axis=1, keepdims=True)
     del_ref[:] += da.sum(axis=0)[:, None]
     dh_ref[:] += jnp.dot(p.T, g_ref[:], preferred_element_type=jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("negative_slope", "interpret"))
+@partial(jax.jit, static_argnames=("negative_slope", "interpret", "act"))
 def bsr_gat_grads(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array,
                   g: jax.Array, out: jax.Array, m: jax.Array, l: jax.Array, *,
-                  negative_slope: float = 0.2, interpret: bool = None):
+                  negative_slope: float = 0.2, interpret: bool = None,
+                  act: str = "leaky_relu"):
     """Gradients (der, del, dh) of :func:`bsr_gat` via the flash backward.
 
     Streams the whole feature width per tile (d padded to a lane multiple);
@@ -517,7 +534,7 @@ def bsr_gat_grads(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array,
     fv = (first_idx[bsr.block_cols] == seq).astype(jnp.int32)
 
     dh, der, del_ = pl.pallas_call(
-        partial(_gat_bwd_kernel, negative_slope=negative_slope),
+        partial(_gat_bwd_kernel, negative_slope=negative_slope, act=act),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nb,),
@@ -549,7 +566,7 @@ def bsr_gat_grads(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array,
 
 
 def bsr_gat_scan(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array, *,
-                 negative_slope: float = 0.2) -> jax.Array:
+                 negative_slope: float = 0.2, act: str = "leaky_relu") -> jax.Array:
     """Pure-XLA tile-streaming reference for :func:`bsr_gat` (same math, two
     ``lax.scan`` passes). Used for numeric parity tests and as the
     recomputation backward of :func:`bsr_gat_ad` — memory stays O(tiles
@@ -567,7 +584,7 @@ def bsr_gat_scan(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array, *,
     def tile_logits(block, r, c):
         mask = block != 0.0
         logits = er3[r][:, None] + el3[c][None, :]
-        logits = jnp.where(logits >= 0, logits, negative_slope * logits)
+        logits = _att_activation(logits, negative_slope, act)
         return jnp.where(mask, logits, -jnp.inf)
 
     def max_pass(row_max, tile):
@@ -594,25 +611,26 @@ def bsr_gat_scan(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array, *,
     return out.reshape(n_rows, d)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _bsr_gat_core(blocks, brows, bcols, args, shape, negative_slope):
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _bsr_gat_core(blocks, brows, bcols, args, shape, negative_slope, act):
     er, el, h = args
     bsr = BSRMatrix(blocks, brows, bcols, shape)
-    return bsr_gat(bsr, er, el, h, negative_slope=negative_slope)
+    return bsr_gat(bsr, er, el, h, negative_slope=negative_slope, act=act)
 
 
-def _bsr_gat_fwd(blocks, brows, bcols, args, shape, negative_slope):
+def _bsr_gat_fwd(blocks, brows, bcols, args, shape, negative_slope, act):
     er, el, h = args
     out, m, l = bsr_gat_stats(BSRMatrix(blocks, brows, bcols, shape), er, el, h,
-                              negative_slope=negative_slope)
+                              negative_slope=negative_slope, act=act)
     return out, (blocks, brows, bcols, args, out, m, l)
 
 
-def _bsr_gat_bwd(shape, negative_slope, res, g):
+def _bsr_gat_bwd(shape, negative_slope, act, res, g):
     blocks, brows, bcols, args, out, m, l = res
     er, el, h = args
     der, del_, dh = bsr_gat_grads(BSRMatrix(blocks, brows, bcols, shape), er, el,
-                                  h, g, out, m, l, negative_slope=negative_slope)
+                                  h, g, out, m, l, negative_slope=negative_slope,
+                                  act=act)
     zi = jnp.zeros((), jax.dtypes.float0)
     return (jnp.zeros_like(blocks), jnp.broadcast_to(zi, brows.shape),
             jnp.broadcast_to(zi, bcols.shape), (der, del_, dh))
@@ -622,13 +640,13 @@ _bsr_gat_core.defvjp(_bsr_gat_fwd, _bsr_gat_bwd)
 
 
 def bsr_gat_ad(bsr: BSRMatrix, er: jax.Array, el: jax.Array, h: jax.Array, *,
-               negative_slope: float = 0.2) -> jax.Array:
+               negative_slope: float = 0.2, act: str = "leaky_relu") -> jax.Array:
     """Differentiable fused GAT: flash-style Pallas kernels both ways — the
     forward saves the per-row softmax stats and the backward is one streaming
     pass over the tiles (:func:`bsr_gat_grads`); the attention matrix never
     materializes in HBM in either direction."""
     return _bsr_gat_core(bsr.blocks, bsr.block_rows, bsr.block_cols,
-                         (er, el, h), bsr.shape, negative_slope)
+                         (er, el, h), bsr.shape, negative_slope, act)
 
 
 def rcm_reorder(adj: sp.spmatrix):

@@ -23,6 +23,7 @@ LIGHT_MATRIX = [
     ("single_modality/cell_type_annotation/celltypist.py", []),
     ("single_modality/cell_type_annotation/singlecellnet.py", []),
     ("single_modality/cell_type_annotation/scdeepsort.py", ["--n_epochs", "2"]),
+    ("single_modality/cell_type_annotation/scheteronet.py", []),
     ("single_modality/clustering/scdeepcluster.py", ["--epochs", "2"]),
     ("single_modality/clustering/scdcc.py", ["--epochs", "2"]),
     ("single_modality/clustering/graphsc.py", ["--epochs", "2"]),
@@ -37,14 +38,18 @@ LIGHT_MATRIX = [
     ("multi_modality/predict_modality/scmm.py", []),
     ("multi_modality/predict_modality/scmogcn.py", []),
     ("multi_modality/match_modality/cmae.py", []),
+    ("multi_modality/match_modality/scmm.py", []),
+    ("multi_modality/match_modality/scmogcn.py", []),
     ("multi_modality/joint_embedding/jae.py", []),
     ("multi_modality/joint_embedding/dcca.py", []),
     ("multi_modality/joint_embedding/scmvae.py", []),
     ("multi_modality/joint_embedding/scmogcn.py", []),
+    ("multi_modality/joint_embedding/scmogcnv2.py", ["--epochs", "10"]),
     ("spatial/spatial_domain/louvain.py", []),
     ("spatial/spatial_domain/spagcn.py", []),
     ("spatial/spatial_domain/stagate.py", []),
     ("spatial/spatial_domain/stlearn.py", []),
+    ("spatial/spatial_domain/EfNST.py", []),
     ("spatial/cell_type_deconvo/card.py", []),
     ("spatial/cell_type_deconvo/spatialdecon.py", []),
     ("spatial/cell_type_deconvo/spotlight.py", []),
@@ -58,6 +63,7 @@ FULL_MATRIX = [
     ("single_modality/cell_type_annotation/celltypist.py", []),
     ("single_modality/cell_type_annotation/singlecellnet.py", []),
     ("single_modality/cell_type_annotation/scdeepsort.py", ["--n_epochs", "100"]),
+    ("single_modality/cell_type_annotation/scheteronet.py", []),
     ("single_modality/clustering/scdeepcluster.py", ["--epochs", "10"]),
     ("single_modality/clustering/scdcc.py", ["--epochs", "10"]),
     ("single_modality/clustering/graphsc.py", ["--epochs", "100"]),
@@ -72,15 +78,18 @@ FULL_MATRIX = [
     ("multi_modality/predict_modality/scmm.py", []),
     ("multi_modality/predict_modality/scmogcn.py", []),
     ("multi_modality/match_modality/cmae.py", []),
+    ("multi_modality/match_modality/scmm.py", []),
     ("multi_modality/match_modality/scmogcn.py", []),
     ("multi_modality/joint_embedding/jae.py", []),
     ("multi_modality/joint_embedding/dcca.py", []),
     ("multi_modality/joint_embedding/scmvae.py", []),
     ("multi_modality/joint_embedding/scmogcn.py", []),
+    ("multi_modality/joint_embedding/scmogcnv2.py", []),
     ("spatial/spatial_domain/louvain.py", []),
     ("spatial/spatial_domain/spagcn.py", []),
     ("spatial/spatial_domain/stagate.py", []),
     ("spatial/spatial_domain/stlearn.py", []),
+    ("spatial/spatial_domain/EfNST.py", []),
     ("spatial/cell_type_deconvo/card.py", []),
     ("spatial/cell_type_deconvo/spatialdecon.py", []),
     ("spatial/cell_type_deconvo/spotlight.py", []),

@@ -204,3 +204,239 @@ def test_scmogcn_v2_structured_latent_layout():
     want = np.concatenate([emb[:, :20], emb[:, 45:-2], bf], 1)
     np.testing.assert_allclose(np.asarray(got), want)
     assert got.shape[1] == 20 + (56 - 45 - 2) + 3
+
+
+# --------------------------------------------------------------------------
+# AdaptiveSAGE (reference dance/models/nn/gnn.py:62-96)
+# --------------------------------------------------------------------------
+
+def test_adaptive_sage_matches_reference_math():
+    """Messages are ``h_src · alpha[idx] · w_e`` where idx follows the
+    gene/cell edge-type rule (gnn.py:72-83), mean-aggregated, then
+    Linear → relu → LayerNorm (gnn.py:55-60, :85-96)."""
+    import scipy.sparse as sp
+    from dance_tpu.nn.gnn import AdaptiveSAGE
+    from dance_tpu.ops.sparse import csr_from_scipy
+
+    rng = np.random.default_rng(5)
+    n_genes, n_cells, d = 6, 10, 8
+    n = n_genes + n_cells
+    gene_id = np.concatenate([np.arange(n_genes),
+                              -np.ones(n_cells, np.int64)])
+    a = sp.random(n, n, density=0.3, random_state=5, format="csr",
+                  dtype=np.float32)
+    a = a + sp.eye(n, dtype=np.float32)     # self loops
+    a = sp.csr_matrix(a)
+    h = rng.normal(size=(n, d)).astype(np.float32)
+    alpha = rng.normal(size=(n_genes + 2,)).astype(np.float32)
+    layer = AdaptiveSAGE(out_dim=5, dropout=0.0)
+    adj = csr_from_scipy(a)
+    variables = layer.init({"params": jax.random.key(0)}, adj,
+                           jnp.asarray(h), jnp.asarray(gene_id),
+                           jnp.asarray(alpha))
+    got = np.asarray(layer.apply(variables, adj, jnp.asarray(h),
+                                 jnp.asarray(gene_id), jnp.asarray(alpha)))
+
+    # numpy reference (gnn.py message_func + fn.mean + layer stack)
+    coo = a.tocoo()
+    dst, src, w = coo.row, coo.col, coo.data
+    sid, did = gene_id[src], gene_id[dst]
+    idx = np.full(len(src), n_genes + 1)                      # cell self
+    idx = np.where((sid >= 0) & (did < 0), sid, idx)          # gene -> cell
+    idx = np.where((did >= 0) & (sid < 0), did, idx)          # cell -> gene
+    idx = np.where((did >= 0) & (sid >= 0), n_genes, idx)     # gene-gene
+    msgs = h[src] * alpha[idx][:, None] * w[:, None]
+    agg = np.zeros((n, d), np.float32)
+    cnt = np.zeros(n, np.float32)
+    np.add.at(agg, dst, msgs)
+    np.add.at(cnt, dst, 1.0)
+    z = agg / np.maximum(cnt, 1.0)[:, None]
+    p = variables["params"]
+    z = np.maximum(_dense(p["Dense_0"], z), 0.0)              # Linear + relu
+    ln = p["LayerNorm_0"]
+    mu, var = z.mean(-1, keepdims=True), z.var(-1, keepdims=True)
+    want = ((z - mu) / np.sqrt(var + 1e-6)) * np.asarray(ln["scale"]) \
+        + np.asarray(ln["bias"])
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_weighted_graph_conv_matches_reference_math():
+    """graph-sc's WeightedGraphConv (graphsc.py:414-484): norm='both' scales
+    by out-deg^-1/2 before the transform and in-deg^-1/2 after the weighted
+    sum, plus bias."""
+    import scipy.sparse as sp
+    from dance_tpu.nn.gnn import WeightedGraphConv
+    from dance_tpu.ops.sparse import csr_from_scipy
+
+    rng = np.random.default_rng(6)
+    n, d = 12, 7
+    a = sp.random(n, n, density=0.35, random_state=6, format="csr",
+                  dtype=np.float32) + sp.eye(n, dtype=np.float32)
+    a = sp.csr_matrix(a)
+    h = rng.normal(size=(n, d)).astype(np.float32)
+    layer = WeightedGraphConv(out_dim=5, norm="both")
+    adj = csr_from_scipy(a)
+    variables = layer.init(jax.random.key(0), adj, jnp.asarray(h))
+    got = np.asarray(layer.apply(variables, adj, jnp.asarray(h)))
+
+    A = a.toarray()
+    outdeg = np.maximum((A != 0).sum(0).astype(np.float32), 1.0)
+    indeg = np.maximum((A != 0).sum(1).astype(np.float32), 1.0)
+    hs = h / np.sqrt(outdeg)[:, None]
+    hs = hs @ np.asarray(variables["params"]["Dense_0"]["kernel"])
+    out = A @ hs                                 # Σ_e w_e · h_src
+    out = out / np.sqrt(indeg)[:, None]
+    want = out + np.asarray(variables["params"]["bias"])
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_tag_conv_matches_reference_math():
+    """scTAG's TAGConv (dgl TAGConv over the sym-normalized graph):
+    out = Σ_{k=0..K} (Ã^k X) W_k + b."""
+    import scipy.sparse as sp
+    from dance_tpu.nn.gnn import TAGConv
+    from dance_tpu.ops.sparse import csr_from_scipy
+
+    rng = np.random.default_rng(7)
+    n, d = 11, 6
+    a = sp.random(n, n, density=0.4, random_state=7, format="csr",
+                  dtype=np.float32) + sp.eye(n, dtype=np.float32)
+    deg = np.asarray(a.sum(1)).ravel()
+    dinv = sp.diags(1.0 / np.sqrt(deg))
+    an = sp.csr_matrix(dinv @ a @ dinv)
+    h = rng.normal(size=(n, d)).astype(np.float32)
+    layer = TAGConv(out_dim=4, k=2)
+    adj = csr_from_scipy(an)
+    variables = layer.init(jax.random.key(0), adj, jnp.asarray(h))
+    got = np.asarray(layer.apply(variables, adj, jnp.asarray(h)))
+
+    A = an.toarray()
+    p = variables["params"]
+    want = _dense(p["Dense_0"], h) \
+        + (A @ h) @ np.asarray(p["Dense_1"]["kernel"]) \
+        + (A @ A @ h) @ np.asarray(p["Dense_2"]["kernel"])
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_stagate_tied_dataflow_matches_reference_math():
+    """STAGATE's custom GATConv + tied forward (stagate.py:125-127, 164-176):
+    sigmoid attention softmaxed per destination; z = h1·W2 without
+    propagation; decoder reuses layer-1 attention; x̂ = h3·W1ᵀ."""
+    import scipy.sparse as sp
+    from dance_tpu.modules.spatial.spatial_domain.stagate import _StagateNet
+    from dance_tpu.ops.sparse import csr_from_scipy
+
+    rng = np.random.default_rng(8)
+    n, d_in, d_h, d_z = 14, 9, 6, 3
+    a = sp.random(n, n, density=0.3, random_state=8, format="csr")
+    a = sp.csr_matrix(((a + a.T) > 0).astype(np.float32))
+    x = rng.normal(size=(n, d_in)).astype(np.float32)
+    net = _StagateNet(hidden_dims=(d_in, d_h, d_z))
+    adj = csr_from_scipy(a)
+    variables = net.init(jax.random.key(0), adj, jnp.asarray(x))
+    z_got, xh_got = net.apply(variables, adj, jnp.asarray(x))
+
+    p = variables["params"]
+    w1, w2 = np.asarray(p["w1"]), np.asarray(p["w2"])
+    a1l, a1r = np.asarray(p["a1l"]), np.asarray(p["a1r"])
+    A = a.toarray()
+    f1 = x @ w1
+    el = (f1 * a1l).sum(-1)        # att_src · f[src]
+    er = (f1 * a1r).sum(-1)        # att_dst · f[dst]
+    logits = 1 / (1 + np.exp(-(er[:, None] + el[None, :])))
+    logits = np.where(A != 0, logits, -np.inf)
+    att = _softmax(logits, axis=1)
+    att = np.where(A != 0, att, 0.0)
+
+    def elu(v):
+        return np.where(v > 0, v, np.exp(v) - 1)
+
+    h1 = elu(att @ f1)
+    z = h1 @ w2
+    h3 = elu(att @ (z @ w2.T))
+    x_hat = h3 @ w1.T
+    np.testing.assert_allclose(np.asarray(z_got), z, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(xh_got), x_hat, atol=2e-4)
+
+
+def test_scheteronet_propagation_matches_reference_math():
+    """Energy belief propagation (scheteronet.py:611-640):
+    e' = α·e + (1-α)·Ã e with Ã the row-normalized adjacency; the two-hop
+    variant propagates through Ã²."""
+    import scipy.sparse as sp
+    from dance_tpu.modules.single_modality.cell_type_annotation.scheteronet import (
+        scHeteroNet)
+    from dance_tpu.ops.sparse import csr_from_scipy
+
+    rng = np.random.default_rng(9)
+    n = 13
+    a = sp.random(n, n, density=0.3, random_state=9, format="csr",
+                  dtype=np.float32)
+    a.data[:] = 1.0
+    e = rng.normal(size=(n,)).astype(np.float32)
+    model = scHeteroNet()
+    adj = csr_from_scipy(a)
+    got1 = model.propagation(e, adj, prop_layers=2, alpha=0.4)
+    got2 = model.two_hop_propagation(e, adj, prop_layers=2, alpha=0.4)
+
+    A = a.toarray()
+    deg = np.maximum(A.sum(1), 1.0)
+    An = A / deg[:, None]
+    w1 = e.copy()
+    for _ in range(2):
+        w1 = 0.4 * w1 + 0.6 * (An @ w1)
+    w2 = e.copy()
+    for _ in range(2):
+        w2 = 0.4 * w2 + 0.6 * (An @ (An @ w2))
+    np.testing.assert_allclose(got1, w1, atol=2e-4)
+    np.testing.assert_allclose(got2, w2, atol=2e-4)
+
+
+def test_scheteronet_hetconv_matches_reference_math():
+    """HetConv (scheteronet.py:374-386): h -> [Ã1 h ; Ã2 h] with
+    jumping-knowledge concatenation of every stage (:541-575)."""
+    import scipy.sparse as sp
+    from dance_tpu.modules.single_modality.cell_type_annotation.scheteronet import (
+        _HeteroNet, build_hop_adjacencies)
+    from dance_tpu.ops.sparse import csr_from_scipy
+
+    rng = np.random.default_rng(10)
+    n, d = 12, 7
+    a = sp.random(n, n, density=0.35, random_state=10, format="csr")
+    a = sp.csr_matrix(((a + a.T) > 0).astype(np.float32))
+    a1, a2 = build_hop_adjacencies(a)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    net = _HeteroNet(n_classes=3, hidden=8, num_layers=2, use_bn=False,
+                     n_genes=d)
+    adj1, adj2 = csr_from_scipy(a1), csr_from_scipy(a2)
+    variables = net.init({"params": jax.random.key(0)}, adj1, adj2,
+                         jnp.asarray(x))
+    got = np.asarray(net.apply(variables, adj1, adj2, jnp.asarray(x),
+                               method=net.embed))
+
+    p = variables["params"]
+    h = np.maximum(_dense(p["feature_embed"], x), 0.0)
+    A1, A2 = a1.toarray(), a2.toarray()
+    collected = [h]
+    for _ in range(2):
+        h = np.concatenate([A1 @ h, A2 @ h], 1)
+        collected.append(h)
+    want = np.concatenate(collected, 1)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_nmf_multiplicative_update_matches_torchnmf_rule():
+    """SPOTlight's torchnmf backend applies the Frobenius multiplicative
+    rule (spotlight.py:31): H ← H ⊙ WᵀV/(WᵀWH), W ← W ⊙ VHᵀ/(WHHᵀ)."""
+    from dance_tpu.ops.nmf import EPS, _nmf_mu
+
+    rng = np.random.default_rng(11)
+    V = rng.random((10, 8)).astype(np.float32)
+    W0 = rng.random((10, 3)).astype(np.float32)
+    H0 = rng.random((3, 8)).astype(np.float32)
+    W, H, _ = _nmf_mu(jnp.asarray(V), jnp.asarray(W0), jnp.asarray(H0), 1)
+
+    H1 = H0 * (W0.T @ V) / (W0.T @ W0 @ H0 + EPS)
+    W1 = W0 * (V @ H1.T) / (W0 @ (H1 @ H1.T) + EPS)
+    np.testing.assert_allclose(np.asarray(H), H1, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(W), W1, atol=2e-4)
