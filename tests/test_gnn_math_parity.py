@@ -440,3 +440,65 @@ def test_nmf_multiplicative_update_matches_torchnmf_rule():
     W1 = W0 * (V @ H1.T) / (W0 @ (H1 @ H1.T) + EPS)
     np.testing.assert_allclose(np.asarray(H), H1, atol=2e-4)
     np.testing.assert_allclose(np.asarray(W), W1, atol=2e-4)
+
+
+def test_graphsci_model_equations_match_reference_math():
+    """GraphSCI update equations (graphsci.py:66-125): MultiplyLayer
+    ``relu(X·(z_adj W) + b)``; GNN = GraphConv stack tanh→relu→linear heads
+    over the normalized gene graph; heads sigmoid / clamp(softplus) /
+    clamp(exp); x_exp = mean·sf."""
+    import scipy.sparse as sp
+    from dance_tpu.modules.single_modality.imputation.graphsci import (
+        _AEModel, _GNNModel)
+    from dance_tpu.ops.sparse import csr_from_scipy
+
+    rng = np.random.default_rng(12)
+    n_genes, n_cells = 9, 14
+    a = sp.random(n_genes, n_genes, density=0.4, random_state=12, format="csr",
+                  dtype=np.float32) + sp.eye(n_genes, dtype=np.float32)
+    deg = np.asarray(a.sum(1)).ravel()
+    dinv = sp.diags(1.0 / np.sqrt(deg))
+    an = sp.csr_matrix(dinv @ a @ dinv)
+    feat = rng.normal(size=(n_genes, n_cells)).astype(np.float32)
+    gnn = _GNNModel(out_feats=n_genes, n_hidden1=8, n_hidden2=8)
+    adj = csr_from_scipy(an)
+    key = jax.random.key(0)
+    variables = gnn.init({"params": key}, adj, jnp.asarray(feat), key)
+    _, log_std_got, mean_got = gnn.apply(variables, adj, jnp.asarray(feat), key)
+
+    p = variables["params"]
+    A = an.toarray()
+    h = np.tanh(A @ (feat @ np.asarray(p["w1"])) + np.asarray(p["b1"]))
+    h = np.maximum(A @ (h @ np.asarray(p["w2"])) + np.asarray(p["b2"]), 0.0)
+    mean_want = A @ (h @ np.asarray(p["w_mean"])) + np.asarray(p["b_mean"])
+    log_std_want = A @ (h @ np.asarray(p["w_log_std"])) + np.asarray(p["b_log_std"])
+    np.testing.assert_allclose(np.asarray(mean_got), mean_want, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(log_std_got), log_std_want, atol=2e-4)
+
+    # AE: MultiplyLayer + BatchNorm MLP + heads (graphsci.py:66-105)
+    x = rng.poisson(2.0, (n_cells, n_genes)).astype(np.float32)
+    sf = rng.random(n_cells).astype(np.float32) + 0.5
+    z_adj = mean_want.astype(np.float32)
+    ae = _AEModel(in_feats=n_genes, n_hidden1=8, n_hidden2=8)
+    variables = ae.init(jax.random.key(1), jnp.asarray(x), jnp.asarray(z_adj),
+                        jnp.asarray(sf))
+    x_exp, mean, disp, pi = ae.apply(variables, jnp.asarray(x),
+                                     jnp.asarray(z_adj), jnp.asarray(sf))
+    p = variables["params"]
+
+    def bn(h, q):
+        return ((h - h.mean(0)) / np.sqrt(h.var(0) + 1e-5)
+                * np.asarray(q["scale"]) + np.asarray(q["bias"]))
+
+    h = np.maximum(x @ (z_adj @ np.asarray(p["mul_fc"]["kernel"]))
+                   + np.asarray(p["mul_bias"]), 0.0)
+    h = np.maximum(bn(_dense(p["enc1"], h), p["bn1"]), 0.0)
+    h = np.maximum(bn(_dense(p["enc2"], h), p["bn2"]), 0.0)
+    pi_want = 1 / (1 + np.exp(-_dense(p["dec_pi"], h)))
+    disp_want = np.clip(np.logaddexp(_dense(p["dec_disp"], h), 0.0), 1e-4, 1e4)
+    mean_want = np.clip(np.exp(_dense(p["dec_mean"], h)), 1e-5, 1e6)
+    np.testing.assert_allclose(np.asarray(pi), pi_want, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(disp), disp_want, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(mean), mean_want, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(x_exp), mean_want * sf[:, None],
+                               rtol=2e-4)
