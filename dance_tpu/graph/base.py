@@ -132,7 +132,9 @@ class Graph:
     def to_device(self, dtype=jnp.float32) -> DeviceGraph:
         # inside fit_distributed's dp_context, node features shard their node
         # axis over the mesh (no padding: rows must stay in sync with adj);
-        # adjacency arrays replicate and XLA gathers feature rows as needed
+        # the adjacency here replicates — models that support the partitioned
+        # sparse path (scDeepSort, graph-sc) build a block-row ShardedCSR
+        # (parallel.sharded_graph) instead of using this CSR under dp
         from dance_tpu.parallel.mesh import to_device as place
         return DeviceGraph(csr_from_scipy(self.adj, dtype=dtype),
                            {k: place(v, pad=False) for k, v in self.ndata.items()

@@ -57,8 +57,11 @@ class BaseMethod(ABC):
 
         Models with a ``use_bsr`` knob default to the CSR segment path here
         (unless the caller forces it): the Pallas block-sparse kernels are
-        single-device programs, and XLA's partitioner handles the gather/
-        segment formulation of message passing natively.
+        single-device programs. Graph models with the partitioned-sparse path
+        (scDeepSort, graph-sc) go further and shard the adjacency itself —
+        block rows split over dp as a
+        :class:`~dance_tpu.parallel.sharded_graph.ShardedCSR`, so per-device
+        edge storage is ~1/D and each conv is one ``shard_map`` SpMM.
         """
         import inspect
 

@@ -143,6 +143,16 @@ class ScDeepSort(BaseClassificationMethod):
             alpha_idx = jnp.asarray(_AS.edge_alpha_index(
                 np.asarray(dg.adj.row_ids()), np.asarray(dg.adj.indices),
                 np.asarray(gene_id), num_genes))
+        from dance_tpu.parallel.mesh import active_dp_mesh
+        dp_mesh = active_dp_mesh()
+        if (not use_bsr and dp_mesh is not None and dp_mesh.shape["dp"] > 1):
+            # multi-chip fit: partition the adjacency's block rows over dp so
+            # per-device edge storage drops to ~1/D (the alpha index rides
+            # along); AdaptiveSAGE's ShardedCSR branch runs the shard_map SpMM
+            from dance_tpu.parallel.sharded_graph import shard_csr
+            conv_adj = shard_csr(graph.adj, dp_mesh,
+                                 edge_data={"alpha_idx": np.asarray(alpha_idx)})
+            alpha_idx = None
         self._alpha_idx = alpha_idx
         key = jax.random.key(self.seed)
         feats = dg.ndata["features"]

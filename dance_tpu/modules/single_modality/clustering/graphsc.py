@@ -157,6 +157,15 @@ class GraphSC(BaseClusteringMethod):
                 import numpy as _np
                 self._degrees = jnp.asarray(
                     _np.diff(g.adj.indptr).astype(_np.float32))
+        else:
+            from dance_tpu.parallel.mesh import active_dp_mesh
+            dp_mesh = active_dp_mesh()
+            if dp_mesh is not None and dp_mesh.shape["dp"] > 1:
+                # multi-chip fit: block-row-sharded adjacency — per-device
+                # edge storage ~1/D; WeightedGraphConv's spmm dispatches to
+                # the shard_map path (true in-degrees carried for agg='mean')
+                from dance_tpu.parallel.sharded_graph import shard_csr
+                conv_adj = shard_csr(g.adj, dp_mesh)
         feats = dg.ndata.get("features")
         if feats is None:
             # fall back to adjacency rows against gene nodes as features

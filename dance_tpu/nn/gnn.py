@@ -124,7 +124,16 @@ class AdaptiveSAGE(nn.Module):
             z = (neigh + (adj.w_diag * self_alpha)[:, None] * h)
             z = z / jnp.maximum(adj.deg, 1.0)[:, None]
         else:
-            z = self._csr_aggregate(adj, h, gene_id, alpha, n_genes, alpha_idx)
+            from dance_tpu.parallel.sharded_graph import ShardedCSR, sharded_spmm
+            if isinstance(adj, ShardedCSR):
+                # multi-chip path: the precomputed alpha index rides the
+                # sharded edge chunks; one shard_map SpMM per layer
+                scale = jnp.take(alpha, adj.edge_data["alpha_idx"])
+                z = sharded_spmm(adj, h, weighted=True, op="mean",
+                                 edge_scale=scale)
+            else:
+                z = self._csr_aggregate(adj, h, gene_id, alpha, n_genes,
+                                        alpha_idx)
         z = nn.Dropout(self.dropout, deterministic=not training)(z)
         z = nn.Dense(self.out_dim, kernel_init=nn.initializers.xavier_uniform())(z)
         z = nn.relu(z)

@@ -46,6 +46,9 @@ def spmm(adj, h: jax.Array, *, weighted: bool = True, op: str = "sum",
     which is only correct for square graphs.
     """
     from dance_tpu.ops.pallas_kernels import BSRMatrix, bsr_spmm_ad
+    from dance_tpu.parallel.sharded_graph import ShardedCSR, sharded_spmm
+    if isinstance(adj, ShardedCSR):
+        return sharded_spmm(adj, h, weighted=weighted, op=op, degrees=degrees)
     if isinstance(adj, BSRMatrix):
         if not weighted or op not in ("sum", "mean"):
             raise ValueError("BSR path supports weighted sum/mean aggregation; use "

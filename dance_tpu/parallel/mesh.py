@@ -134,5 +134,11 @@ def dp_active() -> bool:
     return _DP_MESH is not None
 
 
-__all__ = ["current_mesh", "dp_active", "dp_context", "get_mesh", "replicate",
-           "shard_batch", "shard_params_for_tp", "to_device"]
+def active_dp_mesh() -> Optional[Mesh]:
+    """The mesh of the surrounding :func:`dp_context`, or None."""
+    return _DP_MESH
+
+
+__all__ = ["active_dp_mesh", "current_mesh", "dp_active", "dp_context",
+           "get_mesh", "replicate", "shard_batch", "shard_params_for_tp",
+           "to_device"]

@@ -221,3 +221,97 @@ def test_vmapped_trials_on_dp_mesh(cpu_mesh8):
     best, _ = select_best_trial(params, -losses[-1])
     pred = model.apply({"params": best}, jnp.asarray(x_np)).ravel()
     assert float(jnp.mean((pred - jnp.asarray(y_np)) ** 2)) < float(losses[0].min())
+
+
+def test_sharded_spmm_matches_single_device(cpu_mesh8):
+    """Block-row-sharded SpMM (ShardedCSR, shard_map) equals the
+    single-device CSR segment path bit-for-bit (sum) / to fp rounding
+    (mean), including the alpha edge-scale path."""
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.sparse as sp
+
+    from dance_tpu.ops.segment import spmm
+    from dance_tpu.ops.sparse import csr_from_scipy
+    from dance_tpu.parallel.sharded_graph import shard_csr, sharded_spmm
+
+    rng = np.random.default_rng(0)
+    n, d = 500, 32
+    a = sp.random(n, n, density=0.02, random_state=0, format="csr",
+                  dtype=np.float32)
+    h = rng.normal(size=(n, d)).astype(np.float32)
+    alpha_idx = rng.integers(0, 5, a.nnz).astype(np.int32)
+    alpha = rng.normal(size=5).astype(np.float32)
+    s = shard_csr(a, cpu_mesh8, edge_data={"alpha_idx": alpha_idx})
+    ref = np.asarray(spmm(csr_from_scipy(a), jnp.asarray(h)))
+    with cpu_mesh8:
+        got = np.asarray(sharded_spmm(s, jnp.asarray(h)))
+        got_mean = np.asarray(sharded_spmm(s, jnp.asarray(h), op="mean"))
+        scale = jnp.take(jnp.asarray(alpha), s.edge_data["alpha_idx"])
+        got_scaled = np.asarray(sharded_spmm(s, jnp.asarray(h),
+                                             edge_scale=scale))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    deg = np.maximum(np.diff(a.indptr), 1.0)
+    np.testing.assert_allclose(got_mean, ref / deg[:, None], atol=1e-5)
+    a_scaled = a.copy()
+    a_scaled.data = a.data * alpha[alpha_idx]
+    ref_scaled = np.asarray(spmm(csr_from_scipy(a_scaled), jnp.asarray(h)))
+    np.testing.assert_allclose(got_scaled, ref_scaled, atol=1e-5)
+
+
+def test_scdeepsort_sharded_fit_matches_single_device(cpu_mesh8):
+    """fit_distributed now partitions the adjacency (ShardedCSR); the
+    trained model's predictions match the plain single-device fit."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from dance_tpu.graph import Graph
+    from dance_tpu.modules.single_modality.cell_type_annotation import ScDeepSort
+
+    rng = np.random.default_rng(1)
+    n_cells, n_genes, dim = 56, 8, 8  # 64 nodes, divisible by dp
+    expr = sp.random(n_cells, n_genes, density=0.3, random_state=1,
+                     dtype=np.float32, format="csr")
+    g = Graph.from_cell_feature_matrix(
+        expr, rng.random((n_cells, dim), dtype=np.float32),
+        rng.random((n_genes, dim), dtype=np.float32))
+    labels = rng.integers(0, 3, n_cells)
+
+    ref = ScDeepSort(dim_in=dim, dim_hid=16, num_layers=2, species="s",
+                     tissue="t", seed=0)
+    ref.fit(g, labels, epochs=5, use_bsr=False)
+    ref_proba = ref.predict_proba(g)
+
+    sh = ScDeepSort(dim_in=dim, dim_hid=16, num_layers=2, species="s",
+                    tissue="t", seed=0)
+    sh.fit_distributed(g, labels, mesh=cpu_mesh8, epochs=5)
+    sh_proba = sh.predict_proba(g)
+    np.testing.assert_allclose(sh_proba, ref_proba, atol=2e-3)
+
+
+def test_graphsc_sharded_fit_matches_single_device(cpu_mesh8):
+    """graph-sc's WeightedGraphConv rides the ShardedCSR shard_map SpMM
+    under fit_distributed; embeddings match the single-device fit."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from dance_tpu.graph import Graph
+    from dance_tpu.modules.single_modality.clustering import GraphSC
+
+    rng = np.random.default_rng(2)
+    n_cells, n_genes, dim = 56, 8, 8
+    expr = sp.random(n_cells, n_genes, density=0.3, random_state=2,
+                     dtype=np.float32, format="csr")
+    g = Graph.from_cell_feature_matrix(
+        expr, rng.random((n_cells, dim), dtype=np.float32),
+        rng.random((n_genes, dim), dtype=np.float32))
+
+    ref = GraphSC(n_clusters=3, seed=0)
+    ref.fit(g, epochs=5, use_bsr=False)
+    ref_emb = ref.get_latent()
+
+    sh = GraphSC(n_clusters=3, seed=0)
+    sh.fit_distributed(g, mesh=cpu_mesh8, epochs=5)
+    sh_emb = sh.get_latent()
+    np.testing.assert_allclose(np.asarray(sh_emb), np.asarray(ref_emb),
+                               atol=2e-3)
