@@ -130,19 +130,72 @@ def _sym_normalize(adj: np.ndarray) -> sp.csr_matrix:
     return sp.csr_matrix(adj * dinv[:, None] * dinv[None, :])
 
 
+def data_integration(feat: np.ndarray, n_pseudo: int, *, method: str = "pca",
+                     min_dim: int = 50, scale: bool = True,
+                     batch_removal: Optional[str] = None,
+                     ae_epochs: int = 2000, ae_lr: float = 1e-3,
+                     ae_drop: float = 0.0, seed: int = 0) -> np.ndarray:
+    """The reference's spot-embedding sub-pipeline feeding the inter
+    (real↔pseudo) adjacency (DataInteragraionTransform, stdgcn.py:1475-1580):
+    optional combat batch removal across the real/pseudo blocks, then PCA /
+    autoencoder / no dimensionality reduction with optional scaling.
+
+    ``feat`` ordered [pseudo; real]; returns the embedding in the same order.
+    """
+    dim = min(min_dim, max(1, feat.shape[1] // 2))
+    x = np.asarray(feat, np.float32)
+    if batch_removal == "combat":
+        from dance_tpu.data import AnnData
+        from dance_tpu.sc import pp as scpp
+        import pandas as pd
+        batch = np.array(["pseudo"] * n_pseudo + ["real"] * (len(x) - n_pseudo))
+        ad = AnnData(X=x.copy(), obs=pd.DataFrame({"real_pseudo": batch}))
+        scpp.combat(ad, key="real_pseudo")
+        x = np.asarray(ad.X, np.float32)
+    if method in ("pca", "PCA"):
+        if scale:
+            x = (x - x.mean(0)) / np.maximum(x.std(0), 1e-8)
+        from dance_tpu.ops.linalg import pca as jpca
+        emb = np.asarray(jpca(jnp.asarray(x), dim, seed=seed).embedding)
+    elif method == "autoencoder":
+        emb = np.asarray(auto_train(x, epoch_n=ae_epochs, lr=ae_lr,
+                                    latent_size=dim, p_drop=ae_drop, seed=seed))
+        if scale:
+            emb = (emb - emb.mean(0)) / np.maximum(emb.std(0), 1e-8)
+    elif method in (None, "none", "None"):
+        emb = ((x - x.mean(0)) / np.maximum(x.std(0), 1e-8)) if scale else x
+    else:
+        raise ValueError(f"unknown integration method {method!r}")
+    return emb
+
+
 def build_stdgcn_adjacencies(feat: np.ndarray, coords_real: np.ndarray,
                              n_pseudo: int, *, inter_k: int = 20,
                              intra_exp_k: int = 10, space_k: int = 27,
                              adj_alpha: float = 1.0, adj_beta: float = 1.0,
-                             diag_power: float = 20.0, seed: int = 0):
+                             diag_power: float = 20.0, seed: int = 0,
+                             integration_method: Optional[str] = "pca",
+                             integration_dim: int = 50,
+                             integration_batch_removal: Optional[str] = None,
+                             ae_epochs: int = 2000, ae_lr: float = 1e-3):
     """The reference's three-source adjacency assembly (:1423-1470).
 
     ``feat`` is ordered [pseudo; real]; the spatial graph exists only among
-    real spots (pseudo spots keep just the identity connection)."""
+    real spots (pseudo spots keep just the identity connection).  The inter
+    (real↔pseudo) mutual-NN links are computed on the
+    :func:`data_integration` embedding (the reference's
+    DataInteragraionTransform output), not on raw features."""
     n = feat.shape[0]
     n_real = n - n_pseudo
     pseudo_feat, real_feat = feat[:n_pseudo], feat[n_pseudo:]
-    a_inter = inter_adj(real_feat, pseudo_feat, inter_k)
+    if integration_method in (None, "none", "None"):
+        emb = feat
+    else:
+        emb = data_integration(feat, n_pseudo, method=integration_method,
+                               min_dim=integration_dim,
+                               batch_removal=integration_batch_removal,
+                               ae_epochs=ae_epochs, ae_lr=ae_lr, seed=seed)
+    a_inter = inter_adj(emb[n_pseudo:], emb[:n_pseudo], inter_k)
     a_p = _expand_block(intra_exp_adj(pseudo_feat, intra_exp_k, seed=seed),
                         "pseudo", n_pseudo, n_real)
     a_r = _expand_block(intra_exp_adj(real_feat, intra_exp_k, seed=seed),
@@ -268,7 +321,11 @@ class StdGCN(BaseRegressionMethod):
             max_epochs: int = 300, early_stopping_patience: int = 5,
             train_valid_ratio: float = 0.9, clip_grad_max_norm: float = 1.0,
             inter_k: int = 20, intra_exp_k: int = 10, space_k: int = 27,
-            use_bsr="auto", bsr_block: int = 128):
+            use_bsr="auto", bsr_block: int = 128,
+            dimensionality_reduction_method: Optional[str] = "pca",
+            integration_dim: int = 50,
+            batch_removal_method: Optional[str] = None,
+            autoencoder_epoches: int = 2000, autoencoder_LR: float = 1e-3):
         """inputs = (features for all spots ordered [pseudo; real], spatial
         coords for the real spots — rows with all-zero coords are treated as
         pseudo); y: portions (pseudo rows labeled).
@@ -289,7 +346,11 @@ class StdGCN(BaseRegressionMethod):
 
         adj_exp, adj_sp = build_stdgcn_adjacencies(
             x, real_coords, n_pseudo, inter_k=inter_k, intra_exp_k=intra_exp_k,
-            space_k=min(space_k, max((~train_mask).sum() - 1, 1)), seed=self.seed)
+            space_k=min(space_k, max((~train_mask).sum() - 1, 1)), seed=self.seed,
+            integration_method=dimensionality_reduction_method,
+            integration_dim=integration_dim,
+            integration_batch_removal=batch_removal_method,
+            ae_epochs=autoencoder_epoches, ae_lr=autoencoder_LR)
         self._perm = None
         y = as_numpy(y).astype(np.float32)
         from dance_tpu.ops.pallas_kernels import resolve_use_bsr
@@ -407,5 +468,127 @@ def full_block(in_features, out_features, p_drop):
     ])
 
 
+class autoencoder(nn.Module):
+    """The reference's spot autoencoder (stdgcn.py:525-541): two full_blocks
+    down to the embedding and two back up."""
+
+    x_size: int
+    hidden_size: int
+    embedding_size: int
+    p_drop: float = 0.0
+
+    def setup(self):
+        self.encoder = nn.Sequential([
+            full_block(self.x_size, self.hidden_size, self.p_drop),
+            full_block(self.hidden_size, self.embedding_size, self.p_drop),
+        ])
+        self.decoder = nn.Sequential([
+            full_block(self.embedding_size, self.hidden_size, self.p_drop),
+            full_block(self.hidden_size, self.x_size, self.p_drop),
+        ])
+
+    def __call__(self, x):
+        en = self.encoder(x)
+        de = self.decoder(en)
+        return en, de
+
+
+def auto_train(x, epoch_n: int = 2000, lr: float = 1e-3,
+               latent_size: Optional[int] = None, p_drop: float = 0.0,
+               seed: int = 0):
+    """Full-batch MSE Adam training of :class:`autoencoder`, returning the
+    embedding (parity: auto_train, stdgcn.py:544-574).  The epoch loop is one
+    ``lax.scan`` — a single compiled program on the chip."""
+    x = jnp.asarray(np.asarray(x, np.float32))
+    x_size = x.shape[1]
+    latent_size = latent_size or min(50, max(1, x_size // 2))
+    hidden = int((x_size + latent_size) / 2)
+    net = autoencoder(x_size=x_size, hidden_size=hidden,
+                      embedding_size=latent_size, p_drop=p_drop)
+    params = net.init(jax.random.key(seed), x)["params"]
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def run(params, opt_state):
+        def step(carry, _):
+            params, opt_state = carry
+            def loss_fn(p):
+                _, de = net.apply({"params": p}, x)
+                return ((de - x) ** 2).mean()
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+        (params, _), losses = jax.lax.scan(step, (params, opt_state),
+                                           None, length=epoch_n)
+        en, _ = net.apply({"params": params}, x)
+        return en, losses
+    en, _ = run(params, opt_state)
+    return en
+
+
 # reference name for the split-block placement helper (stdgcn.py:489)
 A_intra_transfer = _expand_block
+
+
+from dance_tpu.registry import register_preprocessor  # noqa: E402
+from dance_tpu.transforms.base import BaseTransform  # noqa: E402
+
+
+@register_preprocessor("filter", "gene")
+class stdGCNMarkGenes(BaseTransform):
+    """stdGCN's marker-gene selection (parity: stdgcn.py:1204-1283):
+    Wilcoxon rank-genes per cell type with BH correction, filtered on
+    adjusted p-value, log fold change and within/between nonzero fractions;
+    top genes per type land in ``uns['gene_list']`` / ``uns['gene_dict']``."""
+
+    _DISPLAY_ATTRS = ("marker_gene_method", "top_gene_per_type")
+
+    def __init__(self, marker_gene_method: str = "wilcoxon",
+                 filter_wilcoxon_marker_genes: bool = True,
+                 top_gene_per_type: int = 20,
+                 pvals_adj_threshold: Optional[float] = 0.10,
+                 log_fold_change_threshold: Optional[float] = 1.0,
+                 min_within_group_fraction_threshold: Optional[float] = 0.7,
+                 max_between_group_fraction_threshold: Optional[float] = 0.3,
+                 split: str = "ref", ct_key: str = "cellType", **kwargs):
+        super().__init__(**kwargs)
+        self.marker_gene_method = marker_gene_method
+        self.filter_wilcoxon_marker_genes = filter_wilcoxon_marker_genes
+        self.top_gene_per_type = top_gene_per_type
+        self.pvals_adj_threshold = pvals_adj_threshold
+        self.log_fold_change_threshold = log_fold_change_threshold
+        self.min_within_group_fraction_threshold = min_within_group_fraction_threshold
+        self.max_between_group_fraction_threshold = max_between_group_fraction_threshold
+        self.split = split
+        self.ct_key = ct_key
+
+    def __call__(self, data):
+        from dance_tpu.sc import tl as sctl
+        adata = data.get_split_data(self.split)
+        sctl.rank_genes_groups(adata, self.ct_key, method="wilcoxon", pts=True,
+                               key_added="wilcoxon")
+        res = adata.uns["wilcoxon"]
+        gene_dict, gene_list = {}, []
+        for name in res["names"]:
+            order = np.argsort(res["pvals_adj"][name])
+            keep = np.ones(len(order), bool)
+            padj = res["pvals_adj"][name][order]
+            lfc = res["logfoldchanges"][name][order]
+            pg = res["pts"][name][order]
+            pr = res["pts_rest"][name][order]
+            if self.filter_wilcoxon_marker_genes:
+                if self.pvals_adj_threshold is not None:
+                    keep &= padj < self.pvals_adj_threshold
+                if self.log_fold_change_threshold is not None:
+                    keep &= lfc >= self.log_fold_change_threshold
+                if self.min_within_group_fraction_threshold is not None:
+                    keep &= pg >= self.min_within_group_fraction_threshold
+                if self.max_between_group_fraction_threshold is not None:
+                    keep &= pr < self.max_between_group_fraction_threshold
+            sel = res["names"][name][order][keep][:self.top_gene_per_type]
+            gene_dict[name] = list(sel)
+            gene_list = sorted(set(gene_list) | set(sel))
+        data.data.uns["gene_list"] = gene_list
+        data.data.uns["gene_dict"] = gene_dict
+        return data

