@@ -141,9 +141,17 @@ class GraphSC(BaseClusteringMethod):
         assert isinstance(g, Graph), f"expected dance_tpu Graph, got {type(g)}"
         if use_bsr == "auto":
             from dance_tpu.ops.pallas_kernels import resolve_use_bsr
-            use_bsr = (self.model.agg in ("sum", "mean")
-                       and resolve_use_bsr("auto", g.adj, bsr_block,
-                                           reorder=False))
+            if self.model.agg not in ("sum", "mean"):
+                # max aggregation takes the XLA segment-max path by design:
+                # max-of-products has no MXU formulation, so a Pallas tile op
+                # would run on the VPU with no advantage over segment-max
+                # (measured note in BENCH_NOTES.md §BSR-max)
+                logger.info("agg=%r: Pallas BSR path not applicable; using "
+                            "the XLA segment-max path", self.model.agg)
+                use_bsr = False
+            else:
+                use_bsr = resolve_use_bsr("auto", g.adj, bsr_block,
+                                          reorder=False)
         n_genes = g.info["num_genes"]
         n_cells = g.info["num_cells"]
         dg = g.to_device()
