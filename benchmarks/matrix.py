@@ -361,7 +361,6 @@ def run_magic():
 @case("graphsci", "imputation", f"{N_CELLS}x{N_GENES}", "gene-graph VAE + MultiplyLayer AE")
 def run_graphsci():
     from dance_tpu.modules.single_modality.imputation import GraphSCI
-    from dance_tpu.transforms.graph.feature_feature_graph import FeatureFeatureGraph
     from dance_tpu.graph import Graph
     import scipy.sparse as sp
     x, _ = _expr()

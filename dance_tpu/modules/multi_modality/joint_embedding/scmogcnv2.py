@@ -22,8 +22,6 @@ TPU design: the sampled subgraph is two on-device gathers into a dense
 whole train step is one jitted program.
 """
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,7 @@ step is a single jitted program whose in-batch logits matmul sits on the MXU.
 """
 
 import math
-from types import SimpleNamespace
-from typing import Any, Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -30,7 +30,7 @@ granularity, so the subgraph convolution runs directly on the MXU.
 
 import math
 from types import SimpleNamespace
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional
 
 import flax.linen as nn
 import jax
