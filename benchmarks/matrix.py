@@ -219,7 +219,7 @@ def run_scheteronet():
     xl = np.log1p(x)
     adj = _knn_csr(xl[:, :50] @ np.random.default_rng(0).random((50, 32),
                                                                dtype=np.float32))
-    g = Graph(adj, ndata={"features": xl})
+    g = Graph(adj, ndata={"feat": xl})
 
     def make(e):
         m = scHeteroNet(hidden_channels=64, num_layers=2, seed=0)

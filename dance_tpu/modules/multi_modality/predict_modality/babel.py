@@ -107,6 +107,22 @@ class BabelWrapper(BaseRegressionMethod):
                                                    (b1, b2, bl))
         return params, opt_state, losses.mean()
 
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def _train_epochs(self, params, opt_state, x1, x2, lib1, keys,
+                      batch_size: int):
+        """All epochs in one compiled scan (no-validation path) — a
+        per-epoch dispatch costs two host round trips over the axon relay
+        (~170 ms/epoch measured at 10k cells)."""
+        def epoch(carry, key):
+            params, opt_state = carry
+            params, opt_state, loss = self._train_epoch(
+                params, opt_state, x1, x2, lib1, key, batch_size)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(epoch, (params, opt_state),
+                                                   keys)
+        return params, opt_state, losses
+
     def fit(self, x_train, y_train, val_ratio: float = 0.15, epochs: int = 100,
             lr: float = 1e-3, batch_size: int = 64, earlystop: int = 20):
         """``val_ratio`` holds out cells whose cross-modal prediction RMSE
@@ -134,11 +150,19 @@ class BabelWrapper(BaseRegressionMethod):
         if n_val:
             xv1 = to_device(x1_all[va], jnp.float32)
             xv2 = x2_all[va]
+        if not n_val:
+            keys = jax.random.split(key, epochs)
+            self.params, opt_state, losses = self._train_epochs(
+                self.params, opt_state, x1, x2, lib1, keys, bs)
+            for epoch in range(0, epochs, 20):
+                logger.info("BABEL epoch %d, loss %.5f", epoch,
+                            float(losses[epoch]))
+            return self
+        epoch_keys = jax.random.split(key, epochs)
         vals, best_params = [], self.params
         for epoch in range(epochs):
-            key, ek = jax.random.split(key)
             self.params, opt_state, loss = self._train_epoch(
-                self.params, opt_state, x1, x2, lib1, ek, bs)
+                self.params, opt_state, x1, x2, lib1, epoch_keys[epoch], bs)
             if n_val:
                 z1 = self.net.apply({"params": self.params}, jnp.log1p(xv1),
                                     method=self.net.encode1)

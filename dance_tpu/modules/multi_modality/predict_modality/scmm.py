@@ -101,6 +101,21 @@ class MMVAE(BaseRegressionMethod):
                                                    (b1, b2, keys))
         return params, opt_state, losses.mean()
 
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def _train_epochs(self, params, opt_state, x1, x2, keys, batch_size: int):
+        """All epochs in one compiled scan — a per-epoch dispatch costs two
+        host round trips over the axon relay (~170 ms/epoch measured)."""
+        def epoch(carry, key):
+            params, opt_state = carry
+            # nested jit inlines under the outer trace
+            params, opt_state, loss = self._train_epoch(
+                params, opt_state, x1, x2, key, batch_size)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(epoch, (params, opt_state),
+                                                   keys)
+        return params, opt_state, losses
+
     def fit(self, x_train, y_train, epochs: int = 100, lr: float = 1e-3,
             batch_size: int = 64):
         x1 = to_device(as_numpy(x_train), jnp.float32)
@@ -113,12 +128,11 @@ class MMVAE(BaseRegressionMethod):
         self._tx = optax.adam(lr)
         opt_state = self._tx.init(self.params)
         bs = min(batch_size, x1.shape[0])
-        for epoch in range(epochs):
-            key, ek = jax.random.split(key)
-            self.params, opt_state, loss = self._train_epoch(self.params, opt_state,
-                                                             x1, x2, ek, bs)
-            if epoch % 20 == 0:
-                logger.info("scMM epoch %d, loss %.5f", epoch, float(loss))
+        keys = jax.random.split(key, epochs)
+        self.params, opt_state, losses = self._train_epochs(
+            self.params, opt_state, x1, x2, keys, bs)
+        for epoch in range(0, epochs, 20):
+            logger.info("scMM epoch %d, loss %.5f", epoch, float(losses[epoch]))
         return self
 
     def predict(self, x):

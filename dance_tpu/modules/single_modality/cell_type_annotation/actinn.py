@@ -79,25 +79,31 @@ class ACTINN(BaseClassificationMethod):
         return loss + self.lambd * l2
 
     @partial(jax.jit, static_argnames=("self", "batch_size"))
-    def _train_epoch(self, params, opt_state, x, y, key, batch_size: int):
-        n = x.shape[0]
-        # keep the partial final batch like the reference's random_batches
-        # (actinn.py:108-112); padded slots carry zero loss weight
-        idx, mask = epoch_batches_masked(key, n, batch_size)
-        xb, yb = x[idx], y[idx]
-        mask = mask.astype(self.dtype)
-
-        def step(carry, batch):
+    def _train_epochs(self, params, opt_state, x, y, keys, batch_size: int):
+        """Scan over epochs in ONE compiled program — over the axon relay a
+        per-epoch dispatch costs two host round trips (~170 ms/epoch measured
+        at 10k cells), so the whole fit runs as a single dispatch."""
+        def epoch(carry, key):
             params, opt_state = carry
-            bx, by, bm = batch
-            loss, grads = jax.value_and_grad(self._loss_fn)(params, bx, by, bm)
-            updates, opt_state = self._tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+            idx, mask = epoch_batches_masked(key, x.shape[0], batch_size)
+            xb, yb = x[idx], y[idx]
+            mask = mask.astype(self.dtype)
 
-        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state),
-                                                   (xb, yb, mask))
-        return params, opt_state, losses.mean()
+            def step(carry, batch):
+                params, opt_state = carry
+                bx, by, bm = batch
+                loss, grads = jax.value_and_grad(self._loss_fn)(params, bx, by, bm)
+                updates, opt_state = self._tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(step, (params, opt_state),
+                                                       (xb, yb, mask))
+            return (params, opt_state), losses.mean()
+
+        (params, opt_state), losses = jax.lax.scan(epoch, (params, opt_state),
+                                                   keys)
+        return params, opt_state, losses
 
     # --- public API -------------------------------------------------------
 
@@ -123,12 +129,12 @@ class ACTINN(BaseClassificationMethod):
         self._tx = optax.adam(schedule)
         opt_state = self._tx.init(params)
 
-        for epoch in range(num_epochs):
-            key, ek = jax.random.split(key)
-            params, opt_state, loss = self._train_epoch(params, opt_state, x, y, ek,
-                                                        min(batch_size, x.shape[0]))
-            if print_cost and epoch % 10 == 0:
-                print(f"Epoch: {epoch:>4d} Loss: {float(loss):6.4f}")
+        epoch_keys = jax.random.split(key, num_epochs)
+        params, opt_state, losses = self._train_epochs(
+            params, opt_state, x, y, epoch_keys, min(batch_size, x.shape[0]))
+        if print_cost:
+            for epoch in range(0, num_epochs, 10):
+                print(f"Epoch: {epoch:>4d} Loss: {float(losses[epoch]):6.4f}")
         self.params = params
         return self
 

@@ -143,6 +143,19 @@ class DeepImpute(BaseRegressionMethod):
                                                    (Xb, Yb, Mb, keys))
         return params, opt_state, losses.mean()
 
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def _train_epochs(self, params, opt_state, X, Y, loss_mask, keys,
+                      batch_size: int):
+        def epoch(carry, key):
+            params, opt_state = carry
+            params, opt_state, loss = self._train_epoch(
+                params, opt_state, X, Y, loss_mask, key, batch_size)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(epoch, (params, opt_state),
+                                                   keys)
+        return params, opt_state, losses
+
     def fit(self, X, Y, mask=None, batch_size: int = 64, lr: float = 1e-3,
             n_epochs: int = 100, patience: int = 5, train_idx=None):
         X = as_numpy(X).astype(np.float32)
@@ -185,9 +198,19 @@ class DeepImpute(BaseRegressionMethod):
             Xv, Yv, Mv = (to_device(X[val_sel]), to_device(Y[val_sel]),
                           to_device(mask_arr[val_sel]))
         bs = min(batch_size, len(tr_sel))
+        epoch_keys = jax.random.split(key, n_epochs)
+        if not n_val:
+            # no early stopping: all epochs in one compiled scan (a
+            # per-epoch dispatch costs two relay round trips)
+            self.params, opt_state, losses = self._train_epochs(
+                self.params, opt_state, Xj, Yj, Mj, epoch_keys, bs)
+            for epoch in range(0, n_epochs, 20):
+                logger.info("DeepImpute epoch %d, wMSE %.6f", epoch,
+                            float(losses[epoch]))
+            return self
         best, best_params, counter = np.inf, self.params, 0
         for epoch in range(n_epochs):
-            key, ek = jax.random.split(key)
+            ek = epoch_keys[epoch]
             self.params, opt_state, loss = self._train_epoch(
                 self.params, opt_state, Xj, Yj, Mj, ek, bs)
             if n_val:
