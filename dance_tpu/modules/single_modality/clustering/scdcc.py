@@ -106,7 +106,9 @@ class ScDCC(ScDeepCluster):
                 # DEC early stop on label-change fraction (reference scdcc tol)
                 delta_label = (float((y_pred_new != self.y_pred).mean())
                                if hasattr(self, "y_pred") else 1.0)
-                self.q, self.z = np.asarray(q), np.asarray(latent)
+                # keep q/z as device arrays: pulling them to the host every
+                # epoch costs ~MBs over the relay; one transfer at the end
+                self.q, self.z = q, latent
                 self.y_pred = y_pred_new
                 snapshots.append((self.q, self.z, self.y_pred))
                 if y is not None:
@@ -129,4 +131,5 @@ class ScDCC(ScDeepCluster):
         if aris:
             best = int(np.argmax(aris))
             self.q, self.z, self.y_pred = snapshots[best]
+        self.q, self.z = np.asarray(self.q), np.asarray(self.z)
         return self

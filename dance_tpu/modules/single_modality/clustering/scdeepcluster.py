@@ -178,7 +178,9 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
                 y_pred_new = np.asarray(q.argmax(1))
                 # DEC early stop on label-change fraction (scdeepcluster.py:446)
                 delta_label = float((y_pred_new != self.y_pred).mean())
-                self.q, self.z = np.asarray(q), np.asarray(latent)
+                # keep q/z as device arrays: pulling them to the host every
+                # epoch costs ~MBs over the relay; one transfer at the end
+                self.q, self.z = q, latent
                 self.y_pred = y_pred_new
                 snapshots.append((self.q, self.z, self.y_pred))
                 if y is not None:
@@ -195,6 +197,7 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
         if aris:
             best = int(np.argmax(aris))
             self.q, self.z, self.y_pred = snapshots[best]
+        self.q, self.z = np.asarray(self.q), np.asarray(self.z)
         return self
 
     def predict_proba(self, x=None) -> np.ndarray:
