@@ -216,20 +216,27 @@ class ScTAG(NNPretrain, BaseClusteringMethod):
         self._tx = optax.adam(lr)
         opt_state = self._tx.init((self.params, self.mu))
         aris, snapshots = [], []
+        y_cmp = (None if y is None
+                 else np.asarray(y)[self._perm] if self._perm is not None
+                 else np.asarray(y))
         for epoch in range(epochs):
             latent = self._encode(self.params, self.adj_n, x)
             q = soft_assign(latent, self.mu, self.alpha)
             p = target_distribution(q)
-            self.q = unpermute(self._perm, np.asarray(q))
-            self.z = unpermute(self._perm, np.asarray(latent))
+            # device-resident between epochs; one host pull at the end
+            self.q, self.z = q, latent
             if y is not None:
-                aris.append(self.score(None, y))
-                snapshots.append(self.q)
+                from sklearn.metrics import adjusted_rand_score
+                # ARI on the permuted ordering (labels permuted to match)
+                aris.append(adjusted_rand_score(y_cmp, np.asarray(q.argmax(1))))
+                snapshots.append(q)
             self.params, self.mu, opt_state, loss = self._step(
                 self.params, self.mu, opt_state, self.adj_n, x, x_raw, sf,
                 self.adj_dense, p, w_a, w_x, w_c, w_d, True, min_dist, max_dist)
         if aris:
             self.q = snapshots[int(np.argmax(aris))]
+        self.q = unpermute(self._perm, np.asarray(self.q))
+        self.z = unpermute(self._perm, np.asarray(self.z))
         return self
 
     def predict_proba(self, x: Optional[Any] = None) -> np.ndarray:
