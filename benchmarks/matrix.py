@@ -411,7 +411,7 @@ def run_babel():
 
     def make(e):
         m = BabelWrapper(seed=0)
-        m.fit(np.expm1(x1), x2, epochs=e, batch_size=512)
+        m.fit(np.expm1(x1), x2, epochs=e, batch_size=512, val_ratio=0)
         return m
 
     per = epoch_delta(make, 3, 23)

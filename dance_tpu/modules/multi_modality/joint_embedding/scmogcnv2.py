@@ -195,8 +195,11 @@ class ScMoGCNWrapperV2:
         phj = jnp.asarray(phase_score)
         f1, f2 = feat1, feat2
 
+        # big arrays enter as ARGUMENTS: closing over device arrays embeds
+        # them as constants in the compile payload (HTTP 413 on the relay)
         @jax.jit
-        def step(params, opt_state, cell_idx, feat_idx, rng):
+        def step(params, opt_state, x_dense, yj, bf1, ctj, phj, cell_idx,
+                 feat_idx, rng):
             w = x_dense[cell_idx][:, feat_idx]
             sub = HeteroExpnGraph(
                 f2c=w, c2f=w.T, pw=None,
@@ -222,7 +225,7 @@ class ScMoGCNWrapperV2:
             return optax.apply_updates(params, updates), opt_state, loss
 
         @jax.jit
-        def val_loss(params, idx):
+        def val_loss(params, g, yj, bf1, idx):
             emb, out, _, _ = net.apply({"params": params}, g, bf1)
             l1 = ((out[idx, :f1] - yj[idx, :f1]) ** 2).mean()
             l2 = ((out[idx, -f2:] - yj[idx, -f2:]) ** 2).mean()
@@ -247,9 +250,10 @@ class ScMoGCNWrapperV2:
                                                      replace=False, p=p_feat))
                 rng = jax.random.fold_in(key, epoch * 100003 + s)
                 self.params, opt_state, loss = step(self.params, opt_state,
+                                                    x_dense, yj, bf1, ctj, phj,
                                                     cell_idx, feat_idx, rng)
                 total += float(loss)
-            vals.append(float(val_loss(self.params, val_idx)))
+            vals.append(float(val_loss(self.params, g, yj, bf1, val_idx)))
             if min(vals) == vals[-1]:
                 best = self.params
             if (epoch > self.early_stopping

@@ -218,8 +218,10 @@ class ScMoGCNWrapper(MatchingScoreMixin):
         opt_state = tx.init(params)
         net, aux = self.net, self.auxiliary_loss
 
+        # the propagated stacks enter as ARGUMENTS: closing over device
+        # arrays embeds them as constants in the relay's compile payload
         @jax.jit
-        def step(params, opt_state, idx, rng):
+        def step(params, opt_state, H1, H2, idx, rng):
             def loss_fn(p):
                 X, Y = propagation_layer_combination(H1, H2, idx, p["wt1"],
                                                      p["wt2"])
@@ -261,7 +263,8 @@ class ScMoGCNWrapper(MatchingScoreMixin):
             for s in range(n_steps):
                 bidx = jnp.asarray(perm[s * bs:(s + 1) * bs])
                 rng = jax.random.fold_in(key, epoch * 65537 + s)
-                params, opt_state, loss = step(params, opt_state, bidx, rng)
+                params, opt_state, loss = step(params, opt_state, H1, H2,
+                                               bidx, rng)
                 total += float(loss)
             self.params = params
             v = jnp.arange(len(val_idx))

@@ -594,8 +594,11 @@ class ScMoGCNWrapper(BaseRegressionMethod):
         opt_state = self._tx.init(self.params)
         net = self.net
 
+        # big arrays enter as ARGUMENTS: closing over device arrays embeds
+        # them as constants in the compile payload (HTTP 413 on the relay)
         @jax.jit
-        def sampled_step(params, opt_state, cell_idx, feat_idx, rng):
+        def sampled_step(params, opt_state, x_dense, y, pw_dense, graph,
+                         cell_idx, feat_idx, rng):
             w = x_dense[cell_idx][:, feat_idx]          # dense subgraph block
             deg_c = (w != 0).sum(1).astype(jnp.float32)
             deg_f = (w != 0).sum(0).astype(jnp.float32)
@@ -606,10 +609,12 @@ class ScMoGCNWrapper(BaseRegressionMethod):
             sub = HeteroExpnGraph(
                 f2c=w, c2f=w.T, pw=pw, deg_c=deg_c, deg_f=deg_f, deg_pw=deg_pw,
                 feature_ids=feat_idx.astype(jnp.int32),
-                cell_ids=None if g.cell_ids is None else g.cell_ids[cell_idx],
-                cell_feats=None if g.cell_feats is None else g.cell_feats[cell_idx],
-                batch_feats=None if g.batch_feats is None
-                else g.batch_feats[cell_idx])
+                cell_ids=(None if graph.cell_ids is None
+                          else graph.cell_ids[cell_idx]),
+                cell_feats=(None if graph.cell_feats is None
+                            else graph.cell_feats[cell_idx]),
+                batch_feats=(None if graph.batch_feats is None
+                             else graph.batch_feats[cell_idx]))
 
             def loss_fn(p):
                 pred = net.apply({"params": p}, sub, deterministic=False,
@@ -641,7 +646,8 @@ class ScMoGCNWrapper(BaseRegressionMethod):
                     feat_idx = jnp.arange(g.n_feats)
                 rng = jax.random.fold_in(key, epoch * 100003 + s)
                 self.params, opt_state, loss = sampled_step(
-                    self.params, opt_state, cell_idx, feat_idx, rng)
+                    self.params, opt_state, x_dense, y, pw_dense, g,
+                    cell_idx, feat_idx, rng)
                 running += float(loss)
             if val_idx is not None and epoch % eval_interval == 0:
                 val = self._score_graph(g, val_idx, y[val_idx])
