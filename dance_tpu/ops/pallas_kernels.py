@@ -286,7 +286,8 @@ def pallas_spmm(adj: sp.spmatrix, h, *, interpret: bool = False):
 
 __all__ = ["BipartiteBSR", "BSRMatrix", "bipartite_bsr", "bsr_from_scipy",
            "bsr_gat", "bsr_gat_ad", "bsr_gat_grads", "bsr_gat_scan",
-           "bsr_gat_stats", "bsr_spmm", "bsr_spmm_ad", "bsr_transpose",
+           "bsr_gat_stats", "bsr_spmm", "bsr_spmm_ad", "bsr_spmm_max",
+           "bsr_transpose",
            "bsr_with_rcm", "pallas_spmm", "rcm_reorder", "resolve_use_bsr",
            "tile_expansion", "unpermute"]
 
@@ -737,3 +738,83 @@ def unpermute(perm, arr: np.ndarray) -> np.ndarray:
     out = np.empty_like(arr)
     out[np.asarray(perm)] = arr
     return out
+
+
+# --------------------------------------------------------------------------
+# Max aggregation over BSR tiles
+# --------------------------------------------------------------------------
+#
+# DGL's u_mul_e/max reduction (max-pooling GraphSAGE variants) has no matmul
+# formulation: out[i,k] = max_{j in N(i)} a_ij * h[j,k].  On BSR tiles the
+# nonzero pattern is recoverable from the dense tile (a zero slot means "no
+# edge"; real zero-weight edges are indistinguishable and treated as absent —
+# the CSR segment path keeps the exact pattern if that matters).  The kernel
+# streams the same tiles as the sum kernel but runs a masked max-reduction on
+# the VPU: per tile it expands column-chunks of A against B and folds them
+# into the running row-max, so the (BLOCK, BLOCK, d) message tensor never
+# exists outside an 8-column chunk of VMEM.  Empty rows finish at -inf,
+# matching jax.ops.segment_max's identity.
+
+_MAX_CHUNK = 8
+
+
+def _spmm_max_kernel(brows_ref, bcols_ref, blocks_ref, b_ref, out_ref, *,
+                     weighted: bool):
+    i = pl.program_id(1)  # block index (innermost: consecutive same-row visits)
+
+    @pl.when((i == 0) | (brows_ref[i] != brows_ref[jnp.maximum(i - 1, 0)]))
+    def _():
+        out_ref[:] = jnp.full_like(out_ref, -jnp.inf)
+
+    a = blocks_ref[0]  # (BLOCK, BLOCK)
+    b = b_ref[:]       # (BLOCK, d_tile)
+    acc = out_ref[:]
+    for c0 in range(0, BLOCK, _MAX_CHUNK):
+        asub = a[:, c0:c0 + _MAX_CHUNK]                    # (BLOCK, CH)
+        bsub = b[c0:c0 + _MAX_CHUNK, :]                    # (CH, d_tile)
+        msg = asub[:, :, None] * bsub[None, :, :] if weighted \
+            else jnp.broadcast_to(bsub[None, :, :], (BLOCK,) + bsub.shape)
+        msg = jnp.where(asub[:, :, None] != 0, msg, -jnp.inf)
+        acc = jnp.maximum(acc, msg.max(axis=1))
+    out_ref[:] = acc
+
+
+@partial(jax.jit, static_argnames=("weighted", "d_tile", "interpret"))
+def bsr_spmm_max(bsr: BSRMatrix, b: jax.Array, *, weighted: bool = True,
+                 d_tile: int = 128, interpret: bool = None) -> jax.Array:
+    """``out[i] = max_j (A_ij * B[j])`` over the BSR nonzero pattern.
+
+    ``weighted=False`` maxes the raw neighbor features instead.  Rows with no
+    edges come back -inf (the segment_max identity).  Forward-only: max
+    aggregation is not on any model's training path (no custom VJP —
+    differentiating through it raises loudly rather than silently degrading).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_rows, n_cols = bsr.shape
+    d = b.shape[1]
+    dp = -(-d // d_tile) * d_tile
+    if b.shape != (n_cols, dp):
+        b = jnp.pad(b, ((0, n_cols - b.shape[0]), (0, dp - d)))
+    grid = (dp // d_tile, bsr.nb)
+    out = pl.pallas_call(
+        partial(_spmm_max_kernel, weighted=weighted),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, BLOCK, BLOCK), lambda j, i, brows, bcols: (i, 0, 0)),
+                pl.BlockSpec((BLOCK, d_tile), lambda j, i, brows, bcols: (bcols[i], j)),
+            ],
+            out_specs=pl.BlockSpec((BLOCK, d_tile),
+                                   lambda j, i, brows, bcols: (brows[i], j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_rows, dp), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsr.nb * BLOCK * BLOCK * dp,
+            bytes_accessed=bsr.nb * BLOCK * BLOCK * 4 + n_cols * dp * 4,
+            transcendentals=0,
+        ),
+    )(bsr.block_rows, bsr.block_cols, bsr.blocks, b)
+    return out[:, :d]

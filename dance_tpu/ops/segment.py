@@ -45,19 +45,25 @@ def spmm(adj, h: jax.Array, *, weighted: bool = True, op: str = "sum",
     pass ``n_out`` — the true output row count; it defaults to ``h.shape[0]``,
     which is only correct for square graphs.
     """
-    from dance_tpu.ops.pallas_kernels import BSRMatrix, bsr_spmm_ad
+    from dance_tpu.ops.pallas_kernels import BSRMatrix, bsr_spmm_ad, bsr_spmm_max
     from dance_tpu.parallel.sharded_graph import ShardedCSR, sharded_spmm
     if isinstance(adj, ShardedCSR):
         return sharded_spmm(adj, h, weighted=weighted, op=op, degrees=degrees)
     if isinstance(adj, BSRMatrix):
-        if not weighted or op not in ("sum", "mean"):
-            raise ValueError("BSR path supports weighted sum/mean aggregation; use "
-                             "the CSR adjacency for max or unweighted ops")
+        if op not in ("sum", "mean", "max"):
+            raise ValueError(f"Unknown aggregation {op!r}")
+        if not weighted and op != "max":
+            raise ValueError("BSR path supports weighted sum/mean and "
+                             "(un)weighted max; use the CSR adjacency for "
+                             "unweighted sum/mean")
         if op == "mean" and degrees is None:
             raise ValueError("BSR mean aggregation needs the per-row edge-count "
                              "vector (degrees=...) from the graph builder")
         n = n_out if n_out is not None else h.shape[0]
         hp = jnp.pad(h, ((0, adj.shape[1] - h.shape[0]), (0, 0)))
+        if op == "max":
+            # masked VPU max over the same tile stream (forward-only)
+            return bsr_spmm_max(adj, hp, weighted=weighted)[:n]
         out = bsr_spmm_ad(adj, hp)[:n]
         if op == "mean":
             out = out / jnp.maximum(degrees[:n], 1.0)[:, None]

@@ -261,6 +261,32 @@ def test_bsr_spmm_mean():
                                atol=1e-5)
 
 
+def test_bsr_spmm_max():
+    """BSR masked max aggregation matches the CSR segment_max path, weighted
+    and unweighted, including multi-block rows and empty rows (-inf)."""
+    import scipy.sparse as sp
+
+    from dance_tpu.ops.pallas_kernels import bsr_from_scipy
+    from dance_tpu.ops.segment import spmm
+    from dance_tpu.ops.sparse import csr_from_scipy
+
+    rng = np.random.default_rng(3)
+    adj = sp.random(300, 200, density=0.04, random_state=3, dtype=np.float32,
+                    format="csr")
+    adj.data = adj.data - 0.5  # negative weights exercise the -inf masking
+    adj.eliminate_zeros()
+    h = (rng.random((200, 20), dtype=np.float32) - 0.5)
+    csr, bsr = csr_from_scipy(adj), bsr_from_scipy(adj)
+    hj = jnp.asarray(h)
+    for weighted in (True, False):
+        ref = np.asarray(spmm(csr, hj, weighted=weighted, op="max", n_out=300))
+        out = np.asarray(spmm(bsr, hj, weighted=weighted, op="max", n_out=300))
+        empty = np.diff(adj.indptr) == 0
+        assert np.all(np.isneginf(out[empty]))
+        np.testing.assert_allclose(out[~empty], ref[~empty], rtol=1e-5,
+                                   atol=1e-6)
+
+
 def _toy_bipartite(seed=0, n_cells=60, n_genes=25, dim=6):
     import scipy.sparse as sp
 
