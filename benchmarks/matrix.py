@@ -823,8 +823,9 @@ def render():
         "comparison, not a GPU head-to-head. MFU divides by the v5e bf16 "
         "peak (197 TFLOP/s); f32 paths cap at ~50% by construction.",
         "",
-        "| method | family | scale | TPU ms/epoch | TPU total s | MFU % | notes |",
-        "|---|---|---|---|---|---|---|",
+        "| method | family | scale | TPU ms/epoch | TPU total s | MFU % | "
+        "host ms/epoch | host total s | TPU× | notes |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name in sorted(rows, key=lambda n: (rows[n]["family"], n)):
         r = rows[name]
@@ -834,9 +835,20 @@ def render():
                 return fmt.format(float(v))
             except (TypeError, ValueError):
                 return ""
+        speedup = ""
+        try:
+            speedup = "{:.0f}×".format(
+                float(r["host_ms_epoch"]) / float(r["tpu_ms_epoch"]))
+        except (KeyError, TypeError, ValueError, ZeroDivisionError):
+            try:
+                speedup = "{:.1f}×".format(
+                    float(r["host_s_total"]) / float(r["tpu_s_total"]))
+            except (KeyError, TypeError, ValueError, ZeroDivisionError):
+                pass
         lines.append(
             f"| {name} | {r['family']} | {r['scale']} | {f('tpu_ms_epoch')} | "
-            f"{f('tpu_s_total')} | {f('mfu_pct')} | {r.get('notes', '')} |")
+            f"{f('tpu_s_total')} | {f('mfu_pct')} | {f('host_ms_epoch')} | "
+            f"{f('host_s_total')} | {speedup} | {r.get('notes', '')} |")
     with open(MD_OUT, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(f"wrote {MD_OUT} ({len(rows)} methods)")

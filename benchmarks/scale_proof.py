@@ -1,12 +1,20 @@
 """100k-cell flagship scale proof (BENCH_NOTES.md §scale).
 
 Trains scDeepSort full-graph on a 100k cells × 2k genes synthetic bipartite
-expression graph on the single v5e chip, recording graph/tiling stats,
-one-time compile wall time, and steady-state epoch time (host-synced epoch
-delta). The reference's own envelope notes OOM/hour-scale runs past ~100k
-cells on a V100 (reference tests/test_bench.py:16-20).
+expression graph (fixed 50-gene fanout per cell, ~5M cell→gene edges → ~10M
+directed edges after symmetrization) on the single v5e chip, recording
+graph/tiling stats, one-time compile wall time, and steady-state step time.
 
-Usage: PYTHONPATH=/root/repo python benchmarks/scale_proof.py [--cells 100000]
+The steady-state number comes from timing the jitted ``_train_step`` directly
+in a dependent chain (params feed the next step) with device-resident inputs
+and ONE final device→host sync — fit-level epoch deltas at this scale are
+swamped by the ~1.7 GB per-fit upload and the axon relay's compile-cache
+variance (a prior run measured a *negative* delta that way).
+
+The reference's own envelope notes OOM/hour-scale runs past ~100k cells on a
+V100 (reference tests/test_bench.py:16-20).
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/scale_proof.py [--cells 100000]
 """
 
 import argparse
@@ -21,19 +29,28 @@ def main():
     ap.add_argument("--cells", type=int, default=100_000)
     ap.add_argument("--genes", type=int, default=2_000)
     ap.add_argument("--dim", type=int, default=256)
-    ap.add_argument("--density", type=float, default=0.025)
-    ap.add_argument("--use_bsr", default="true")
+    ap.add_argument("--fanout", type=int, default=50)
+    ap.add_argument("--steps", type=int, default=20)
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
+    import optax
 
     from dance_tpu.graph import Graph
     from dance_tpu.modules.single_modality.cell_type_annotation import ScDeepSort
 
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
-    expr = sp.random(args.cells, args.genes, density=args.density,
-                     random_state=0, dtype=np.float32, format="csr")
+    # fixed-fanout expression rows: equivalent workload to density
+    # fanout/genes, built in seconds instead of sp.random's minutes at 5M nnz
+    indices = rng.integers(0, args.genes, (args.cells, args.fanout),
+                           dtype=np.int32).ravel()
+    indptr = np.arange(args.cells + 1, dtype=np.int64) * args.fanout
+    data = rng.random(args.cells * args.fanout, dtype=np.float32) + 0.1
+    expr = sp.csr_matrix((data, indices, indptr),
+                         shape=(args.cells, args.genes))
+    expr.sum_duplicates()
     g = Graph.from_cell_feature_matrix(
         expr, rng.random((args.cells, args.dim), dtype=np.float32),
         rng.random((args.genes, args.dim), dtype=np.float32))
@@ -42,36 +59,54 @@ def main():
     print(f"graph: {g.num_nodes:,} nodes, {g.num_edges:,} edges "
           f"(build {t_build:.1f}s)", flush=True)
 
-    use_bsr = args.use_bsr.lower() in ("1", "true", "yes")
-    if use_bsr:
-        from dance_tpu.ops.pallas_kernels import bsr_from_scipy
-        nb = bsr_from_scipy(sp.csr_matrix(g.adj)).nb
-        print(f"BSR tiling: {nb:,} nonzero 128x128 tiles "
-              f"({nb * 128 * 128 * 4 / 1e9:.2f} GB tile storage)", flush=True)
-
-    def fit(epochs):
-        m = ScDeepSort(dim_in=args.dim, dim_hid=args.dim, num_layers=2, seed=0)
-        m.fit(g, labels, epochs=epochs, val_ratio=0.0, use_bsr=use_bsr)
-        # real sync: device->host read of a trained weight
-        float(np.asarray(jax.tree_util.tree_leaves(m.params)[0]).sum())
-        return m
-
     t0 = time.perf_counter()
-    fit(1)
-    t_compile = time.perf_counter() - t0
-    print(f"first fit (compile + upload): {t_compile:.1f}s", flush=True)
+    conv_adj = g.to_adaptive_bsr(block=128)
+    nb = int(conv_adj.bsr.nb)
+    t_tile = time.perf_counter() - t0
+    print(f"AdaptiveBSR tiling: {t_tile:.1f}s, {nb:,} tiles "
+          f"({nb * 128 * 128 * 4 / 1e9:.2f} GB tile storage)", flush=True)
 
-    base, extra = 3, 30
+    m = ScDeepSort(dim_in=args.dim, dim_hid=args.dim, num_layers=2, seed=0)
     t0 = time.perf_counter()
-    fit(base)
-    t_small = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    fit(base + extra)
-    t_big = time.perf_counter() - t0
-    per_epoch = (t_big - t_small) / extra
-    print(f"steady state: {per_epoch * 1e3:.1f} ms/epoch "
-          f"({args.cells / per_epoch:,.0f} cells/s) "
-          f"[small {t_small:.1f}s big {t_big:.1f}s]", flush=True)
+    m.fit(g, labels, epochs=1, val_ratio=0.0, use_bsr=True)
+    t_first = time.perf_counter() - t0
+    # real sync: device->host read of a trained weight
+    float(np.asarray(jax.tree_util.tree_leaves(m.params)[0]).sum())
+    print(f"first fit (compile + upload + 1 epoch): {t_first:.1f}s", flush=True)
+
+    # steady state: drive the jitted step directly, dependent chain, one sync
+    dg, gene_id = m._graph_cache
+    num_genes = int(g.info["num_genes"])
+    full_labels = -np.ones(g.num_nodes, dtype=np.int32)
+    full_labels[num_genes:] = labels
+    full_labels = jnp.asarray(full_labels)
+    train_mask = jnp.asarray((np.arange(g.num_nodes) >= num_genes)
+                             .astype(np.float32))
+    feats = dg.ndata["features"]
+    tx = optax.adam(1e-3)
+    params = m.params
+    opt_state = tx.init(params)
+    m._tx = tx
+    key = jax.random.key(0)
+
+    def chain(n):
+        nonlocal params, opt_state, key
+        for _ in range(n):
+            key, sk = jax.random.split(key)
+            params, opt_state, loss = m._train_step(
+                params, opt_state, conv_adj, feats, gene_id, full_labels,
+                train_mask, sk, None)
+        float(np.asarray(loss))  # host sync
+
+    chain(2)  # warm (trace-cache hit; compile already done in fit)
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        chain(args.steps)
+        best = min(best, (time.perf_counter() - t0) / args.steps)
+    print(f"steady state: {best * 1e3:.1f} ms/epoch "
+          f"({args.cells / best:,.0f} cells/s) [min of 3x{args.steps} steps]",
+          flush=True)
 
 
 if __name__ == "__main__":

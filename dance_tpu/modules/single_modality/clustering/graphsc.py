@@ -19,6 +19,7 @@ import optax
 from dance_tpu.modules.base import BaseClusteringMethod
 from dance_tpu.nn.gnn import WeightedGraphConv
 from dance_tpu.ops.sparse import CSRMatrix
+from dance_tpu.utils.loss import binary_ce_logits
 from dance_tpu.settings import logger
 from dance_tpu.transforms import AnnDataTransform, Compose, SetConfig
 from dance_tpu.transforms.graph import PCACellFeatureGraph
@@ -110,17 +111,20 @@ class GraphSC(BaseClusteringMethod):
     def _train_step(self, params, opt_state, adj, feats, adj_target, cell_slice, key,
                     degrees=None):
         def loss_fn(params):
-            logits, emb = self.model.apply({"params": params}, adj, feats,
-                                           training=True, rngs={"dropout": key},
-                                           degrees=degrees)
-            cell_logits = logits[cell_slice][:, cell_slice]
+            _, emb = self.model.apply({"params": params}, adj, feats,
+                                      training=True, rngs={"dropout": key},
+                                      degrees=degrees)
+            # slice BEFORE the Gram matmul (cells² ≪ (cells+genes)²) and take
+            # the BCE from raw logits — the model's full sigmoid adjacency
+            # output is unused here and pruned by XLA
+            cell_emb = emb[cell_slice]
+            cell_logits = cell_emb @ cell_emb.T
             pos = adj_target.sum()
             total = adj_target.shape[0] ** 2
             pos_weight = (total - pos) / jnp.maximum(pos, 1.0)
             norm = total / jnp.maximum((total - pos) * 2, 1.0)
-            eps = 1e-7
-            bce = -(pos_weight * adj_target * jnp.log(cell_logits + eps)
-                    + (1 - adj_target) * jnp.log(1 - cell_logits + eps)).mean()
+            bce = binary_ce_logits(cell_logits, adj_target,
+                                   pos_weight=pos_weight)
             return norm * bce
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

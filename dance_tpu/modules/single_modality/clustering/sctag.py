@@ -24,8 +24,8 @@ from dance_tpu.settings import logger
 from dance_tpu.transforms import AnnDataTransform, CellPCA, Compose, SaveRaw, SetConfig
 from dance_tpu.transforms.graph import NeighborGraph
 from dance_tpu.typing import Any, LogLevel, Optional, Tuple
-from dance_tpu.utils.loss import (cluster_kl_loss, dist_loss, soft_assign,
-                                  target_distribution, zinb_nll)
+from dance_tpu.utils.loss import (binary_ce_logits, cluster_kl_loss, dist_loss,
+                                  soft_assign, target_distribution, zinb_nll)
 from dance_tpu.utils.wrappers import as_numpy
 
 
@@ -129,21 +129,22 @@ class ScTAG(NNPretrain, BaseClusteringMethod):
         self.params = self.net.init(jax.random.key(self.seed), self.adj_n,
                                     jnp.asarray(x[:, :], jnp.float32))["params"]
 
-    @partial(jax.jit, static_argnames=("self", "use_cluster"))
+    @partial(jax.jit, static_argnames=("self", "use_cluster", "use_dist"))
     def _step(self, params, mu, opt_state, adj, x, x_raw, sf, adj_target, p,
               w_a, w_x, w_c, w_d, use_cluster: bool, min_dist=0.5,
-              max_dist=20.0):
+              max_dist=20.0, use_dist: bool = False):
         def loss_fn(theta):
             params, mu = theta
-            z, adj_logits, mean, disp, pi = self.net.apply({"params": params}, adj, x)
-            eps = 1e-7
-            a_loss = -(adj_target * jnp.log(adj_logits + eps)
-                       + (1 - adj_target) * jnp.log(1 - adj_logits + eps)).mean()
+            z, _, mean, disp, pi = self.net.apply({"params": params}, adj, x)
+            # adjacency BCE from raw logits (one softplus per element; the
+            # net's sigmoid output is unused here and pruned by XLA)
+            a_loss = binary_ce_logits(z @ z.T, adj_target)
             x_loss = zinb_nll(x_raw, mean, disp, pi, scale_factor=sf[:, None])
             loss = w_a * a_loss + w_x * x_loss
-            loss = jnp.where(w_d > 0,
-                             loss + w_d * dist_loss(z, min_dist, max_dist),
-                             loss)
+            if use_dist:
+                # static gate: the O(n²) pairwise term and its backward only
+                # enter the graph when w_d > 0
+                loss = loss + w_d * dist_loss(z, min_dist, max_dist)
             if use_cluster:
                 q = soft_assign(z, mu, self.alpha)
                 loss = loss + w_c * cluster_kl_loss(p, q)
@@ -174,7 +175,8 @@ class ScTAG(NNPretrain, BaseClusteringMethod):
         for epoch in range(epochs):
             self.params, mu, opt_state, loss = self._step(
                 self.params, mu, opt_state, self.adj_n, x, x_raw, sf, self.adj_dense,
-                p, w_a, w_x, 0.0, w_d, False, min_dist, max_dist)
+                p, w_a, w_x, 0.0, w_d, False, min_dist, max_dist,
+                use_dist=w_d > 0)
             if epoch % max(info_step * 10, 1) == 0:
                 logger.info("Pretrain epoch %d, loss %.6f", epoch, float(loss))
 
@@ -232,7 +234,8 @@ class ScTAG(NNPretrain, BaseClusteringMethod):
                 snapshots.append(q)
             self.params, self.mu, opt_state, loss = self._step(
                 self.params, self.mu, opt_state, self.adj_n, x, x_raw, sf,
-                self.adj_dense, p, w_a, w_x, w_c, w_d, True, min_dist, max_dist)
+                self.adj_dense, p, w_a, w_x, w_c, w_d, True, min_dist, max_dist,
+                use_dist=w_d > 0)
         if aris:
             self.q = snapshots[int(np.argmax(aris))]
         self.q = unpermute(self._perm, np.asarray(self.q))

@@ -26,7 +26,8 @@ from dance_tpu.transforms import (AnnDataTransform, CellPCA, Compose,
                                   MorphologyFeatureCNN, SetConfig)
 from dance_tpu.transforms.graph import StagateGraph
 from dance_tpu.typing import LogLevel, Optional
-from dance_tpu.utils.loss import cluster_kl_loss, soft_assign, target_distribution
+from dance_tpu.utils.loss import (binary_ce_logits, cluster_kl_loss, soft_assign,
+                                  target_distribution)
 from dance_tpu.utils.wrappers import as_numpy
 
 
@@ -99,10 +100,10 @@ class EfNsSTRunner(BaseClusteringMethod):
     def _step(self, theta, opt_state, adj, x, adj_target, p, use_dec: bool):
         def loss_fn(theta):
             params, mu = theta
-            z, adj_logits, x_hat = self.net.apply({"params": params}, adj, x)
-            eps = 1e-7
-            a_loss = -(adj_target * jnp.log(adj_logits + eps)
-                       + (1 - adj_target) * jnp.log(1 - adj_logits + eps)).mean()
+            z, _, x_hat = self.net.apply({"params": params}, adj, x)
+            # BCE from raw logits (one softplus per element over the dense
+            # n×n reconstruction; the net's sigmoid output is pruned by XLA)
+            a_loss = binary_ce_logits(z @ z.T, adj_target)
             r_loss = jnp.mean((x - x_hat) ** 2)
             loss = a_loss + r_loss
             if use_dec:

@@ -100,10 +100,30 @@ def dist_loss(z, min_dist: float = 1.0, max_dist: float = 20.0):
     """Soft two-sided barrier keeping latent pairwise distances inside
     [min_dist, max_dist]: mean of exp(-(d-min)) + exp(-(max-d))
     (parity: loss.py:832; the reference returns the matrix and callers take
-    the mean — folded in here since every caller does)."""
-    d2 = jnp.sum((z[:, None, :] - z[None, :, :]) ** 2, axis=-1)
-    d = jnp.sqrt(d2 + 1e-10)
+    the mean — folded in here since every caller does).
+
+    Pairwise d² via the Gram identity ``r_i + r_j − 2 z·zᵀ`` — one MXU matmul
+    instead of an (n, n, d) broadcast-subtract stream."""
+    r = jnp.sum(z * z, axis=-1)
+    d2 = r[:, None] + r[None, :] - 2.0 * (z @ z.T)
+    d = jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-10)
     return jnp.mean(jnp.exp(-(d - min_dist)) + jnp.exp(-(max_dist - d)))
+
+
+def binary_ce_logits(logits, target, pos_weight=None):
+    """Mean sigmoid binary cross entropy straight from logits.
+
+    Identical math to ``-(w·t·log σ(l) + (1−t)·log(1−σ(l)))`` (the eps-fudged
+    sigmoid/log form the reference models write out), restructured as
+    ``(1 + (w−1)·t)·softplus(l) − w·t·l`` — ONE transcendental per element
+    instead of three, which matters when ``l`` is a dense n×n adjacency
+    reconstruction (scTAG/graph-sc/EfNST inner-product decoders over 10⁸
+    elements are transcendental-bound in the sigmoid/log form)."""
+    sp = jax.nn.softplus(logits)
+    if pos_weight is None:
+        return jnp.mean(sp - target * logits)
+    return jnp.mean((1.0 + (pos_weight - 1.0) * target) * sp
+                    - pos_weight * target * logits)
 
 
 # --------------------------------------------------------------------------
