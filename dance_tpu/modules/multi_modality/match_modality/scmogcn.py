@@ -225,12 +225,13 @@ class ScMoGCNWrapper(MatchingScoreMixin):
             def loss_fn(p):
                 X, Y = propagation_layer_combination(H1, H2, idx, p["wt1"],
                                                      p["wt2"])
-                logits = net.apply({"params": p["model"]}, X, Y,
-                                   deterministic=False, rngs={"dropout": rng})
-                loss = _symmetric_contrastive_loss(logits)
+                # one encoder pass shared by the contrastive logits and both
+                # decode directions (the reference recomputes; same math)
                 e1, e2 = net.apply({"params": p["model"]}, X, Y,
                                    deterministic=False, rngs={"dropout": rng},
                                    method=net.encode)
+                logits = e1 @ e2.T * math.exp(net.temp)
+                loss = _symmetric_contrastive_loss(logits)
                 pred1, pred2 = net.apply({"params": p["model"]}, e2, e1,
                                          deterministic=False,
                                          rngs={"dropout": rng},
@@ -249,11 +250,23 @@ class ScMoGCNWrapper(MatchingScoreMixin):
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
+        @jax.jit
+        def val_score(params, H1, H2, idx):
+            # device-side matching accuracy: pulling the (val, val) logits to
+            # the host every epoch costs ~67 MB over the relay at bench scale
+            X, Y = propagation_layer_combination(H1, H2, idx, params["wt1"],
+                                                 params["wt2"])
+            logits = net.apply({"params": params["model"]}, X, Y)
+            lab = jnp.arange(idx.shape[0])
+            return ((logits.argmax(1) == lab).mean()
+                    + (logits.argmax(0) == lab).mean()) / 2
+
         # reference split: random perm of train cells, last BATCH_SIZE = val
         bs = min(batch_size, max(2, math.floor(train_size / 2)))
         rng_np = np.random.default_rng(self.seed)
         idx = rng_np.permutation(train_size)
         train_idx, val_idx = idx[:-bs], idx[-bs:]
+        val_idx_j = jnp.asarray(val_idx)
         self.params = params
         maxval, best, vals = -1.0, (params["model"], params["wt1"], params["wt2"]), []
         for epoch in range(epochs):
@@ -267,8 +280,7 @@ class ScMoGCNWrapper(MatchingScoreMixin):
                                                bidx, rng)
                 total += float(loss)
             self.params = params
-            v = jnp.arange(len(val_idx))
-            vals.append(self.score(val_idx, labels1=v, labels2=v))
+            vals.append(float(val_score(params, H1, H2, val_idx_j)))
             if vals[-1] > maxval:
                 maxval = vals[-1]
                 best = (params["model"], params["wt1"], params["wt2"])
