@@ -223,7 +223,7 @@ def run_scheteronet():
 
     def make(e):
         m = scHeteroNet(hidden_channels=64, num_layers=2, seed=0)
-        m.fit(g, y, x_raw=x, epochs=e, use_bsr=False)
+        m.fit(g, y, x_raw=x, epochs=e, use_bsr="auto")
         return m
 
     per = epoch_delta(make, 3, 23)
@@ -276,7 +276,7 @@ def run_scdsc():
 
     def make(e):
         m = ScDSC(n_input=N_GENES, n_clusters=N_TYPES, seed=0)
-        m.fit(inputs, y, epochs=e, pt_epochs=2, use_bsr=False)
+        m.fit(inputs, y, epochs=e, pt_epochs=2, use_bsr="auto")
         return m
 
     per = epoch_delta(make, 3, 23)
@@ -292,7 +292,7 @@ def run_sctag():
 
     def make(e):
         m = ScTAG(n_clusters=N_TYPES, seed=0)
-        m.fit(inputs, y, epochs=e, pretrain_epochs=2, use_bsr=False)
+        m.fit(inputs, y, epochs=e, pretrain_epochs=2, use_bsr="auto")
         return m
 
     per = epoch_delta(make, 3, 23)
