@@ -91,7 +91,8 @@ def host_scdeepcluster():
     def make(e):
         torch.manual_seed(0)
         np.random.seed(0)
-        ref = RefSDC(input_dim=N_GENES, z_dim=32, device="cpu")
+        ref = RefSDC(input_dim=N_GENES, z_dim=32, encodeLayer=[256, 64],
+                     decodeLayer=[64, 256], device="cpu")
         ref.fit((xl, x, n_counts), y, n_clusters=N_TYPES, epochs=e,
                 pt_epochs=2, batch_size=256)
 
@@ -115,6 +116,7 @@ def host_scdcc():
         torch.manual_seed(0)
         np.random.seed(0)
         ref = RefScDCC(input_dim=N_GENES, z_dim=32, n_clusters=N_TYPES,
+                       encodeLayer=[256, 64], decodeLayer=[64, 256],
                        device="cpu")
         ref.fit((xl, x, n_counts), y, ml_ind1=ml1, ml_ind2=ml2, cl_ind1=cl1,
                 cl_ind2=cl2, epochs=e, pt_epochs=2, batch_size=256)
@@ -405,9 +407,12 @@ def host_scmvae():
                       log_variational=True, Type="Bernoulli", device="cpu",
                       n_centroids=N_TYPES, penality="GMM", model=1)
         ref.init_gmm_params(total)
+        # epoch_per_test=e: the reference asserts best_dict was set at least
+        # once (scmvae.py:753); testing exactly once per fit keeps the val
+        # forward out of the per-epoch delta.
         args = types.SimpleNamespace(lr=1e-3, weight_decay=1e-6, eps=0.01,
                                      batch_size=512, max_epoch=e,
-                                     anneal_epoch=200, epoch_per_test=10**9)
+                                     anneal_epoch=200, epoch_per_test=e)
         ref.fit(args, train, valid, final_rate=1e-4, scale_factor=4.0,
                 device=torch.device("cpu"))
 
