@@ -131,8 +131,9 @@ def run_actinn():
     x = np.log1p(x)
     yoh = np.eye(N_TYPES, dtype=np.float32)[y]
 
+    m = ACTINN(hidden_dims=(100, 50, 25), random_seed=0)
+
     def make(e):
-        m = ACTINN(hidden_dims=(100, 50, 25), random_seed=0)
         m.fit(x, yoh, num_epochs=e, batch_size=1000, seed=0)
         return m
 
@@ -193,8 +194,9 @@ def run_scdeepsort():
     x, y = _expr()
     g = _bipartite_graph(x, dim=256)
 
+    m = ScDeepSort(dim_in=256, dim_hid=256, num_layers=2, seed=0)
+
     def make(e):
-        m = ScDeepSort(dim_in=256, dim_hid=256, num_layers=2, seed=0)
         m.fit(g, y, epochs=e, val_ratio=0.0, use_bsr=True)
         return m
 
@@ -221,8 +223,9 @@ def run_scheteronet():
                                                                dtype=np.float32))
     g = Graph(adj, ndata={"feat": xl})
 
+    m = scHeteroNet(hidden_channels=64, num_layers=2, seed=0)
+
     def make(e):
-        m = scHeteroNet(hidden_channels=64, num_layers=2, seed=0)
         m.fit(g, y, x_raw=x, epochs=e, use_bsr="auto")
         return m
 
@@ -243,8 +246,9 @@ def run_scdeepcluster():
     from dance_tpu.modules.single_modality.clustering import ScDeepCluster
     inputs, y = _clustering_inputs()
 
+    m = ScDeepCluster(input_dim=N_GENES, z_dim=32, seed=0)
+
     def make(e):
-        m = ScDeepCluster(input_dim=N_GENES, z_dim=32, seed=0)
         m.fit(inputs, y, n_clusters=N_TYPES, epochs=e, pt_epochs=2)
         return m
 
@@ -258,8 +262,9 @@ def run_scdcc():
     from dance_tpu.modules.single_modality.clustering import ScDCC
     inputs, y = _clustering_inputs()
 
+    m = ScDCC(input_dim=N_GENES, z_dim=32, n_clusters=N_TYPES, seed=0)
+
     def make(e):
-        m = ScDCC(input_dim=N_GENES, z_dim=32, n_clusters=N_TYPES, seed=0)
         m.fit(inputs, y, epochs=e, pt_epochs=2)
         return m
 
@@ -274,8 +279,9 @@ def run_scdsc():
     adj = _knn_csr(xl[:, :64])
     inputs = (adj, xl, x, sf)
 
+    m = ScDSC(n_input=N_GENES, n_clusters=N_TYPES, seed=0)
+
     def make(e):
-        m = ScDSC(n_input=N_GENES, n_clusters=N_TYPES, seed=0)
         m.fit(inputs, y, epochs=e, pt_epochs=2, use_bsr="auto")
         return m
 
@@ -290,8 +296,9 @@ def run_sctag():
     adj = _knn_csr(xl[:, :64])
     inputs = (adj, xl, x, sf)
 
+    m = ScTAG(n_clusters=N_TYPES, seed=0)
+
     def make(e):
-        m = ScTAG(n_clusters=N_TYPES, seed=0)
         m.fit(inputs, y, epochs=e, pretrain_epochs=2, use_bsr="auto")
         return m
 
@@ -305,8 +312,9 @@ def run_graphsc():
     x, y = _expr()
     g = _bipartite_graph(x, dim=50)
 
+    m = GraphSC(n_clusters=N_TYPES, seed=0)
+
     def make(e):
-        m = GraphSC(n_clusters=N_TYPES, seed=0)
         m.fit(g, y, epochs=e, use_bsr=True)
         return m
 
@@ -331,9 +339,10 @@ def run_deepimpute():
         rest = np.setdiff1d(np.arange(N_GENES), t)
         predictors.append(rest[np.argsort(-var[rest])][:512])
 
+    m = DeepImpute(predictors, targets, sub_outputdim=512, hidden_dim=256,
+                   seed=0)
+
     def make(e):
-        m = DeepImpute(predictors, targets, sub_outputdim=512, hidden_dim=256,
-                       seed=0)
         m.fit(xl, xl, n_epochs=e, batch_size=1000)
         return m
 
@@ -371,8 +380,10 @@ def run_graphsci():
     dinv = sp.diags(1.0 / np.sqrt(np.maximum(deg, 1e-12)))
     g = Graph(sp.csr_matrix(dinv @ adj @ dinv))
 
+    m = GraphSCI(num_cells=N_CELLS, num_genes=N_GENES, seed=0)
+
     def make(e):
-        m = GraphSCI(num_cells=N_CELLS, num_genes=N_GENES, n_epochs=e, seed=0)
+        m.n_epochs = e
         m.fit(g, xl, x)
         return m
 
@@ -409,8 +420,9 @@ def run_babel():
     from dance_tpu.modules.multi_modality.predict_modality import BabelWrapper
     x1, x2, _ = _mm_inputs()
 
+    m = BabelWrapper(seed=0)
+
     def make(e):
-        m = BabelWrapper(seed=0)
         m.fit(np.expm1(x1), x2, epochs=e, batch_size=512, val_ratio=0)
         return m
 
@@ -426,8 +438,9 @@ def run_cmae_predict():
     from dance_tpu.modules.multi_modality.predict_modality import CMAE
     x1, x2, _ = _mm_inputs()
 
+    m = CMAE(seed=0)
+
     def make(e):
-        m = CMAE(seed=0)
         m.fit(x1, x2, epochs=e)
         return m
 
@@ -440,8 +453,9 @@ def run_scmm():
     from dance_tpu.modules.multi_modality.predict_modality import MMVAE
     x1, x2, _ = _mm_inputs()
 
+    m = MMVAE(seed=0)
+
     def make(e):
-        m = MMVAE(seed=0)
         m.fit(np.expm1(x1), x2, epochs=e, batch_size=512)
         return m
 
@@ -456,8 +470,9 @@ def run_scmogcn_predict():
     x1, x2, _ = _mm_inputs()
     raw = np.expm1(x1)
 
+    m = ScMoGCNWrapper(seed=0)
+
     def make(e):
-        m = ScMoGCNWrapper(seed=0)
         m.fit(raw, x2, epochs=e, val_fraction=0.0, use_bsr=True)
         return m
 
@@ -478,8 +493,9 @@ def run_cmae_match():
     from dance_tpu.modules.multi_modality.match_modality import CMAE
     x1, x2, _ = _mm_inputs()
 
+    m = CMAE(seed=0)
+
     def make(e):
-        m = CMAE(seed=0)
         m.fit(x1, x2, epochs=e)
         return m
 
@@ -492,8 +508,9 @@ def run_scmm_match():
     from dance_tpu.modules.multi_modality.match_modality import MMVAE
     x1, x2, _ = _mm_inputs()
 
+    m = MMVAE(seed=0)
+
     def make(e):
-        m = MMVAE(seed=0)
         m.fit(np.expm1(x1), x2, epochs=e, batch_size=512)
         return m
 
@@ -507,8 +524,9 @@ def run_scmogcn_match():
     from dance_tpu.modules.multi_modality.match_modality import ScMoGCNWrapper
     x1, x2, _ = _mm_inputs(n=N_CELLS, g=512, p=134)  # one-hot propagation is O(g^2)
 
+    m = ScMoGCNWrapper(latent_dim=64, seed=0)
+
     def make(e):
-        m = ScMoGCNWrapper(latent_dim=64, seed=0)
         m.fit(x1, x2, epochs=e, batch_size=4096, early_stopping=10**9)
         return m
 
@@ -522,8 +540,9 @@ def run_jae():
     from dance_tpu.modules.multi_modality.joint_embedding import JAEWrapper
     x1, x2, y = _mm_inputs()
 
+    m = JAEWrapper(seed=0)
+
     def make(e):
-        m = JAEWrapper(seed=0)
         m.fit(x1, x2, cell_type=y.astype(str), epochs=e)
         return m
 
@@ -536,8 +555,9 @@ def run_dcca():
     from dance_tpu.modules.multi_modality.joint_embedding import DCCA
     x1, x2, _ = _mm_inputs()
 
+    m = DCCA(seed=0)
+
     def make(e):
-        m = DCCA(seed=0)
         m.fit(x1, x2, epochs=e)
         return m
 
@@ -550,8 +570,9 @@ def run_scmvae():
     from dance_tpu.modules.multi_modality.joint_embedding import scMVAE
     x1, x2, _ = _mm_inputs()
 
+    m = scMVAE(seed=0, n_centroids=8)
+
     def make(e):
-        m = scMVAE(seed=0, n_centroids=8)
         m.fit(np.expm1(x1), np.expm1(np.abs(x2)), epochs=e)
         return m
 
@@ -564,8 +585,9 @@ def run_scmogcn_je():
     from dance_tpu.modules.multi_modality.joint_embedding import ScMoGCNWrapper
     x1, x2, y = _mm_inputs()
 
+    m = ScMoGCNWrapper(seed=0)
+
     def make(e):
-        m = ScMoGCNWrapper(seed=0)
         m.fit(x1, x2, cell_type=y.astype(str), epochs=e, use_bsr=True)
         return m
 
@@ -580,8 +602,9 @@ def run_scmogcn_v2():
         ScMoGCNWrapperV2)
     x1, x2, y = _mm_inputs()
 
+    m = ScMoGCNWrapperV2(seed=0, early_stopping=10**9)
+
     def make(e):
-        m = ScMoGCNWrapperV2(seed=0, early_stopping=10**9)
         m.fit(x1, x2, cell_type=y.astype(str), epochs=e)
         return m
 
@@ -610,8 +633,9 @@ def run_spagcn():
     probe = SpaGCN(seed=0)
     l = probe.search_l(0.5, dist)
 
+    m = SpaGCN(seed=0)
+
     def make(e):
-        m = SpaGCN(seed=0)
         m.set_l(l)
         m.fit((emb, dist), epochs=e)
         return m
@@ -626,8 +650,9 @@ def run_stagate():
     xl, coords, _ = _spatial_inputs()
     adj = _knn_csr(coords, k=8)
 
+    m = Stagate(hidden_dims=(N_GENES, 512, 30), seed=0)
+
     def make(e):
-        m = Stagate(hidden_dims=(N_GENES, 512, 30), seed=0)
         m.fit((xl, adj), epochs=e, n_clusters=6, use_bsr=True)
         return m
 
@@ -681,8 +706,9 @@ def run_efnst():
     concat = np.concatenate([xl[:, :200],
                              rng.random((N_SPOTS, 32), dtype=np.float32)], 1)
 
+    m = EfNsSTRunner(n_clusters=6, z_dim=16, seed=0)
+
     def make(e):
-        m = EfNsSTRunner(n_clusters=6, z_dim=16, seed=0)
         m.fit(concat_X=concat, graph_dict=sp.csr_matrix(adj), epochs=e,
               dec_epochs=2)
         return m
@@ -709,9 +735,10 @@ def run_card():
     from dance_tpu.modules.spatial.cell_type_deconvo import Card
     profiles, portions, x_mix, coords, _ = _deconvo_inputs()
 
+    m = Card(pd.DataFrame(profiles.T,
+                          columns=[f"ct{i}" for i in range(N_CT)]))
+
     def make(e):
-        m = Card(pd.DataFrame(profiles.T,
-                              columns=[f"ct{i}" for i in range(N_CT)]))
         m.fit((x_mix, coords), max_iter=e)
         return m
 
@@ -724,8 +751,9 @@ def run_spatialdecon():
     from dance_tpu.modules.spatial.cell_type_deconvo import SpatialDecon
     profiles, portions, x_mix, _, _ = _deconvo_inputs()
 
+    m = SpatialDecon(ct_profile=profiles.T, ct_select=list(range(N_CT)))
+
     def make(e):
-        m = SpatialDecon(ct_profile=profiles.T, ct_select=list(range(N_CT)))
         m.fit(x_mix, lr=1e-2, max_iter=e)
         return m
 
@@ -739,9 +767,10 @@ def run_spotlight():
     profiles, portions, x_mix, _, rng = _deconvo_inputs()
     x_ref, labels = _expr(2000, N_GENES, N_CT, seed=5)
 
+    m = SPOTlight(ref_count=x_ref, ref_annot=labels.astype(str),
+                  ct_select=[str(i) for i in range(N_CT)], rank=N_CT)
+
     def make(e):
-        m = SPOTlight(ref_count=x_ref, ref_annot=labels.astype(str),
-                      ct_select=[str(i) for i in range(N_CT)], rank=N_CT)
         m.fit(x_mix, max_iter=e)
         return m
 
@@ -760,8 +789,9 @@ def run_dstg():
     adj = compute_dstg_adj(ps_x, x_mix, k_filter=30, num_cc=10)
     y = np.concatenate([ps_port, np.zeros_like(portions)], axis=0)
 
+    m = DSTG(seed=0)
+
     def make(e):
-        m = DSTG(seed=0)
         m.fit((feats, adj), y, max_epochs=e, use_bsr=True)
         return m
 
@@ -778,8 +808,9 @@ def run_stdgcn():
     feats = np.log1p(np.concatenate([ps_x, x_mix], axis=0))
     y = np.concatenate([ps_port, np.zeros_like(portions)], axis=0)
 
+    m = StdGCN(seed=0)
+
     def make(e):
-        m = StdGCN(seed=0)
         m.fit((feats, coords), y, max_epochs=e, early_stopping_patience=0,
               use_bsr=True)
         return m
@@ -802,12 +833,23 @@ def load_results():
 
 
 def save_results(rows):
+    """Merge-on-save: re-read the CSV and overlay only this process's
+    non-empty cells, so two lanes (e.g. a TPU lane and a host lane) never
+    clobber each other's freshly written columns."""
     os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
+    merged = load_results()
+    for name, row in rows.items():
+        tgt = merged.setdefault(name, {})
+        for k, v in row.items():
+            if v != "":
+                tgt[k] = v
+    rows.clear()
+    rows.update(merged)
     with open(RESULTS, "w", newline="") as fh:
         w = csv.DictWriter(fh, fieldnames=FIELDS)
         w.writeheader()
-        for name in sorted(rows):
-            w.writerow({k: rows[name].get(k, "") for k in FIELDS})
+        for name in sorted(merged):
+            w.writerow({k: merged[name].get(k, "") for k in FIELDS})
 
 
 def render():

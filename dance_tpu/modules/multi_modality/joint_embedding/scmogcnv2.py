@@ -22,6 +22,8 @@ TPU design: the sampled subgraph is two on-device gathers into a dense
 whole train step is one jitted program.
 """
 
+from functools import partial
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -99,6 +101,62 @@ class _ScMoGCNv2Net(nn.Module):
         out = self.decode(self.structured(emb, batch_onehot), deterministic)
         return emb, out, self.c_decoder(emb[:, :self.ct_dim]), \
             self.cc_decoder(emb[:, :self.ct_dim])
+
+
+# module-level jits with the (hashable, frozen) flax module as a static arg:
+# compiled programs survive across fit() calls and wrapper instances, where a
+# fit-local @jax.jit closure would retrace+recompile every fit.  Big arrays
+# enter as ARGUMENTS: closing over device arrays embeds them as constants in
+# the relay's compile payload (HTTP 413).  The optimizer is rebuilt inside
+# the trace; inject_hyperparams reads learning_rate/weight_decay from
+# opt_state.hyperparams, so the construction-time values are placeholders.
+@partial(jax.jit, static_argnames=("net", "f1", "f2", "weight_decay"))
+def _v2_epoch_steps(params, opt_state, x_dense, yj, bf1, ctj, phj,
+                    cell_idx_mat, feat_idx_mat, rngs, *, net, f1, f2,
+                    weight_decay):
+    """One dispatch per epoch: the epoch's minibatch steps run as a lax.scan
+    over host-pre-sampled (cell, feature) index stacks."""
+    tx = optax.inject_hyperparams(optax.adamw)(learning_rate=1e-3,
+                                               weight_decay=weight_decay)
+
+    def body(carry, xs):
+        params, opt_state = carry
+        cell_idx, feat_idx, rng = xs
+        w = x_dense[cell_idx][:, feat_idx]
+        sub = HeteroExpnGraph(
+            f2c=w, c2f=w.T, pw=None,
+            deg_c=(w != 0).sum(1).astype(jnp.float32),
+            deg_f=(w != 0).sum(0).astype(jnp.float32), deg_pw=None,
+            feature_ids=feat_idx.astype(jnp.int32),
+            cell_ids=jnp.ones(w.shape[0], jnp.int32), cell_feats=None,
+            batch_feats=None)
+
+        def loss_fn(p):
+            emb, out, ct_logits, cc_pred = net.apply(
+                {"params": p}, sub, bf1[cell_idx], deterministic=False,
+                rngs={"dropout": rng})
+            l1 = ((out[:, :f1] - yj[cell_idx, :f1]) ** 2).mean()
+            l2 = ((out[:, -f2:] - yj[cell_idx, -f2:]) ** 2).mean()
+            l3 = optax.softmax_cross_entropy_with_integer_labels(
+                ct_logits, ctj[cell_idx]).mean()
+            l5 = ((cc_pred - phj[cell_idx]) ** 2).mean()
+            return 0.5 * l1 + 0.5 * l2 + l3 + l5
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    (params, opt_state), losses = jax.lax.scan(
+        body, (params, opt_state), (cell_idx_mat, feat_idx_mat, rngs))
+    return params, opt_state, losses.sum()
+
+
+@partial(jax.jit, static_argnames=("net", "f1", "f2"))
+def _v2_val_loss(params, g, yj, bf1, idx, *, net, f1, f2):
+    emb, out, _, _ = net.apply({"params": params}, g, bf1)
+    l1 = ((out[idx, :f1] - yj[idx, :f1]) ** 2).mean()
+    l2 = ((out[idx, -f2:] - yj[idx, -f2:]) ** 2).mean()
+    return jnp.sqrt(0.5 * l1 + 0.5 * l2)
 
 
 class ScMoGCNWrapperV2:
@@ -195,41 +253,15 @@ class ScMoGCNWrapperV2:
         phj = jnp.asarray(phase_score)
         f1, f2 = feat1, feat2
 
-        # big arrays enter as ARGUMENTS: closing over device arrays embeds
-        # them as constants in the compile payload (HTTP 413 on the relay)
-        @jax.jit
-        def step(params, opt_state, x_dense, yj, bf1, ctj, phj, cell_idx,
-                 feat_idx, rng):
-            w = x_dense[cell_idx][:, feat_idx]
-            sub = HeteroExpnGraph(
-                f2c=w, c2f=w.T, pw=None,
-                deg_c=(w != 0).sum(1).astype(jnp.float32),
-                deg_f=(w != 0).sum(0).astype(jnp.float32), deg_pw=None,
-                feature_ids=feat_idx.astype(jnp.int32),
-                cell_ids=jnp.ones(w.shape[0], jnp.int32), cell_feats=None,
-                batch_feats=None)
+        def epoch_steps(params, opt_state, x_dense, yj, bf1, ctj, phj,
+                        cell_idx_mat, feat_idx_mat, rngs):
+            return _v2_epoch_steps(params, opt_state, x_dense, yj, bf1, ctj,
+                                   phj, cell_idx_mat, feat_idx_mat, rngs,
+                                   net=net, f1=f1, f2=f2,
+                                   weight_decay=self.weight_decay)
 
-            def loss_fn(p):
-                emb, out, ct_logits, cc_pred = net.apply(
-                    {"params": p}, sub, bf1[cell_idx], deterministic=False,
-                    rngs={"dropout": rng})
-                l1 = ((out[:, :f1] - yj[cell_idx, :f1]) ** 2).mean()
-                l2 = ((out[:, -f2:] - yj[cell_idx, -f2:]) ** 2).mean()
-                l3 = optax.softmax_cross_entropy_with_integer_labels(
-                    ct_logits, ctj[cell_idx]).mean()
-                l5 = ((cc_pred - phj[cell_idx]) ** 2).mean()
-                return 0.5 * l1 + 0.5 * l2 + l3 + l5
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
-
-        @jax.jit
         def val_loss(params, g, yj, bf1, idx):
-            emb, out, _, _ = net.apply({"params": params}, g, bf1)
-            l1 = ((out[idx, :f1] - yj[idx, :f1]) ** 2).mean()
-            l2 = ((out[idx, -f2:] - yj[idx, -f2:]) ** 2).mean()
-            return jnp.sqrt(0.5 * l1 + 0.5 * l2)
+            return _v2_val_loss(params, g, yj, bf1, idx, net=net, f1=f1, f2=f2)
 
         rng_np = np.random.default_rng(self.seed)
         idx = rng_np.permutation(n)
@@ -243,16 +275,19 @@ class ScMoGCNWrapperV2:
         for epoch in range(epochs):
             perm = rng_np.permutation(train_idx)
             n_steps = max(1, len(perm) // bs)
-            total = 0.0
-            for s in range(n_steps):
-                cell_idx = jnp.asarray(perm[s * bs:(s + 1) * bs])
-                feat_idx = jnp.asarray(rng_np.choice(g.n_feats, n_samp,
-                                                     replace=False, p=p_feat))
-                rng = jax.random.fold_in(key, epoch * 100003 + s)
-                self.params, opt_state, loss = step(self.params, opt_state,
-                                                    x_dense, yj, bf1, ctj, phj,
-                                                    cell_idx, feat_idx, rng)
-                total += float(loss)
+            # same RNG draw order as the stepwise loop: one feature sample
+            # per step, drawn host-side before the epoch dispatch
+            cell_idx_mat = jnp.asarray(
+                perm[:n_steps * bs].reshape(n_steps, bs))
+            feat_idx_mat = jnp.asarray(np.stack([
+                rng_np.choice(g.n_feats, n_samp, replace=False, p=p_feat)
+                for _ in range(n_steps)]))
+            rngs = jax.vmap(lambda s: jax.random.fold_in(key, s))(
+                jnp.arange(n_steps) + epoch * 100003)
+            self.params, opt_state, total = epoch_steps(
+                self.params, opt_state, x_dense, yj, bf1, ctj, phj,
+                cell_idx_mat, feat_idx_mat, rngs)
+            total = float(total)
             vals.append(float(val_loss(self.params, g, yj, bf1, val_idx)))
             if min(vals) == vals[-1]:
                 best = self.params

@@ -16,6 +16,7 @@ step is a single jitted program whose in-batch logits matmul sits on the MXU.
 """
 
 import math
+from functools import partial
 from typing import Tuple
 
 import flax.linen as nn
@@ -146,6 +147,53 @@ def _symmetric_contrastive_loss(logits):
             + optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean())
 
 
+# module-level jits with the (hashable, frozen) flax module as a static arg:
+# the compiled step survives across fit() calls and wrapper instances, where
+# a fit-local @jax.jit closure would retrace+recompile every fit.  The
+# propagated stacks enter as ARGUMENTS: closing over device arrays embeds
+# them as constants in the relay's compile payload (HTTP 413).
+@partial(jax.jit, static_argnames=("net", "lr", "aux"))
+def _match_train_step(params, opt_state, H1, H2, idx, rng, *, net, lr, aux):
+    tx = optax.adamw(lr)
+
+    def loss_fn(p):
+        X, Y = propagation_layer_combination(H1, H2, idx, p["wt1"], p["wt2"])
+        # one encoder pass shared by the contrastive logits and both
+        # decode directions (the reference recomputes; same math)
+        e1, e2 = net.apply({"params": p["model"]}, X, Y,
+                           deterministic=False, rngs={"dropout": rng},
+                           method=net.encode)
+        logits = e1 @ e2.T * math.exp(net.temp)
+        loss = _symmetric_contrastive_loss(logits)
+        pred1, pred2 = net.apply({"params": p["model"]}, e2, e1,
+                                 deterministic=False, rngs={"dropout": rng},
+                                 method=net.decode)
+        rec1, rec2 = net.apply({"params": p["model"]}, e1, e2,
+                               deterministic=False, rngs={"dropout": rng},
+                               method=net.decode)
+        loss2 = ((pred1 - X) ** 2).mean() + ((pred2 - Y) ** 2).mean()
+        loss3 = ((rec1 - X) ** 2).mean() + ((rec2 - Y) ** 2).mean()
+        if aux > 0:
+            loss = loss + loss2 + loss3
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state, loss
+
+
+@partial(jax.jit, static_argnames=("net",))
+def _match_val_score(params, H1, H2, idx, *, net):
+    # device-side matching accuracy: pulling the (val, val) logits to the
+    # host every epoch costs ~67 MB over the relay at bench scale
+    X, Y = propagation_layer_combination(H1, H2, idx, params["wt1"],
+                                         params["wt2"])
+    logits = net.apply({"params": params["model"]}, X, Y)
+    lab = jnp.arange(idx.shape[0])
+    return ((logits.argmax(1) == lab).mean()
+            + (logits.argmax(0) == lab).mean()) / 2
+
+
 class ScMoGCNWrapper(MatchingScoreMixin):
     """scMoGNN matching wrapper (parity: match_modality/scmogcn.py:95-357)."""
 
@@ -216,50 +264,14 @@ class ScMoGCNWrapper(MatchingScoreMixin):
                   "wt2": jnp.zeros(self.prop_layers - 1)}
         tx = optax.adamw(self.learning_rate)
         opt_state = tx.init(params)
-        net, aux = self.net, self.auxiliary_loss
+        net, aux, lr = self.net, self.auxiliary_loss, self.learning_rate
 
-        # the propagated stacks enter as ARGUMENTS: closing over device
-        # arrays embeds them as constants in the relay's compile payload
-        @jax.jit
         def step(params, opt_state, H1, H2, idx, rng):
-            def loss_fn(p):
-                X, Y = propagation_layer_combination(H1, H2, idx, p["wt1"],
-                                                     p["wt2"])
-                # one encoder pass shared by the contrastive logits and both
-                # decode directions (the reference recomputes; same math)
-                e1, e2 = net.apply({"params": p["model"]}, X, Y,
-                                   deterministic=False, rngs={"dropout": rng},
-                                   method=net.encode)
-                logits = e1 @ e2.T * math.exp(net.temp)
-                loss = _symmetric_contrastive_loss(logits)
-                pred1, pred2 = net.apply({"params": p["model"]}, e2, e1,
-                                         deterministic=False,
-                                         rngs={"dropout": rng},
-                                         method=net.decode)
-                rec1, rec2 = net.apply({"params": p["model"]}, e1, e2,
-                                       deterministic=False,
-                                       rngs={"dropout": rng},
-                                       method=net.decode)
-                loss2 = ((pred1 - X) ** 2).mean() + ((pred2 - Y) ** 2).mean()
-                loss3 = ((rec1 - X) ** 2).mean() + ((rec2 - Y) ** 2).mean()
-                if aux > 0:
-                    loss = loss + loss2 + loss3
-                return loss
+            return _match_train_step(params, opt_state, H1, H2, idx, rng,
+                                     net=net, lr=lr, aux=aux)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
-
-        @jax.jit
         def val_score(params, H1, H2, idx):
-            # device-side matching accuracy: pulling the (val, val) logits to
-            # the host every epoch costs ~67 MB over the relay at bench scale
-            X, Y = propagation_layer_combination(H1, H2, idx, params["wt1"],
-                                                 params["wt2"])
-            logits = net.apply({"params": params["model"]}, X, Y)
-            lab = jnp.arange(idx.shape[0])
-            return ((logits.argmax(1) == lab).mean()
-                    + (logits.argmax(0) == lab).mean()) / 2
+            return _match_val_score(params, H1, H2, idx, net=net)
 
         # reference split: random perm of train cells, last BATCH_SIZE = val
         bs = min(batch_size, max(2, math.floor(train_size / 2)))
@@ -272,13 +284,14 @@ class ScMoGCNWrapper(MatchingScoreMixin):
         for epoch in range(epochs):
             perm = rng_np.permutation(train_idx)
             n_steps = max(1, len(perm) // bs)
-            total = 0.0
+            losses = []
             for s in range(n_steps):
                 bidx = jnp.asarray(perm[s * bs:(s + 1) * bs])
                 rng = jax.random.fold_in(key, epoch * 65537 + s)
                 params, opt_state, loss = step(params, opt_state, H1, H2,
                                                bidx, rng)
-                total += float(loss)
+                losses.append(loss)  # device-resident; one sync per epoch
+            total = float(jnp.stack(losses).sum())
             self.params = params
             vals.append(float(val_score(params, H1, H2, val_idx_j)))
             if vals[-1] > maxval:

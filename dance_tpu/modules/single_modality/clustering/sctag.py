@@ -129,31 +129,57 @@ class ScTAG(NNPretrain, BaseClusteringMethod):
         self.params = self.net.init(jax.random.key(self.seed), self.adj_n,
                                     jnp.asarray(x[:, :], jnp.float32))["params"]
 
-    @partial(jax.jit, static_argnames=("self", "use_cluster", "use_dist"))
-    def _step(self, params, mu, opt_state, adj, x, x_raw, sf, adj_target, p,
-              w_a, w_x, w_c, w_d, use_cluster: bool, min_dist=0.5,
-              max_dist=20.0, use_dist: bool = False):
-        def loss_fn(theta):
-            params, mu = theta
-            z, _, mean, disp, pi = self.net.apply({"params": params}, adj, x)
-            # adjacency BCE from raw logits (one softplus per element; the
-            # net's sigmoid output is unused here and pruned by XLA)
-            a_loss = binary_ce_logits(z @ z.T, adj_target)
-            x_loss = zinb_nll(x_raw, mean, disp, pi, scale_factor=sf[:, None])
-            loss = w_a * a_loss + w_x * x_loss
-            if use_dist:
-                # static gate: the O(n²) pairwise term and its backward only
-                # enter the graph when w_d > 0
-                loss = loss + w_d * dist_loss(z, min_dist, max_dist)
-            if use_cluster:
-                q = soft_assign(z, mu, self.alpha)
-                loss = loss + w_c * cluster_kl_loss(p, q)
-            return loss
+    @partial(jax.jit, static_argnames=("self", "epochs", "use_cluster",
+                                       "use_dist", "collect_q"))
+    def _run(self, params, mu, opt_state, adj, x, x_raw, sf, adj_target,
+             w_a, w_x, w_c, w_d, min_dist, max_dist, *, epochs: int,
+             use_cluster: bool, use_dist: bool, collect_q: bool):
+        """Whole training stage as ONE compiled ``lax.scan`` program.
 
-        loss, grads = jax.value_and_grad(loss_fn)((params, mu))
-        updates, opt_state = self._tx.update(grads, opt_state, (params, mu))
-        (params, mu) = optax.apply_updates((params, mu), updates)
-        return params, mu, opt_state, loss
+        Per epoch (matching the reference's loop order): encode with the
+        current params, form the DEC target ``p`` (stop-gradient), then one
+        Adam step on the joint loss. The pre-update soft assignments ``q``
+        are stacked as scan outputs when ``collect_q`` (they feed the
+        host-side ARI snapshot selection after training) — this keeps the
+        whole DEC stage device-resident instead of one dispatch + one
+        device→host ARI sync per epoch."""
+
+        def body(carry, _):
+            params, mu, opt_state, _, _ = carry
+            z_pre = self.net.apply({"params": params}, adj, x,
+                                   method=self.net.encode)
+            q_pre = soft_assign(z_pre, mu, self.alpha)
+            p = jax.lax.stop_gradient(target_distribution(q_pre))
+
+            def loss_fn(theta):
+                params, mu = theta
+                z, _, mean, disp, pi = self.net.apply({"params": params}, adj, x)
+                # adjacency BCE from raw logits (one softplus per element;
+                # the net's sigmoid output is unused here, pruned by XLA)
+                a_loss = binary_ce_logits(z @ z.T, adj_target)
+                x_loss = zinb_nll(x_raw, mean, disp, pi,
+                                  scale_factor=sf[:, None])
+                loss = w_a * a_loss + w_x * x_loss
+                if use_dist:
+                    # static gate: the O(n²) pairwise term and its backward
+                    # only enter the graph when w_d > 0
+                    loss = loss + w_d * dist_loss(z, min_dist, max_dist)
+                if use_cluster:
+                    q = soft_assign(z, mu, self.alpha)
+                    loss = loss + w_c * cluster_kl_loss(p, q)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)((params, mu))
+            updates, opt_state = self._tx.update(grads, opt_state, (params, mu))
+            (params, mu) = optax.apply_updates((params, mu), updates)
+            out = (loss, q_pre) if collect_q else (loss, ())
+            return (params, mu, opt_state, q_pre, z_pre), out
+
+        z0 = jnp.zeros((x.shape[0], self.latent_dim), x.dtype)
+        q0 = jnp.zeros((x.shape[0], self.n_clusters), x.dtype)
+        (params, mu, opt_state, q_last, z_last), (losses, qs) = jax.lax.scan(
+            body, (params, mu, opt_state, q0, z0), None, length=epochs)
+        return params, mu, opt_state, q_last, z_last, losses, qs
 
     @partial(jax.jit, static_argnames=("self",))
     def _encode(self, params, adj, x):
@@ -171,14 +197,14 @@ class ScTAG(NNPretrain, BaseClusteringMethod):
         self._tx = optax.adam(lr)
         mu = jnp.zeros((self.n_clusters, self.latent_dim), jnp.float32)
         opt_state = self._tx.init((self.params, mu))
-        p = jnp.zeros((x.shape[0], self.n_clusters), jnp.float32)
-        for epoch in range(epochs):
-            self.params, mu, opt_state, loss = self._step(
-                self.params, mu, opt_state, self.adj_n, x, x_raw, sf, self.adj_dense,
-                p, w_a, w_x, 0.0, w_d, False, min_dist, max_dist,
-                use_dist=w_d > 0)
-            if epoch % max(info_step * 10, 1) == 0:
-                logger.info("Pretrain epoch %d, loss %.6f", epoch, float(loss))
+        self.params, mu, _, _, _, losses, _ = self._run(
+            self.params, mu, opt_state, self.adj_n, x, x_raw, sf,
+            self.adj_dense, w_a, w_x, 0.0, w_d, min_dist, max_dist,
+            epochs=epochs, use_cluster=False, use_dist=w_d > 0,
+            collect_q=False)
+        losses = np.asarray(losses)
+        for epoch in range(0, epochs, max(info_step * 10, 1)):
+            logger.info("Pretrain epoch %d, loss %.6f", epoch, losses[epoch])
 
     def fit(self, inputs: Tuple, y=None, *, epochs: int = 300,
             pretrain_epochs: int = 200, lr: float = 5e-4, w_a: float = 0.3,
@@ -217,27 +243,25 @@ class ScTAG(NNPretrain, BaseClusteringMethod):
 
         self._tx = optax.adam(lr)
         opt_state = self._tx.init((self.params, self.mu))
-        aris, snapshots = [], []
         y_cmp = (None if y is None
                  else np.asarray(y)[self._perm] if self._perm is not None
                  else np.asarray(y))
-        for epoch in range(epochs):
-            latent = self._encode(self.params, self.adj_n, x)
-            q = soft_assign(latent, self.mu, self.alpha)
-            p = target_distribution(q)
-            # device-resident between epochs; one host pull at the end
-            self.q, self.z = q, latent
-            if y is not None:
-                from sklearn.metrics import adjusted_rand_score
-                # ARI on the permuted ordering (labels permuted to match)
-                aris.append(adjusted_rand_score(y_cmp, np.asarray(q.argmax(1))))
-                snapshots.append(q)
-            self.params, self.mu, opt_state, loss = self._step(
-                self.params, self.mu, opt_state, self.adj_n, x, x_raw, sf,
-                self.adj_dense, p, w_a, w_x, w_c, w_d, True, min_dist, max_dist,
-                use_dist=w_d > 0)
-        if aris:
-            self.q = snapshots[int(np.argmax(aris))]
+        # one compiled program for the whole DEC stage; the per-epoch
+        # pre-update q snapshots come back stacked for ARI selection
+        self.params, self.mu, opt_state, q_last, z_last, _, qs = self._run(
+            self.params, self.mu, opt_state, self.adj_n, x, x_raw, sf,
+            self.adj_dense, w_a, w_x, w_c, w_d, min_dist, max_dist,
+            epochs=epochs, use_cluster=True, use_dist=w_d > 0,
+            collect_q=y is not None)
+        self.q, self.z = q_last, z_last
+        if y is not None and epochs > 0:
+            from sklearn.metrics import adjusted_rand_score
+            # ARI on the permuted ordering (labels permuted to match)
+            qs = np.asarray(qs)
+            labels = qs.argmax(2)
+            aris = [adjusted_rand_score(y_cmp, labels[e])
+                    for e in range(labels.shape[0])]
+            self.q = qs[int(np.argmax(aris))]
         self.q = unpermute(self._perm, np.asarray(self.q))
         self.z = unpermute(self._perm, np.asarray(self.z))
         return self

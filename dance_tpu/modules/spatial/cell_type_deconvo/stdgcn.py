@@ -291,31 +291,56 @@ class StdGCN(BaseRegressionMethod):
             log_level=log_level,
         )
 
-    @partial(jax.jit, static_argnames=("self", "eval_val"))
-    def _step(self, params, opt_state, adj_exp, adj_sp, x, y, mask, vmask, key,
-              eval_val: bool = True):
-        def kl(logp, target, m):
-            # torch KLDivLoss(reduction="mean"): mean over ALL elements of
-            # target * (log target - logp) (conGCN_train loss, :1869)
-            elem = target * (jnp.log(jnp.maximum(target, 1e-10)) - logp)
-            return (elem * m[:, None]).sum() / jnp.maximum(
-                m.sum() * target.shape[1], 1.0)
+    @staticmethod
+    def _kl(logp, target, m):
+        # torch KLDivLoss(reduction="mean"): mean over ALL elements of
+        # target * (log target - logp) (conGCN_train loss, :1869)
+        elem = target * (jnp.log(jnp.maximum(target, 1e-10)) - logp)
+        return (elem * m[:, None]).sum() / jnp.maximum(
+            m.sum() * target.shape[1], 1.0)
 
+    def _step_impl(self, params, opt_state, adj_exp, adj_sp, x, y, mask, vmask,
+                   key, eval_val: bool):
         def loss_fn(params):
             logp = self.net.apply({"params": params}, adj_exp, adj_sp, x,
                                   training=True, rng=key)
-            return kl(logp, y, mask)
+            return self._kl(logp, y, mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = self._tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if eval_val:
             logp_eval = self.net.apply({"params": params}, adj_exp, adj_sp, x)
-            val = kl(logp_eval, y, vmask)
+            val = self._kl(logp_eval, y, vmask)
         else:  # early stopping off: skip the per-epoch eval forward (~1/3
             # of the epoch's compute)
             val = loss
         return params, opt_state, loss, val
+
+    @partial(jax.jit, static_argnames=("self", "eval_val"))
+    def _step(self, params, opt_state, adj_exp, adj_sp, x, y, mask, vmask, key,
+              eval_val: bool = True):
+        return self._step_impl(params, opt_state, adj_exp, adj_sp, x, y, mask,
+                               vmask, key, eval_val)
+
+    @partial(jax.jit, static_argnames=("self", "epochs"))
+    def _run(self, params, opt_state, adj_exp, adj_sp, x, y, mask, key,
+             epochs: int):
+        """All ``epochs`` training steps as ONE compiled ``lax.scan`` (the
+        early-stopping-off path: no per-epoch validation read, so nothing
+        forces a host roundtrip between steps)."""
+
+        def body(carry, _):
+            params, opt_state, key = carry
+            key, sk = jax.random.split(key)
+            params, opt_state, loss, _ = self._step_impl(
+                params, opt_state, adj_exp, adj_sp, x, y, mask, mask, sk,
+                False)
+            return (params, opt_state, key), loss
+
+        (params, opt_state, _), losses = jax.lax.scan(
+            body, (params, opt_state, key), None, length=epochs)
+        return params, opt_state, losses
 
     def fit(self, inputs, y, train_mask=None, lr: float = 1e-2,
             max_epochs: int = 300, early_stopping_patience: int = 5,
@@ -393,24 +418,32 @@ class StdGCN(BaseRegressionMethod):
         best_val, best_params, patience = np.inf, self.params, 0
         trj, vaj = jnp.asarray(tr_mask), jnp.asarray(va_mask)
         eval_val = early_stopping_patience > 0
-        for epoch in range(max_epochs):
+        if not eval_val:
+            # plain max_epochs training (keeps the final-epoch params, see
+            # below): the whole loop runs as one compiled scan on the chip
+            self.params, opt_state, losses = self._run(
+                self.params, opt_state, adj_exp, adj_sp, xj, y, trj, key,
+                max_epochs)
+            losses = np.asarray(losses)
+            for epoch in range(0, max_epochs, 100):
+                logger.info("stdGCN epoch %d, KL %.5f", epoch, losses[epoch])
+        for epoch in range(max_epochs if eval_val else 0):
             key, sk = jax.random.split(key)
             self.params, opt_state, loss, val = self._step(
                 self.params, opt_state, adj_exp, adj_sp, xj, y, trj, vaj, sk,
                 eval_val)
-            if eval_val:
-                # with eval off, _step's val is the pre-update train loss —
-                # selecting on it would pick params off by one epoch, so
-                # plain max_epochs training keeps the final-epoch params
-                val = round(float(val), 4)
-                if val < best_val:
-                    best_val, best_params, patience = val, self.params, 1
-                else:
-                    patience += 1
-                    if patience > early_stopping_patience:
-                        logger.info("stdGCN early stop at epoch %d (val %.4f)",
-                                    epoch, best_val)
-                        break
+            # with eval off, _step's val is the pre-update train loss —
+            # selecting on it would pick params off by one epoch, so
+            # plain max_epochs training keeps the final-epoch params
+            val = round(float(val), 4)
+            if val < best_val:
+                best_val, best_params, patience = val, self.params, 1
+            else:
+                patience += 1
+                if patience > early_stopping_patience:
+                    logger.info("stdGCN early stop at epoch %d (val %.4f)",
+                                epoch, best_val)
+                    break
             if epoch % 100 == 0:
                 logger.info("stdGCN epoch %d, KL %.5f", epoch, float(loss))
         if eval_val:
