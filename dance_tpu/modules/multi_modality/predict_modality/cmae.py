@@ -119,8 +119,8 @@ class CMAE(BaseRegressionMethod):
 
     def fit(self, x_train, y_train, epochs: int = 200, lr: float = 1e-3,
             checkpoint_directory: Optional[str] = None):
-        x1 = to_device(as_numpy(x_train), jnp.float32)
-        x2 = to_device(as_numpy(y_train), jnp.float32)
+        x1 = to_device(x_train, jnp.float32)
+        x2 = to_device(y_train, jnp.float32)
         self.net = _CMAENet(dim1=x1.shape[1], dim2=x2.shape[1], z_dim=self.z_dim,
                             hidden=self.hidden)
         self.disc = _Disc()

@@ -118,8 +118,8 @@ class MMVAE(BaseRegressionMethod):
 
     def fit(self, x_train, y_train, epochs: int = 100, lr: float = 1e-3,
             batch_size: int = 64):
-        x1 = to_device(as_numpy(x_train), jnp.float32)
-        x2 = to_device(as_numpy(y_train), jnp.float32)
+        x1 = to_device(x_train, jnp.float32)
+        x2 = to_device(y_train, jnp.float32)
         self.net = _MMVAENet(dim1=x1.shape[1], dim2=x2.shape[1], z_dim=self.z_dim)
         key = jax.random.key(self.seed)
         if self.params is None:

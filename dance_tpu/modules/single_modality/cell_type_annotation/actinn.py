@@ -110,7 +110,7 @@ class ACTINN(BaseClassificationMethod):
     def fit(self, x_train, y_train, *, batch_size: int = 128, lr: float = 0.01,
             num_epochs: int = 50, print_cost: bool = False, seed: Optional[int] = None):
         """Fit on (cells × genes) features and one-hot (cells × types) labels."""
-        x = to_device(as_numpy(x_train), dtype=self.dtype)
+        x = to_device(x_train, dtype=self.dtype)
         y_onehot = as_numpy(y_train)
         y = to_device(np.argmax(y_onehot, axis=1) if y_onehot.ndim == 2
                       else y_onehot.astype(np.int32), dtype=jnp.int32)

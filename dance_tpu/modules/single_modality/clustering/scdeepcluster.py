@@ -65,8 +65,8 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
 
     # --- jitted stages ----------------------------------------------------
 
-    @partial(jax.jit, static_argnames=("self", "batch_size"))
-    def _pretrain_epoch(self, params, opt_state, x, x_raw, sf, key, batch_size: int):
+    def _pretrain_epoch_impl(self, params, opt_state, x, x_raw, sf, key,
+                             batch_size: int):
         n = x.shape[0]
         idx = epoch_batches(key, n, batch_size)
         nb = idx.shape[0]
@@ -87,8 +87,46 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
         return params, opt_state, losses.mean()
 
     @partial(jax.jit, static_argnames=("self", "batch_size"))
-    def _cluster_epoch(self, params, mu, opt_state, x, x_raw, sf, p, key,
-                       batch_size: int):
+    def _pretrain_epoch(self, params, opt_state, x, x_raw, sf, key, batch_size: int):
+        return self._pretrain_epoch_impl(params, opt_state, x, x_raw, sf, key,
+                                         batch_size)
+
+    @partial(jax.jit, static_argnames=("self", "batch_size", "epochs"))
+    def _pretrain_run(self, params, opt_state, x, x_raw, sf, key, batch_size: int,
+                      epochs: int):
+        """All pretrain epochs as one compiled scan (one dispatch per fit)."""
+        def body(carry, ek):
+            params, opt_state = carry
+            params, opt_state, loss = self._pretrain_epoch_impl(
+                params, opt_state, x, x_raw, sf, ek, batch_size)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jax.random.split(key, epochs))
+        return params, opt_state, losses
+
+    @partial(jax.jit, static_argnames=("self", "batch_size", "refresh"))
+    def _dec_epoch(self, params, mu, opt_state, x, x_raw, sf, p_in, key,
+                   batch_size: int, refresh: bool):
+        """One DEC epoch as ONE dispatch: (optional) target refresh from the
+        pre-step params, then the full minibatch pass.  Only the int32 labels
+        need pulling to the host for the tol check — q/z stay device-resident."""
+        if refresh:
+            latent = self.model.apply({"params": params}, x,
+                                      method=self.model.encode)
+            q = soft_assign(latent, mu, self.alpha)
+            p = target_distribution(q)
+            labels = q.argmax(1).astype(jnp.int32)
+        else:
+            latent = jnp.zeros((x.shape[0], 1), x.dtype)
+            q, p = p_in, p_in
+            labels = jnp.zeros(x.shape[0], jnp.int32)
+        params, mu, opt_state, loss = self._cluster_epoch_impl(
+            params, mu, opt_state, x, x_raw, sf, p, key, batch_size)
+        return params, mu, opt_state, p, q, latent, labels, loss
+
+    def _cluster_epoch_impl(self, params, mu, opt_state, x, x_raw, sf, p, key,
+                            batch_size: int):
         n = x.shape[0]
         idx = epoch_batches(jax.random.key(0), n, batch_size)  # fixed order, full pass
         data = (x[idx], x_raw[idx], sf[idx], p[idx],
@@ -114,6 +152,12 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
                                                          data)
         return params, mu, opt_state, losses.mean()
 
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def _cluster_epoch(self, params, mu, opt_state, x, x_raw, sf, p, key,
+                       batch_size: int):
+        return self._cluster_epoch_impl(params, mu, opt_state, x, x_raw, sf, p,
+                                        key, batch_size)
+
     @partial(jax.jit, static_argnames=("self",))
     def _encode(self, params, x):
         return self.model.apply({"params": params}, x, method=self.model.encode)
@@ -131,13 +175,13 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
         self._pt_tx = optax.amsgrad(lr)  # reference: Adam(amsgrad=True)
         opt_state = self._pt_tx.init(self.params)
         bs = min(batch_size, x.shape[0])
-        for epoch in range(epochs):
-            key, ek = jax.random.split(key)
-            self.params, opt_state, loss = self._pretrain_epoch(
-                self.params, opt_state, x, x_raw, sf, ek, bs)
-            if epoch % 100 == 0:
-                logger.info("Pretrain epoch %3d, ZINB loss: %.6f", epoch + 1,
-                            float(loss))
+        key = jax.random.split(key)[1]
+        self.params, opt_state, losses = self._pretrain_run(
+            self.params, opt_state, x, x_raw, sf, key, bs, epochs)
+        losses = np.asarray(losses)
+        for epoch in range(0, epochs, 100):
+            logger.info("Pretrain epoch %3d, ZINB loss: %.6f", epoch + 1,
+                        losses[epoch])
 
     def fit(self, inputs: Tuple, y=None, n_clusters: int = 10, init_centroid=None,
             y_pred_init=None, lr: float = 1.0, batch_size: int = 256, epochs: int = 10,
@@ -170,12 +214,16 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
         bs = min(batch_size, x.shape[0])
         aris, snapshots = [], []
         key = jax.random.fold_in(jax.random.key(self.seed), 13)
+        p = jnp.zeros((x.shape[0], int(self.mu.shape[0])), jnp.float32)
         for epoch in range(epochs):
-            if epoch % update_interval == 0:
-                latent = self._encode(self.params, x)
-                q = soft_assign(latent, self.mu, self.alpha)
-                p = target_distribution(q)
-                y_pred_new = np.asarray(q.argmax(1))
+            refresh = epoch % update_interval == 0
+            key, ek = jax.random.split(key)
+            prev_params, prev_mu = self.params, self.mu
+            (self.params, self.mu, opt_state, p, q, latent, labels,
+             loss) = self._dec_epoch(self.params, self.mu, opt_state, x, x_raw,
+                                     sf, p, ek, bs, refresh)
+            if refresh:
+                y_pred_new = np.asarray(labels)
                 # DEC early stop on label-change fraction (scdeepcluster.py:446)
                 delta_label = float((y_pred_new != self.y_pred).mean())
                 # keep q/z as device arrays: pulling them to the host every
@@ -188,10 +236,10 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
                 if epoch > 0 and delta_label < tol:
                     logger.info("Reach tolerance threshold (%.3e < %.3e). "
                                 "Stopping training.", delta_label, tol)
+                    # the fused dispatch already ran this epoch's minibatch
+                    # pass; the reference breaks before it — roll it back
+                    self.params, self.mu = prev_params, prev_mu
                     break
-            key, ek = jax.random.split(key)
-            self.params, self.mu, opt_state, loss = self._cluster_epoch(
-                self.params, self.mu, opt_state, x, x_raw, sf, p, ek, bs)
             if epoch % 50 == 0:
                 logger.info("Epoch %3d: loss %.6f", epoch + 1, float(loss))
         if aris:

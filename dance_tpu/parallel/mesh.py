@@ -112,7 +112,11 @@ def to_device(x, dtype=None, *, batch_axis: int = 0, pad: bool = True):
     Scalars/1-d-mismatched inputs replicate.
     """
     import jax.numpy as jnp
+    if hasattr(x, "detach"):  # torch.Tensor
+        x = x.detach().cpu().numpy()
     if _DP_MESH is None:
+        # jnp.asarray is a no-op for a device array of the right dtype, so
+        # callers may pass pre-uploaded inputs and skip the host→device copy
         return jnp.asarray(x, dtype) if dtype is not None else jnp.asarray(x)
     mesh = _DP_MESH
     x = np.asarray(x, dtype)
