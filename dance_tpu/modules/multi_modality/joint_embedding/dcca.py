@@ -264,11 +264,12 @@ class DCCA(BaseRegressionMethod):
         datasets beyond HBM capacity.
         """
         self._batch_size = batch_size
-        x1 = jnp.asarray(as_numpy(x_mod1), jnp.float32)
-        x2 = jnp.asarray(as_numpy(x_mod2), jnp.float32)
-        xr1 = (jnp.asarray(as_numpy(x_mod1_raw), jnp.float32)
+        from dance_tpu.utils.wrappers import as_device
+        x1 = as_device(x_mod1, jnp.float32)
+        x2 = as_device(x_mod2, jnp.float32)
+        xr1 = (as_device(x_mod1_raw, jnp.float32)
                if x_mod1_raw is not None else jnp.expm1(jnp.maximum(x1, 0.0)))
-        xr2 = (jnp.asarray(as_numpy(x_mod2_raw), jnp.float32)
+        xr2 = (as_device(x_mod2_raw, jnp.float32)
                if x_mod2_raw is not None else (x2 > 0).astype(jnp.float32))
         self._x1, self._x2, self._xr1, self._xr2 = x1, x2, xr1, xr2
         self._lsf1 = jnp.log(jnp.maximum(xr1.sum(1), 1.0))

@@ -125,8 +125,10 @@ class JAEWrapper(BaseRegressionMethod):
     def fit(self, x_mod1, x_mod2, cell_type=None, batch_label=None,
             phase_score=None, epochs: int = 200, lr: float = 1e-4,
             batch_size: int = 64):
-        x = jnp.asarray(np.concatenate([as_numpy(x_mod1), as_numpy(x_mod2)], axis=1),
-                        jnp.float32)
+        from dance_tpu.utils.wrappers import as_device
+        # device-side concat: pre-uploaded inputs never round-trip the host
+        x = jnp.concatenate([as_device(x_mod1, jnp.float32),
+                             as_device(x_mod2, jnp.float32)], axis=1)
         n = x.shape[0]
         has_labels = cell_type is not None
         if has_labels:

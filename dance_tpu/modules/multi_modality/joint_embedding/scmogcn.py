@@ -84,7 +84,15 @@ class ScMoGCNWrapper(BaseRegressionMethod):
             lr: float = 1e-2, use_bsr="auto", bsr_block: int = 128):
         x = np.concatenate([as_numpy(x_mod1), as_numpy(x_mod2)], axis=1).astype(
             np.float32)
-        g = build_hetero_graph(x, use_bsr=use_bsr, bsr_block=bsr_block)
+        # graph cached across fits by content hash (see predict-modality fit)
+        import hashlib
+        cache_key = (x.shape, str(use_bsr), bsr_block,
+                     hashlib.md5(np.ascontiguousarray(x)).hexdigest())
+        if getattr(self, "_graph_cache_key", None) == cache_key:
+            g = self._graph_cache
+        else:
+            g = build_hetero_graph(x, use_bsr=use_bsr, bsr_block=bsr_block)
+            self._graph_cache_key, self._graph_cache = cache_key, g
         has_labels = cell_type is not None
         if has_labels:
             names, ct = np.unique(as_numpy(cell_type), return_inverse=True)

@@ -231,7 +231,19 @@ class ScMoGCNWrapperV2:
             phase_score = np.zeros((n, 2), np.float32)
         phase_score = as_numpy(phase_score).astype(np.float32)
 
-        g = build_hetero_graph(x, use_bsr=False)  # sampled fit gathers dense
+        # "no_bsr": auto dense/CSR — the sampled fit gathers dense blocks, and
+        # the per-epoch full-graph validation forward runs as MXU matmuls when
+        # the density dispatch picks dense (3.7 s -> 45 ms at bench density).
+        # The device graph (~170 MB dense pair) is cached across fits by
+        # content hash: rebuilding + re-uploading it per fit costs seconds of
+        # jittery relay traffic against ~125 ms/epoch of training
+        import hashlib
+        cache_key = (x.shape, hashlib.md5(np.ascontiguousarray(x)).hexdigest())
+        if getattr(self, "_graph_cache_key", None) == cache_key:
+            g = self._graph_cache
+        else:
+            g = build_hetero_graph(x, use_bsr="no_bsr")
+            self._graph_cache_key, self._graph_cache = cache_key, g
         self.net = _ScMoGCNv2Net(
             feature_size=g.n_feats, out_size=feat1 + feat2, n_ct=n_ct,
             phase_dim=phase_score.shape[1], hidden_size=self.hidden_size,
@@ -247,7 +259,8 @@ class ScMoGCNWrapperV2:
             learning_rate=self._lr, weight_decay=self.weight_decay)
         opt_state = tx.init(self.params)
         net = self.net
-        x_dense = jnp.asarray(x)
+        from dance_tpu.ops.sparse import DenseAdj
+        x_dense = g.f2c.mat if isinstance(g.f2c, DenseAdj) else jnp.asarray(x)
         yj = x_dense
         ctj = jnp.asarray(ct_codes, jnp.int32)
         phj = jnp.asarray(phase_score)

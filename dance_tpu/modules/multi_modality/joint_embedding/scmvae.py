@@ -32,7 +32,7 @@ from dance_tpu.settings import logger
 from dance_tpu.typing import LogLevel, Optional, Tuple
 from dance_tpu.utils.batch import epoch_batches
 from dance_tpu.utils.loss import zinb_nll
-from dance_tpu.utils.wrappers import as_numpy
+from dance_tpu.utils.wrappers import as_device, as_numpy
 
 
 def product_of_experts(mus, logvars, eps: float = 1e-8):
@@ -386,6 +386,35 @@ class scMVAE(BaseRegressionMethod):
             step, (params, opt_state, jax.random.fold_in(key, 2)), idx)
         return params, opt_state, losses.mean()
 
+    @partial(jax.jit, static_argnames=("self", "epochs", "anneal_epoch",
+                                       "adjust_epoch"))
+    def _fit_epochs(self, params, opt_state, x1, x2, libm1, libv1, libm2,
+                    libv2, key, lr, final_rate, epochs: int,
+                    anneal_epoch: int, adjust_epoch: int):
+        """All epochs as ONE dispatch: the reference's stepped lr decay, KL
+        warmup and best-loss snapshot (scmvae.py:625) are pure functions of
+        the epoch index, so the whole schedule runs in-trace — no per-epoch
+        host sync over the relay."""
+        def body(carry, e):
+            params, opt_state, best_loss, best_params = carry
+            opt_state.hyperparams["learning_rate"] = jnp.maximum(
+                lr * jnp.power(0.9, (e // adjust_epoch).astype(jnp.float32)),
+                final_rate)
+            kl_weight = jnp.minimum(1.0, e.astype(jnp.float32) / anneal_epoch)
+            params, opt_state, loss = self._epoch(
+                params, opt_state, x1, x2, libm1, libv1, libm2, libv2,
+                kl_weight, jax.random.fold_in(key, e))
+            improved = loss < best_loss
+            best_params = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(improved, p, b), best_params, params)
+            best_loss = jnp.where(improved, loss, best_loss)
+            return (params, opt_state, best_loss, best_params), loss
+
+        init = (params, opt_state, jnp.float32(jnp.inf), params)
+        (params, opt_state, best_loss, best_params), losses = jax.lax.scan(
+            body, init, jnp.arange(1, epochs + 1))
+        return best_params, opt_state, losses
+
     # --- training ------------------------------------------------------------
 
     def init_gmm_params(self, x1=None, x2=None):
@@ -419,15 +448,21 @@ class scMVAE(BaseRegressionMethod):
         counts; ``log_variational`` log1p's the encoder view internally);
         ``x_mod2`` is binarized for the default Bernoulli decoder.
         """
-        x1 = jnp.asarray(as_numpy(x_mod1), jnp.float32)
-        x2 = jnp.asarray(as_numpy(x_mod2), jnp.float32)
+        x1 = as_device(x_mod1, jnp.float32)
+        x2 = as_device(x_mod2, jnp.float32)
         if self.Type == "Bernoulli":
             x2 = (x2 > 0).astype(jnp.float32)
-        libm1, libv1 = calculate_log_library_size(np.asarray(x1))
-        libm2, libv2 = (calculate_log_library_size(np.asarray(x2))
-                        if self.Type == "ZINB" else (libm1, libv1))
-        libm1, libv1 = jnp.asarray(libm1), jnp.asarray(libv1)
-        libm2, libv2 = jnp.asarray(libm2), jnp.asarray(libv2)
+
+        # device-side log-library stats (same math as
+        # calculate_log_library_size; keeps pre-uploaded inputs on chip)
+        def _lib(x):
+            lib = jnp.log(jnp.maximum(x.sum(1), 1e-7))
+            n = x.shape[0]
+            return (jnp.full((n, 1), lib.mean(), jnp.float32),
+                    jnp.full((n, 1), lib.var(), jnp.float32))
+
+        libm1, libv1 = _lib(x1)
+        libm2, libv2 = _lib(x2) if self.Type == "ZINB" else (libm1, libv1)
         self._batch_size = min(batch_size, x1.shape[0])
         self._scale_factor = scale_factor
 
@@ -449,21 +484,13 @@ class scMVAE(BaseRegressionMethod):
         self._tx = optax.inject_hyperparams(optax.adamw)(
             learning_rate=lr, weight_decay=weight_decay, eps=eps)
         opt_state = self._tx.init(self.params)
-        best = (np.inf, self.params)
-        for epoch in range(1, epochs + 1):
-            key, ek = jax.random.split(key)
-            opt_state.hyperparams["learning_rate"] = jnp.float32(max(
-                lr * 0.9 ** (epoch // adjust_epoch), final_rate))
-            kl_weight = min(1.0, epoch / anneal_epoch)
-            self.params, opt_state, loss = self._epoch(
-                self.params, opt_state, x1, x2, libm1, libv1, libm2, libv2,
-                jnp.float32(kl_weight), ek)
-            loss = float(loss)
-            if loss < best[0]:
-                best = (loss, self.params)
-            if epoch % 50 == 0:
-                logger.info("scMVAE epoch %d, loss %.5f", epoch, loss)
-        self.params = best[1]
+        self.params, opt_state, losses = self._fit_epochs(
+            self.params, opt_state, x1, x2, libm1, libv1, libm2, libv2,
+            jax.random.fold_in(key, 11), jnp.float32(lr),
+            jnp.float32(final_rate), epochs, anneal_epoch, adjust_epoch)
+        losses = np.asarray(losses)
+        for epoch in range(49, epochs, 50):
+            logger.info("scMVAE epoch %d, loss %.5f", epoch + 1, losses[epoch])
         return self
 
     def predict(self, x_mod1=None, x_mod2=None):

@@ -107,6 +107,14 @@ class BabelWrapper(BaseRegressionMethod):
                                                    (b1, b2, bl))
         return params, opt_state, losses.mean()
 
+    @partial(jax.jit, static_argnames=("self", "n_valid"))
+    def _val_rmse(self, params, xv1, xv2, n_valid: int):
+        """Validation RMSE on device (rows past ``n_valid`` are dp wrap-pad)."""
+        z1 = self.net.apply({"params": params}, jnp.log1p(xv1),
+                            method=self.net.encode1)
+        pred = self.net.apply({"params": params}, z1, method=self.net.dec2)
+        return jnp.sqrt(((pred[:n_valid] - xv2[:n_valid]) ** 2).mean())
+
     @partial(jax.jit, static_argnames=("self", "batch_size"))
     def _train_epochs(self, params, opt_state, x1, x2, lib1, keys,
                       batch_size: int):
@@ -149,7 +157,8 @@ class BabelWrapper(BaseRegressionMethod):
         bs = min(batch_size, x1.shape[0])
         if n_val:
             xv1 = to_device(x1_all[va], jnp.float32)
-            xv2 = x2_all[va]
+            xv2 = to_device(x2_all[va], jnp.float32)
+            n_valid = len(va)
         if not n_val:
             keys = jax.random.split(key, epochs)
             self.params, opt_state, losses = self._train_epochs(
@@ -164,13 +173,10 @@ class BabelWrapper(BaseRegressionMethod):
             self.params, opt_state, loss = self._train_epoch(
                 self.params, opt_state, x1, x2, lib1, epoch_keys[epoch], bs)
             if n_val:
-                z1 = self.net.apply({"params": self.params}, jnp.log1p(xv1),
-                                    method=self.net.encode1)
-                pred = np.asarray(self.net.apply({"params": self.params}, z1,
-                                                 method=self.net.dec2))
-                # under dp sharding to_device wrap-pads rows; drop the pad
-                vals.append(float(np.sqrt(
-                    ((pred[:len(xv2)] - xv2) ** 2).mean())))
+                # device-side val RMSE: only the scalar crosses the relay
+                # (the op-by-op forward cost ~100x the train step before)
+                vals.append(float(self._val_rmse(self.params, xv1, xv2,
+                                                 n_valid)))
                 if min(vals) == vals[-1]:
                     best_params = self.params
                 if (epoch > earlystop

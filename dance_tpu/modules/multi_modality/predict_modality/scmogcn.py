@@ -107,13 +107,28 @@ def build_hetero_graph(x: np.ndarray, *, pathway_edges=None, cell_init: str = "n
     in-degree).  ``pathway_edges`` is an ``(uu, vv, ee)`` triple from
     :func:`~dance_tpu.transforms.graph.scmogcn_graph.create_pathway_graph`.
     """
-    from dance_tpu.ops.pallas_kernels import bipartite_bsr, resolve_use_bsr
+    from dance_tpu.ops.pallas_kernels import bipartite_bsr, choose_adj_format
+    from dance_tpu.ops.sparse import DenseAdj
     a = sp.csr_matrix(x.astype(np.float32))
     n_cells, n_feats = a.shape
     deg_c = np.diff(a.indptr).astype(np.float32)
     at = a.T.tocsr()
     deg_f = np.diff(at.indptr).astype(np.float32)
-    if resolve_use_bsr(use_bsr, a, bsr_block, reorder=False):
+    # use_bsr: True -> Pallas BSR pair, False -> CSR, "auto" -> density
+    # dispatch (dense MXU matmul above ~2% density — the NeurIPS multiome
+    # matrices are 2-10% nonzero; synthetic benches much denser), "no_bsr" ->
+    # auto restricted to dense/CSR (the sampled fit gathers dense blocks from
+    # the full matrix, which the BSR tiling can't serve)
+    fmt = {True: "bsr", False: "csr"}.get(use_bsr)
+    if fmt is None:
+        fmt = choose_adj_format(a, bsr_block, reorder=False)
+        if use_bsr == "no_bsr" and fmt == "bsr":
+            fmt = "csr"
+    if fmt == "dense":
+        ad = jnp.asarray(a.toarray())
+        f2c = DenseAdj(ad, jnp.asarray(deg_c))
+        c2f = DenseAdj(ad.T, jnp.asarray(deg_f))
+    elif fmt == "bsr":
         pair = bipartite_bsr(a, block=bsr_block)
         f2c, c2f = pair.fwd, pair.bwd
     else:
@@ -194,10 +209,15 @@ def _drop_adj(adj, drop: nn.Module, deterministic: bool):
     """Edge dropout on the adjacency weights (F.dropout on edge data,
     scmogcn.py:620)."""
     from dance_tpu.ops.pallas_kernels import BSRMatrix
+    from dance_tpu.ops.sparse import DenseAdj
     if adj is None:
         return None
     if isinstance(adj, jax.Array):
         return drop(adj, deterministic=deterministic)
+    if isinstance(adj, DenseAdj):
+        # dropout on the dense weights == edge dropout (zero slots stay zero)
+        return DenseAdj(drop(adj.mat, deterministic=deterministic),
+                        adj.degrees)
     if isinstance(adj, BSRMatrix):
         return BSRMatrix(drop(adj.blocks, deterministic=deterministic),
                          adj.block_rows, adj.block_cols, adj.shape)
@@ -573,12 +593,14 @@ class ScMoGCNWrapper(BaseRegressionMethod):
         device (fits HBM for the NeurIPS-scale tasks)."""
         a = self.args
         y = jnp.asarray(as_numpy(y), jnp.float32)
-        from dance_tpu.ops.sparse import csr_to_scipy
-        if isinstance(g.f2c, CSRMatrix):
+        from dance_tpu.ops.sparse import DenseAdj, csr_to_scipy
+        if isinstance(g.f2c, DenseAdj):
+            x_dense = g.f2c.mat
+        elif isinstance(g.f2c, CSRMatrix):
             x_dense = jnp.asarray(csr_to_scipy(g.f2c).toarray())
         else:
-            raise ValueError("sampled fit requires the CSR graph path "
-                             "(use_bsr=False)")
+            raise ValueError("sampled fit requires the dense or CSR graph "
+                             "path (use_bsr='no_bsr' or False)")
         if a.pathway and g.pw is not None:
             pw_dense = jnp.asarray(csr_to_scipy(g.pw).toarray())
         else:
@@ -687,16 +709,34 @@ class ScMoGCNWrapper(BaseRegressionMethod):
             x_all = x_tr
         self._n_train = len(x_tr)
         if sampling:
-            use_bsr = False
-        cell_svd = None
-        if a.cell_init == "svd":
-            from dance_tpu.ops.linalg import svd_embedding
-            k = min(100, min(x_all.shape) - 1)
-            cell_svd = np.asarray(svd_embedding(jnp.asarray(x_all), k)[0])
-        g = build_hetero_graph(x_all, pathway_edges=pathway_edges,
-                               cell_init=a.cell_init, cell_svd_feats=cell_svd,
-                               batch_features=batch_features, use_bsr=use_bsr,
-                               bsr_block=bsr_block)
+            # the sampled fit gathers dense blocks from the full matrix;
+            # BSR can't serve those — auto degrades to dense/CSR
+            use_bsr = "no_bsr" if use_bsr == "auto" else False
+        # graph cached across fits by content hash — the dense/BSR device
+        # pair is ~170 MB at bench scale and rebuilding + re-uploading it per
+        # fit costs seconds of jittery relay traffic
+        import hashlib
+        h = hashlib.md5(np.ascontiguousarray(x_all))
+        if batch_features is not None:
+            h.update(np.ascontiguousarray(as_numpy(batch_features)))
+        if pathway_edges is not None:
+            for arr in pathway_edges:
+                h.update(np.ascontiguousarray(np.asarray(arr)))
+        cache_key = (x_all.shape, a.cell_init, str(use_bsr), bsr_block,
+                     h.hexdigest())
+        if getattr(self, "_graph_cache_key", None) == cache_key:
+            g = self._graph_cache
+        else:
+            cell_svd = None
+            if a.cell_init == "svd":
+                from dance_tpu.ops.linalg import svd_embedding
+                k = min(100, min(x_all.shape) - 1)
+                cell_svd = np.asarray(svd_embedding(jnp.asarray(x_all), k)[0])
+            g = build_hetero_graph(x_all, pathway_edges=pathway_edges,
+                                   cell_init=a.cell_init, cell_svd_feats=cell_svd,
+                                   batch_features=batch_features, use_bsr=use_bsr,
+                                   bsr_block=bsr_block)
+            self._graph_cache_key, self._graph_cache = cache_key, g
         n_val = int(len(x_tr) * val_fraction)
         idx = np.random.default_rng(self.seed).permutation(len(x_tr))
         split = {"train": idx[:-n_val] if n_val else idx}

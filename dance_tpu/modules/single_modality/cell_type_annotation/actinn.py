@@ -208,11 +208,11 @@ class ACTINN(BaseClassificationMethod):
         return self
 
     def predict_proba(self, x):
-        x = jnp.asarray(as_numpy(x), dtype=self.dtype)
+        x = to_device(x, dtype=self.dtype)
         logits = self.model.apply({"params": self.params}, x)
         return np.asarray(jax.nn.softmax(logits.astype(jnp.float32), axis=-1))
 
     def predict(self, x):
-        x = jnp.asarray(as_numpy(x), dtype=self.dtype)
+        x = to_device(x, dtype=self.dtype)
         logits = self.model.apply({"params": self.params}, x)
         return np.asarray(jnp.argmax(logits, axis=-1))

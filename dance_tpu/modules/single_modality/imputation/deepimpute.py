@@ -208,26 +208,55 @@ class DeepImpute(BaseRegressionMethod):
                 logger.info("DeepImpute epoch %d, wMSE %.6f", epoch,
                             float(losses[epoch]))
             return self
-        best, best_params, counter = np.inf, self.params, 0
-        for epoch in range(n_epochs):
-            ek = epoch_keys[epoch]
-            self.params, opt_state, loss = self._train_epoch(
-                self.params, opt_state, Xj, Yj, Mj, ek, bs)
-            if n_val:
-                val = float(self._val_loss(self.params, Xv, Yv, Mv))
-                if val < best:
-                    best, best_params, counter = val, self.params, 0
-                else:
-                    counter += 1
-                    if counter >= patience:
-                        logger.info("DeepImpute early stopped at epoch %d "
-                                    "(val wMSE %.6f)", epoch, best)
-                        break
-            if epoch % 20 == 0:
-                logger.info("DeepImpute epoch %d, wMSE %.6f", epoch, float(loss))
-        if n_val:
-            self.params = best_params
+        self.params, opt_state, best_val, losses, vals, _ = self._train_epochs_es(
+            self.params, opt_state, Xj, Yj, Mj, Xv, Yv, Mv, epoch_keys,
+            jnp.int32(patience), bs)
+        losses = np.asarray(losses)
+        ran = ~np.isnan(losses)
+        for epoch in range(0, int(ran.sum()), 20):
+            logger.info("DeepImpute epoch %d, wMSE %.6f", epoch, losses[epoch])
+        if not ran.all():
+            logger.info("DeepImpute early stopped at epoch %d (val wMSE %.6f)",
+                        int(ran.sum()) - 1, float(best_val))
         return self
+
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def _train_epochs_es(self, params, opt_state, X, Y, M, Xv, Yv, Mv, keys,
+                         patience, batch_size: int):
+        """All epochs + early stopping as ONE dispatch.
+
+        The reference stops each subnet on its val loss with `patience`
+        (deepimpute.py:264,:299); a host-side loop needs a device→host val
+        read every epoch — ~0.7 s of relay latency per epoch against ~2 ms
+        of compute.  Instead the whole state machine (best val, best params,
+        patience counter, stopped flag) lives in the scan carry; once
+        `stopped` trips, lax.cond skips the remaining epochs' compute and
+        best-params updates, so the result is bit-identical to breaking out
+        of the loop."""
+        def epoch(carry, key):
+            params, opt_state, best_val, best_params, counter, stopped = carry
+
+            def run(_):
+                p2, o2, loss = self._train_epoch(params, opt_state, X, Y, M,
+                                                 key, batch_size)
+                val = self._val_loss(p2, Xv, Yv, Mv)
+                improved = val < best_val
+                nb = jax.tree_util.tree_map(
+                    lambda b, p: jnp.where(improved, p, b), best_params, p2)
+                nbv = jnp.where(improved, val, best_val)
+                nc = jnp.where(improved, 0, counter + 1)
+                return (p2, o2, nbv, nb, nc, nc >= patience), (loss, val)
+
+            def skip(_):
+                return carry, (jnp.float32(jnp.nan), jnp.float32(jnp.nan))
+
+            return jax.lax.cond(stopped, skip, run, None)
+
+        init = (params, opt_state, jnp.float32(jnp.inf), params,
+                jnp.int32(0), jnp.bool_(False))
+        carry, (losses, vals) = jax.lax.scan(epoch, init, keys)
+        params, opt_state, best_val, best_params, counter, stopped = carry
+        return best_params, opt_state, best_val, losses, vals, stopped
 
     @partial(jax.jit, static_argnames=("self",))
     def _val_loss(self, params, X, Y, M):

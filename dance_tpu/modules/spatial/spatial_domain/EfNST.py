@@ -115,19 +115,50 @@ class EfNsSTRunner(BaseClusteringMethod):
         updates, opt_state = self._tx.update(grads, opt_state, theta)
         return optax.apply_updates(theta, updates), opt_state, loss
 
+    @partial(jax.jit, static_argnames=("self",))
+    def _encode(self, params, adj, x):
+        return self.net.apply({"params": params}, adj, x)[0]
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _dec_step(self, theta, opt_state, adj, x, adj_target):
+        """DEC epoch as one dispatch: target refresh from the pre-step params
+        + the training step (the refresh ran op-by-op over the relay before)."""
+        params, mu = theta
+        z = self._encode(params, adj, x)
+        q = soft_assign(z, mu, 1.0)
+        p = target_distribution(q)
+        return self._step(theta, opt_state, adj, x, adj_target, p, True)
+
     def fit(self, adata=None, concat_X=None, graph_dict=None, domains=None,
             pretrain: bool = True, epochs: int = 200, dec_epochs: int = 100,
             lr: float = 1e-3):
+        import hashlib
+
         from dance_tpu.ops.cluster import kmeans
-        x = jnp.asarray(as_numpy(concat_X), jnp.float32)
-        adj_raw = sp.csr_matrix(graph_dict)
-        adj_raw = ((adj_raw + adj_raw.T) > 0).astype(np.float32)
-        n = adj_raw.shape[0]
-        adj_n = adj_raw + sp.eye(n, format="csr", dtype=np.float32)
-        deg = np.asarray(adj_n.sum(1)).ravel()
-        dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
-        adj = csr_from_scipy(sp.diags(dinv) @ adj_n @ sp.diags(dinv))
-        adj_target = jnp.asarray(adj_raw.todense())
+        x_np = np.asarray(as_numpy(concat_X), np.float32)
+        adj_in = sp.csr_matrix(graph_dict)
+        # device inputs cached across fits by content hash: the dense BCE
+        # target alone is n² floats (~400 MB at 10k spots) and re-uploading
+        # it over the relay every fit dwarfs the training itself
+        h = hashlib.md5()
+        for part in (x_np.tobytes(), adj_in.indptr.tobytes(),
+                     adj_in.indices.tobytes(), adj_in.data.tobytes()):
+            h.update(part)
+        cache_key = (x_np.shape, adj_in.shape, h.hexdigest())
+        if getattr(self, "_fit_cache_key", None) == cache_key:
+            adj, x, adj_target = self._fit_cache
+            n = adj_target.shape[0]
+        else:
+            x = jnp.asarray(x_np)
+            adj_raw = ((adj_in + adj_in.T) > 0).astype(np.float32)
+            n = adj_raw.shape[0]
+            adj_n = adj_raw + sp.eye(n, format="csr", dtype=np.float32)
+            deg = np.asarray(adj_n.sum(1)).ravel()
+            dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+            adj = csr_from_scipy(sp.diags(dinv) @ adj_n @ sp.diags(dinv))
+            adj_target = jnp.asarray(adj_raw.todense())
+            self._fit_cache_key = cache_key
+            self._fit_cache = (adj, x, adj_target)
 
         key = jax.random.key(self.seed)
         params = self.net.init(key, adj, x)["params"]
@@ -140,21 +171,17 @@ class EfNsSTRunner(BaseClusteringMethod):
             theta, opt_state, loss = self._step(theta, opt_state, adj, x, adj_target, p,
                                                 False)
         params, _ = theta
-        z, _, _ = self.net.apply({"params": params}, adj, x)
+        z = self._encode(params, adj, x)
         res = kmeans(z, self.n_clusters, n_init=10, seed=self.seed)
         theta = (params, jnp.asarray(res.centers))
         opt_state = self._tx.init(theta)
         for epoch in range(dec_epochs):
-            params, mu = theta
-            z, _, _ = self.net.apply({"params": params}, adj, x)
-            q = soft_assign(z, mu, 1.0)
-            p = target_distribution(q)
-            theta, opt_state, loss = self._step(theta, opt_state, adj, x, adj_target, p,
-                                                True)
+            theta, opt_state, loss = self._dec_step(theta, opt_state, adj, x,
+                                                    adj_target)
         self._theta = theta
         self._cache = (adj, x)
         params, mu = theta
-        z, _, _ = self.net.apply({"params": params}, adj, x)
+        z = self._encode(params, adj, x)
         self.q = np.asarray(soft_assign(z, mu, 1.0))
         self.z = np.asarray(z)
         return self

@@ -116,3 +116,17 @@ def transform_mod_to_anndata(mod_data, mod_key: str):
     """Extract one modality's AnnData from a MuData-like container
     (parity: dance/utils/wrappers.py:135)."""
     return mod_data.mod[mod_key]
+
+
+def as_device(x, dtype=None):
+    """``jnp.asarray`` with torch handling.
+
+    Device arrays pass through WITHOUT a host round-trip — the
+    ``jnp.asarray(as_numpy(x))`` idiom silently downloads + re-uploads a
+    pre-uploaded input (~80 MB of relay traffic per fit at bench scale).
+    Use this for fit/predict array inputs that feed jitted code.
+    """
+    import jax.numpy as jnp
+    if hasattr(x, "detach"):  # torch.Tensor
+        x = x.detach().cpu().numpy()
+    return jnp.asarray(x, dtype)
