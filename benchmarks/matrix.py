@@ -199,18 +199,14 @@ def run_scdeepsort():
     m = ScDeepSort(dim_in=256, dim_hid=256, num_layers=2, seed=0)
 
     def make(e):
-        m.fit(g, y, epochs=e, val_ratio=0.0, use_bsr=True)
+        m.fit(g, y, epochs=e, val_ratio=0.0)  # auto: dense at this density
         return m
 
     per = epoch_delta(make, 5, 55)
-    from dance_tpu.ops.pallas_kernels import bsr_from_scipy
-    import scipy.sparse as sp
-    adj = sp.csr_matrix(g.adj)
-    bsr = bsr_from_scipy(adj)
     d = 256
-    # fwd+bwd ≈ 3 SpMMs per layer over the dense tiles + dense transform
-    flops = 3 * (2 * 2 * bsr.nb * 128 * 128 * d
-                 + 2 * 2 * adj.shape[0] * d * d)
+    n_nodes = g.num_nodes
+    # fwd+bwd ≈ 3 × (dense off-diagonal SpMM + dense transform) per layer
+    flops = 3 * 2 * (2 * n_nodes * n_nodes * d + 2 * n_nodes * d * d)
     return dict(tpu_ms_epoch=per * 1e3, epochs="5/55",
                 mfu_pct=100 * flops / per / V5E_PEAK_FLOPS)
 
@@ -470,7 +466,7 @@ def run_scmm():
 
 
 @case("scmogcn_predict", "predict_modality", f"{N_CELLS}x{N_GENES}->134",
-      "full hetero-GNN, BSR; MFU analytic")
+      "full hetero-GNN, dense adj; MFU analytic")
 def run_scmogcn_predict():
     from dance_tpu.modules.multi_modality.predict_modality import ScMoGCNWrapper
     x1, x2, _ = _mm_inputs()
@@ -479,17 +475,16 @@ def run_scmogcn_predict():
     m = ScMoGCNWrapper(seed=0)
 
     def make(e):
-        m.fit(raw, x2, epochs=e, val_fraction=0.0, use_bsr=True)
+        m.fit(raw, x2, epochs=e, val_fraction=0.0)  # auto: dense adjacency
         return m
 
     per = epoch_delta(make, 3, 23)
-    import scipy.sparse as sp
-    from dance_tpu.ops.pallas_kernels import bsr_from_scipy
-    nb = bsr_from_scipy(sp.csr_matrix(raw)).nb
     d = 48
     conv = 4
-    flops = 3 * (2 * 2 * nb * 128 * 128 * d * conv
-                 + 2 * (N_CELLS + N_GENES) * d * d * 2 * conv)
+    n_feats = N_GENES + 134
+    # fwd+bwd ≈ 3 × (two dense SpMMs + two dense transforms) per conv layer
+    flops = 3 * conv * (2 * 2 * N_CELLS * n_feats * d
+                        + 2 * 2 * (N_CELLS + n_feats) * d * d)
     return dict(tpu_ms_epoch=per * 1e3, epochs="3/23",
                 mfu_pct=100 * flops / per / V5E_PEAK_FLOPS)
 

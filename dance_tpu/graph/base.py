@@ -157,21 +157,25 @@ class Graph:
         from dance_tpu.ops.sparse import dense_adj_from_scipy
         return dense_adj_from_scipy(self.adj, dtype=dtype)
 
-    def to_adaptive_bsr(self, block: int = 128):
-        """Decomposed block-sparse form for AdaptiveSAGE (see
-        :class:`dance_tpu.ops.sparse.AdaptiveBSR`): Pallas SpMM over the
+    def to_adaptive_bsr(self, block: int = 128, dense: bool = False):
+        """Decomposed form for AdaptiveSAGE (see
+        :class:`dance_tpu.ops.sparse.AdaptiveBSR`): one SpMM over the
         off-diagonal adjacency + per-node alpha scales + self-loop terms.
-        Requires the bipartite ``cell_id`` node labels (gene index or -1)."""
+        ``dense=True`` stores the off-diagonal as a dense operand (one MXU
+        matmul — the winner above a few percent density); otherwise the
+        Pallas block-sparse tiling. Requires the bipartite ``cell_id`` node
+        labels (gene index or -1)."""
         from dance_tpu.ops.pallas_kernels import bsr_from_scipy
-        from dance_tpu.ops.sparse import AdaptiveBSR
+        from dance_tpu.ops.sparse import AdaptiveBSR, dense_adj_from_scipy
         gene_idx = np.asarray(self.ndata["cell_id"], np.int32)
         adj = self.adj.tocsr()
         w_diag = np.asarray(adj.diagonal(), np.float32)
         off = adj - sp.diags(w_diag)
         off.eliminate_zeros()
         deg = np.diff(adj.indptr).astype(np.float32)
-        return AdaptiveBSR(bsr_from_scipy(off, block=block),
-                           jnp.asarray(w_diag), jnp.asarray(gene_idx),
+        off_dev = (dense_adj_from_scipy(off) if dense
+                   else bsr_from_scipy(off, block=block))
+        return AdaptiveBSR(off_dev, jnp.asarray(w_diag), jnp.asarray(gene_idx),
                            jnp.asarray(deg), int(self.info["num_genes"]))
 
     def __repr__(self):

@@ -144,8 +144,22 @@ class BabelWrapper(BaseRegressionMethod):
         rng = np.random.default_rng(self.seed)
         perm = rng.permutation(n)
         tr, va = perm[:n - n_val or None], perm[n - n_val:] if n_val else []
-        x1 = to_device(x1_all[tr], jnp.float32)
-        x2 = to_device(x2_all[tr], jnp.float32)
+        # device inputs cached across fits by content hash (the ~80 MB
+        # re-upload per fit dwarfs the per-epoch training cost on the relay)
+        import hashlib
+        h = hashlib.md5(np.ascontiguousarray(x1_all))
+        h.update(np.ascontiguousarray(x2_all))
+        cache_key = (x1_all.shape, x2_all.shape, val_ratio, self.seed,
+                     h.hexdigest())
+        if getattr(self, "_fit_cache_key", None) == cache_key:
+            x1, x2, xv1, xv2 = self._fit_cache
+        else:
+            x1 = to_device(x1_all[tr], jnp.float32)
+            x2 = to_device(x2_all[tr], jnp.float32)
+            xv1 = to_device(x1_all[va], jnp.float32) if n_val else None
+            xv2 = to_device(x2_all[va], jnp.float32) if n_val else None
+            self._fit_cache_key = cache_key
+            self._fit_cache = (x1, x2, xv1, xv2)
         lib1 = x1.sum(1, keepdims=True)
         if self.params is None:
             self.net = _Babel(dim1=x1.shape[1], dim2=x2.shape[1], hidden=self.hidden)
@@ -156,8 +170,6 @@ class BabelWrapper(BaseRegressionMethod):
         key = jax.random.key(self.seed)
         bs = min(batch_size, x1.shape[0])
         if n_val:
-            xv1 = to_device(x1_all[va], jnp.float32)
-            xv2 = to_device(x2_all[va], jnp.float32)
             n_valid = len(va)
         if not n_val:
             keys = jax.random.split(key, epochs)

@@ -106,18 +106,31 @@ class ScDeepSort(BaseClassificationMethod):
         dense enough to win (measured 17× on the 12k×2k flagship graph).
         ``bsr_dtype=jnp.bfloat16`` streams the SpMM at half HBM width with f32
         accumulation (measured ~1.5× per SpMM on bipartite graphs)."""
-        from dance_tpu.ops.pallas_kernels import resolve_use_bsr
-        use_bsr = resolve_use_bsr(use_bsr, graph.adj, bsr_block, reorder=False)
+        from dance_tpu.ops.pallas_kernels import choose_adj_format
+        fmt = {True: "bsr", False: "csr"}.get(use_bsr)
+        if fmt is None:
+            fmt = choose_adj_format(graph.adj, bsr_block, reorder=False)
+        use_bsr = fmt in ("bsr", "dense")
         labels = as_numpy(labels)
         if labels.ndim == 2:
             labels = labels.argmax(1)
-        dg = graph.to_device()
-        gene_id = dg.ndata["cell_id"]  # reference naming quirk: gene index labels
+        # device graph cached across fits (repeat fits on one graph are the
+        # norm in sweeps; the adjacency upload dominates a short fit)
+        cache_key = (id(graph), graph.adj.shape, graph.adj.nnz, fmt, bsr_block)
+        if getattr(self, "_dev_cache_key", None) == cache_key:
+            dg, gene_id, conv_adj = self._dev_cache
+        else:
+            dg = graph.to_device()
+            gene_id = dg.ndata["cell_id"]  # reference quirk: gene index labels
+            conv_adj = (graph.to_adaptive_bsr(block=bsr_block,
+                                              dense=fmt == "dense")
+                        if use_bsr else dg.adj)
+            self._dev_cache_key = cache_key
+            self._dev_cache = (dg, gene_id, conv_adj)
         num_genes = int(graph.info["num_genes"])
         num_cells = int(graph.info["num_cells"])
         self.num_labels = int(labels.max()) + 1
-        conv_adj = graph.to_adaptive_bsr(block=bsr_block) if use_bsr else dg.adj
-        self._use_bsr, self._bsr_block = use_bsr, bsr_block
+        self._use_bsr, self._bsr_block, self._fmt = use_bsr, bsr_block, fmt
         self._graph_cache = (dg, gene_id)
 
         rng = np.random.default_rng(self.seed)
@@ -291,10 +304,17 @@ class ScDeepSort(BaseClassificationMethod):
         return self
 
     def predict_proba(self, graph: Graph):
-        dg = graph.to_device()
-        gene_id = dg.ndata["cell_id"]
-        adj = (graph.to_adaptive_bsr(block=self._bsr_block)
-               if getattr(self, "_use_bsr", False) else dg.adj)
+        cache_key = getattr(self, "_dev_cache_key", None)
+        if cache_key is not None and cache_key[:3] == (
+                id(graph), graph.adj.shape, graph.adj.nnz):
+            dg, gene_id, adj = self._dev_cache  # fit's uploaded graph
+        else:
+            dg = graph.to_device()
+            gene_id = dg.ndata["cell_id"]
+            adj = (graph.to_adaptive_bsr(
+                       block=self._bsr_block,
+                       dense=getattr(self, "_fmt", "bsr") == "dense")
+                   if getattr(self, "_use_bsr", False) else dg.adj)
         logits = self._forward(self.params, adj, dg.ndata["features"], gene_id)
         num_genes = int(graph.info["num_genes"])
         cell_logits = logits[num_genes:]

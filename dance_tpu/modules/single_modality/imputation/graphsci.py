@@ -250,25 +250,37 @@ class GraphSCI(BaseRegressionMethod):
         x_raw = as_numpy(x_raw).astype(np.float32)
         loss_mask = (as_numpy(mask).astype(np.float32) if mask is not None
                      else np.ones_like(x))
-        dg = g.to_device()
-        gene_feat = dg.ndata.get("feat")
-        if gene_feat is None:
-            gene_feat = jnp.asarray(x.T)
-        adj_target = jnp.asarray((np.asarray(g.adj.todense()) > 0).astype(np.float32))
-        counts = x_raw.sum(1)
-        sf = jnp.asarray(counts / np.median(counts), jnp.float32)
+        # device inputs cached across fits by content hash: two full
+        # expression matrices + the dense adjacency target re-upload per fit
+        # otherwise, dwarfing the per-epoch training cost on the relay
+        import hashlib
+        h = hashlib.md5(np.ascontiguousarray(x))
+        h.update(np.ascontiguousarray(x_raw))
+        h.update(np.ascontiguousarray(loss_mask))
+        cache_key = (id(g), g.adj.shape, g.adj.nnz, x.shape, h.hexdigest())
+        if getattr(self, "_fit_cache_key", None) == cache_key:
+            dg, gene_feat, adj_target, sf, xj, xrj, maskj = self._fit_cache
+        else:
+            dg = g.to_device()
+            gene_feat = dg.ndata.get("feat")
+            if gene_feat is None:
+                gene_feat = jnp.asarray(x.T)
+            adj_target = jnp.asarray(
+                (np.asarray(g.adj.todense()) > 0).astype(np.float32))
+            counts = x_raw.sum(1)
+            sf = jnp.asarray(counts / np.median(counts), jnp.float32)
+            xj, xrj = jnp.asarray(x), jnp.asarray(x_raw)
+            maskj = jnp.asarray(loss_mask)
+            self._fit_cache_key = cache_key
+            self._fit_cache = (dg, gene_feat, adj_target, sf, xj, xrj, maskj)
 
         key = jax.random.key(self.seed)
         if self.params is None:
             self.params = self.net.init({"params": key}, dg.adj, gene_feat,
-                                        jnp.asarray(x), sf, key)["params"]
+                                        xj, sf, key)["params"]
         # reference uses Adam with weight_decay (graphsci.py:274)
         self._tx = optax.adamw(self.lr, weight_decay=self.weight_decay)
         opt_state = self._tx.init(self.params)
-        # device-resident once — converting inside the loop re-uploads the
-        # full expression matrices every epoch
-        xj, xrj = jnp.asarray(x), jnp.asarray(x_raw)
-        maskj = jnp.asarray(loss_mask)
         for epoch in range(self.n_epochs):
             key, sk = jax.random.split(key)
             self.params, opt_state, loss = self._step(

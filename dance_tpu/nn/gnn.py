@@ -111,16 +111,23 @@ class AdaptiveSAGE(nn.Module):
                  alpha_idx=None):
         n_genes = alpha.shape[0] - 2
         if isinstance(adj, AdaptiveBSR):
-            # Pallas fast path: the per-edge alpha factor is a node property
-            # on the bipartite graph, so the edge gather collapses into one
-            # block-sparse SpMM (see ops.sparse.AdaptiveBSR).
+            # fast path: the per-edge alpha factor is a node property on the
+            # bipartite graph, so the edge gather collapses into one SpMM over
+            # the off-diagonal adjacency (see ops.sparse.AdaptiveBSR) — a
+            # Pallas block-sparse matmul, or a plain MXU matmul when the
+            # off-diagonal is stored dense (high-density graphs)
+            from dance_tpu.ops.sparse import DenseAdj
             gidx = adj.gene_idx
             s = jnp.where(gidx >= 0, jnp.take(alpha, jnp.clip(gidx, 0)), 1.0)
             self_alpha = jnp.where(gidx >= 0, alpha[n_genes], alpha[n_genes + 1])
             n = h.shape[0]
-            hp = jnp.pad(s[:, None] * h, ((0, adj.bsr.shape[1] - n), (0, 0)))
-            neigh = s[:, None] * bsr_spmm_ad(adj.bsr, hp,
-                                             compute_dtype=self.bsr_dtype)[:n]
+            if isinstance(adj.bsr, DenseAdj):
+                neigh = s[:, None] * (adj.bsr.mat @ (s[:, None] * h))
+            else:
+                hp = jnp.pad(s[:, None] * h,
+                             ((0, adj.bsr.shape[1] - n), (0, 0)))
+                neigh = s[:, None] * bsr_spmm_ad(adj.bsr, hp,
+                                                 compute_dtype=self.bsr_dtype)[:n]
             z = (neigh + (adj.w_diag * self_alpha)[:, None] * h)
             z = z / jnp.maximum(adj.deg, 1.0)[:, None]
         else:
