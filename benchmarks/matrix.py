@@ -875,7 +875,10 @@ def render():
         "Caveats: the host column (where present) is the reference stack on "
         "THIS machine's single CPU core, not a V100 — treat it as a stack "
         "comparison, not a GPU head-to-head. MFU divides by the v5e bf16 "
-        "peak (197 TFLOP/s); f32 paths cap at ~50% by construction.",
+        "peak (197 TFLOP/s); f32 paths cap at ~50% by construction. "
+        "Epoch deltas exclude per-fit fixed costs (inputs pre-uploaded / "
+        "device caches warm — see BENCH_NOTES.md round-3 methodology); the "
+        "host lane measures the same steady-state region.",
         "",
         "| method | family | scale | TPU ms/epoch | TPU total s | MFU % | "
         "host ms/epoch | host total s | TPU× | notes |",
