@@ -39,7 +39,8 @@ MD_OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
 V5E_PEAK_FLOPS = 197e12  # bf16; f32 paths divided by the same → ceiling ~0.5
 
 FIELDS = ["name", "family", "scale", "tpu_ms_epoch", "tpu_s_total", "epochs",
-          "mfu_pct", "host_ms_epoch", "host_s_total", "notes"]
+          "mfu_pct", "gflops_epoch", "gtransc_epoch", "gflops_total",
+          "host_ms_epoch", "host_s_total", "notes"]
 
 
 def _sync(model):
@@ -880,9 +881,20 @@ def render():
         "device caches warm — see BENCH_NOTES.md round-3 methodology); the "
         "host lane measures the same steady-state region.",
         "",
-        "| method | family | scale | TPU ms/epoch | TPU total s | MFU % | "
+        "GFLOP/epoch and Gtransc/epoch are XLA `cost_analysis` totals over "
+        "every executable the fit dispatches, differenced across two epoch "
+        "counts (`--flops` lane) — exact work, not an analytic estimate. "
+        "Where GFLOP/epoch is present, MFU % = counted FLOPs ÷ measured "
+        "epoch time ÷ peak. Gtransc counts transcendental evaluations "
+        "(exp/log/lgamma/erf…): rows with Gtransc comparable to GFLOP are "
+        "VPU-transcendental-bound (the NB/ZINB likelihood families), where "
+        "FLOP-based MFU understates how close the run is to its real "
+        "roofline.",
+        "",
+        "| method | family | scale | TPU ms/epoch | TPU total s | "
+        "GFLOP/epoch | Gtransc/epoch | MFU % | "
         "host ms/epoch | host total s | TPU× | notes |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name in sorted(rows, key=lambda n: (rows[n]["family"], n)):
         r = rows[name]
@@ -902,13 +914,93 @@ def render():
                     float(r["host_s_total"]) / float(r["tpu_s_total"]))
             except (KeyError, TypeError, ValueError, ZeroDivisionError):
                 pass
+        gflop = f("gflops_epoch") or (
+            f"{f('gflops_total')} total" if f("gflops_total") else "")
         lines.append(
             f"| {name} | {r['family']} | {r['scale']} | {f('tpu_ms_epoch')} | "
-            f"{f('tpu_s_total')} | {f('mfu_pct')} | {f('host_ms_epoch')} | "
+            f"{f('tpu_s_total')} | {gflop} | {f('gtransc_epoch')} | "
+            f"{f('mfu_pct')} | {f('host_ms_epoch')} | "
             f"{f('host_s_total')} | {speedup} | {r.get('notes', '')} |")
     with open(MD_OUT, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(f"wrote {MD_OUT} ({len(rows)} methods)")
+
+
+_FLOP_LAST = {}
+
+
+def _flop_epoch_delta(make, e_small, e_big, reps=2):
+    """Flop-lane stand-in for epoch_delta: exact per-epoch FLOPs by
+    differencing XLA cost_analysis totals at two epoch counts (window of 2
+    epochs — FLOPs are deterministic, no noise to average away)."""
+    from benchmarks import flopcount as fc
+    window = 2
+    make(e_small)               # warm: compiles + device-input caches
+    fc.reset()
+    make(e_small)
+    f1 = fc.totals()
+    fc.reset()
+    make(e_small + window)
+    f2 = fc.totals()
+    _FLOP_LAST.update(
+        gflops_epoch=(f2["flops"] - f1["flops"]) / window / 1e9,
+        gtransc_epoch=(f2["transcendentals"] - f1["transcendentals"])
+        / window / 1e9)
+    return float("nan")
+
+
+def _flop_total(fit_once, reps=1):
+    from benchmarks import flopcount as fc
+    fit_once()                  # warm
+    fc.reset()
+    fit_once()
+    f = fc.totals()
+    if f["calls"]:
+        _FLOP_LAST.update(gflops_total=f["flops"] / 1e9)
+    return float("nan")
+
+
+def run_flops(want):
+    """CPU lane: fill gflops_epoch/gtransc_epoch/gflops_total for each case
+    and recompute mfu_pct from the already-measured TPU timings."""
+    import jax
+    assert jax.default_backend() == "cpu", \
+        "run the flop lane on the CPU backend (strip axon_site, JAX_PLATFORMS=cpu)"
+    from benchmarks import flopcount as fc
+    fc.install()
+    global epoch_delta, total_time
+    epoch_delta, total_time = _flop_epoch_delta, _flop_total
+    rows = load_results()
+    for name in want:
+        if name not in CASES:
+            print(f"!! unknown case {name}")
+            continue
+        fn = CASES[name][0]
+        print(f"== flops {name}", flush=True)
+        _FLOP_LAST.clear()
+        t0 = time.time()
+        try:
+            fn()
+        except Exception as e:
+            print(f"   FAILED: {type(e).__name__}: {e}")
+            continue
+        if not _FLOP_LAST:
+            print("   no jitted work recorded (host-side case)")
+            continue
+        row = rows.setdefault(name, {"name": name})
+        row.update({k: f"{v:.4f}" for k, v in _FLOP_LAST.items()})
+        # measured MFU: XLA-counted FLOPs over the TPU-measured epoch time
+        try:
+            per_s = float(row["tpu_ms_epoch"]) / 1e3
+            row["mfu_pct"] = "{:.4f}".format(
+                100 * float(row["gflops_epoch"]) * 1e9 / per_s / V5E_PEAK_FLOPS)
+            row["notes"] = (row.get("notes", "") or "").replace(
+                "; MFU analytic", "").replace("MFU analytic", "").strip("; ")
+        except (KeyError, TypeError, ValueError, ZeroDivisionError):
+            pass
+        save_results(rows)
+        print(f"   {_FLOP_LAST} [{time.time() - t0:.0f}s]", flush=True)
+    render()
 
 
 def main():
@@ -916,6 +1008,8 @@ def main():
     ap.add_argument("--cases", default="", help="comma-separated name filter")
     ap.add_argument("--render", action="store_true")
     ap.add_argument("--list", action="store_true")
+    ap.add_argument("--flops", action="store_true",
+                    help="CPU lane: count per-epoch FLOPs via XLA cost_analysis")
     args = ap.parse_args()
     if args.render:
         render()
@@ -924,6 +1018,9 @@ def main():
         print("\n".join(sorted(CASES)))
         return
     want = [c for c in args.cases.split(",") if c] or sorted(CASES)
+    if args.flops:
+        run_flops(want)
+        return
     rows = load_results()
     for name in want:
         if name not in CASES:
