@@ -215,6 +215,10 @@ class GraphSC(BaseClusteringMethod):
         opt_state = self._tx.init(self.params)
 
         aris, zs = [], []
+        if eval_epoch and y is not None:
+            y_arr = np.asarray(y).ravel()
+            n_true = int(y_arr.max()) + 1
+            y_dev = jnp.asarray(y_arr, jnp.int32)
         for epoch in range(epochs):
             key, sk = jax.random.split(key)
             self.params, opt_state, loss = self._train_step(
@@ -222,15 +226,26 @@ class GraphSC(BaseClusteringMethod):
                 self._degrees)
             if eval_epoch or epoch == epochs - 1:
                 emb = self._embed(self.params, conv_adj, feats, self._degrees)
-                self.z = np.asarray(emb[n_genes:])
+                z_dev = emb[n_genes:]
                 if eval_epoch and y is not None:
-                    score = self.score(None, y)
+                    if self.cluster_method == "kmeans":
+                        # device ARI over the device kmeans labels: only the
+                        # scalar crosses the relay per epoch (pulling z +
+                        # host sklearn per epoch dominated the epoch cost)
+                        from dance_tpu.ops.cluster import kmeans
+                        from dance_tpu.utils.metrics import device_ari
+                        labels = kmeans(z_dev, self.n_clusters, n_init=10,
+                                        seed=5).labels
+                        score = float(device_ari(y_dev, labels, n_true,
+                                                 self.n_clusters))
+                    else:
+                        self.z = np.asarray(z_dev)
+                        score = self.score(None, y)
                     aris.append(score)
-                    zs.append(self.z)
+                    zs.append(z_dev)
                     if show_epoch_ari:
                         logger.info("epoch %4d, ARI %.4f", epoch, score)
-        if aris:
-            self.z = zs[int(np.argmax(aris))]
+        self.z = np.asarray(zs[int(np.argmax(aris))] if aris else z_dev)
         return self
 
     def predict(self, x: Optional[Any] = None):

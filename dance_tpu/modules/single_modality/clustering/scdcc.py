@@ -53,8 +53,7 @@ class ScDCC(ScDeepCluster):
             log_level=log_level,
         )
 
-    @partial(jax.jit, static_argnames=("self",))
-    def _constraint_loss(self, params, mu, x, ml1, ml2, cl1, cl2):
+    def _constraint_loss_impl(self, params, mu, x, ml1, ml2, cl1, cl2):
         z = self.model.apply({"params": params}, x, method=self.model.encode)
         q = soft_assign(z, mu, self.alpha)
         ml_overlap = jnp.sum(q[ml1] * q[ml2], axis=1)
@@ -62,6 +61,21 @@ class ScDCC(ScDeepCluster):
         ml_loss = -jnp.log(ml_overlap + 1e-10).mean() if ml1.shape[0] else 0.0
         cl_loss = -jnp.log(1.0 - cl_overlap + 1e-10).mean() if cl1.shape[0] else 0.0
         return self.ml_weight * ml_loss + self.cl_weight * cl_loss
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _constraint_loss(self, params, mu, x, ml1, ml2, cl1, cl2):
+        return self._constraint_loss_impl(params, mu, x, ml1, ml2, cl1, cl2)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _constraint_step(self, params, mu, c_state, x, ml1, ml2, cl1, cl2):
+        """One full-batch constraint update as a single compiled dispatch
+        (the previous op-by-op ``jax.grad`` retraced and ran the backward
+        unjitted every epoch)."""
+        grads = jax.grad(self._constraint_loss_impl, argnums=(0, 1))(
+            params, mu, x, ml1, ml2, cl1, cl2)
+        updates, c_state = self._ctx.update(grads, c_state, (params, mu))
+        params, mu = optax.apply_updates((params, mu), updates)
+        return params, mu, c_state
 
     def fit(self, inputs: Tuple, y=None, n_clusters: Optional[int] = None,
             ml_ind1=None, ml_ind2=None, cl_ind1=None, cl_ind2=None,
@@ -91,45 +105,55 @@ class ScDCC(ScDeepCluster):
         except AttributeError:
             self._cl_tx = optax.adam(1e-3)
         opt_state = self._cl_tx.init((self.params, self.mu))
-        ctx = optax.adam(1e-3)
-        c_state = ctx.init((self.params, self.mu))
+        self._ctx = optax.adam(1e-3)
+        c_state = self._ctx.init((self.params, self.mu))
         bs = min(batch_size, x.shape[0])
 
         aris, snapshots = [], []
         key = jax.random.fold_in(jax.random.key(self.seed), 13)
+        p = jnp.zeros((x.shape[0], int(self.mu.shape[0])), jnp.float32)
+        labels_dev = jnp.asarray(res.labels, jnp.int32)
+        if y is not None:
+            y_arr = np.asarray(y).ravel()
+            n_true = int(y_arr.max()) + 1
+            y_dev = jnp.asarray(y_arr, jnp.int32)
+        else:
+            n_true = 0
+            y_dev = jnp.zeros_like(labels_dev)
+        first = True
         for epoch in range(epochs):
-            if epoch % update_interval == 0:
-                latent = self._encode(self.params, x)
-                q = soft_assign(latent, self.mu, self.alpha)
-                p = target_distribution(q)
-                y_pred_new = np.asarray(q.argmax(1))
-                # DEC early stop on label-change fraction (reference scdcc tol)
-                delta_label = (float((y_pred_new != self.y_pred).mean())
-                               if hasattr(self, "y_pred") else 1.0)
-                # keep q/z as device arrays: pulling them to the host every
-                # epoch costs ~MBs over the relay; one transfer at the end
+            refresh = epoch % update_interval == 0
+            key, ek = jax.random.split(key)
+            prev_params, prev_mu = self.params, self.mu
+            (self.params, self.mu, opt_state, p, q, latent, labels, delta,
+             ari_v, loss) = self._dec_epoch(self.params, self.mu, opt_state,
+                                            x, xr, sf, p, labels_dev, y_dev,
+                                            ek, bs, refresh, n_true)
+            if ml1.shape[0] or cl1.shape[0]:
+                self.params, self.mu, c_state = self._constraint_step(
+                    self.params, self.mu, c_state, x, ml1, ml2, cl1, cl2)
+            if refresh:
+                # DEC early stop on label-change fraction (reference scdcc
+                # tol) — device scalar, no q/z pull per epoch
+                delta_label = 1.0 if first else float(delta)
+                first = False
                 self.q, self.z = q, latent
-                self.y_pred = y_pred_new
-                snapshots.append((self.q, self.z, self.y_pred))
+                labels_dev = labels
+                snapshots.append((self.q, self.z, labels))
                 if y is not None:
-                    aris.append(self.score(None, y))
+                    aris.append(float(ari_v))
                 if epoch > 0 and delta_label < tol:
                     logger.info("Reach tolerance threshold (%.3e < %.3e). "
                                 "Stopping training.", delta_label, tol)
+                    # the fused dispatch already ran this epoch's passes; the
+                    # reference breaks before them — roll back
+                    self.params, self.mu = prev_params, prev_mu
                     break
-            key, ek = jax.random.split(key)
-            self.params, self.mu, opt_state, loss = self._cluster_epoch(
-                self.params, self.mu, opt_state, x, xr, sf, p, ek, bs)
-            if ml1.shape[0] or cl1.shape[0]:
-                grads = jax.grad(self._constraint_loss, argnums=(0, 1))(
-                    self.params, self.mu, x, ml1, ml2, cl1, cl2)
-                updates, c_state = ctx.update(grads, c_state, (self.params, self.mu))
-                self.params, self.mu = optax.apply_updates((self.params, self.mu),
-                                                           updates)
             if epoch % 50 == 0:
                 logger.info("Epoch %3d: loss %.6f", epoch + 1, float(loss))
         if aris:
             best = int(np.argmax(aris))
-            self.q, self.z, self.y_pred = snapshots[best]
+            self.q, self.z, labels_dev = snapshots[best]
         self.q, self.z = np.asarray(self.q), np.asarray(self.z)
+        self.y_pred = np.asarray(labels_dev)
         return self

@@ -105,25 +105,35 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
             body, (params, opt_state), jax.random.split(key, epochs))
         return params, opt_state, losses
 
-    @partial(jax.jit, static_argnames=("self", "batch_size", "refresh"))
-    def _dec_epoch(self, params, mu, opt_state, x, x_raw, sf, p_in, key,
-                   batch_size: int, refresh: bool):
+    @partial(jax.jit, static_argnames=("self", "batch_size", "refresh", "n_true"))
+    def _dec_epoch(self, params, mu, opt_state, x, x_raw, sf, p_in, prev_labels,
+                   y_true, key, batch_size: int, refresh: bool, n_true: int):
         """One DEC epoch as ONE dispatch: (optional) target refresh from the
-        pre-step params, then the full minibatch pass.  Only the int32 labels
-        need pulling to the host for the tol check — q/z stay device-resident."""
+        pre-step params, then the full minibatch pass.  The tol check
+        (label-change fraction) and the best-epoch ARI are computed on device
+        too — the host pulls three scalars per epoch, never the q/z matrices
+        (each pull is a relay round trip that costs more than the epoch's
+        compute)."""
+        from dance_tpu.utils.metrics import device_ari
         if refresh:
             latent = self.model.apply({"params": params}, x,
                                       method=self.model.encode)
             q = soft_assign(latent, mu, self.alpha)
             p = target_distribution(q)
             labels = q.argmax(1).astype(jnp.int32)
+            delta = (labels != prev_labels).mean()
+            ari_v = (device_ari(y_true, labels, n_true, int(mu.shape[0]))
+                     if n_true else jnp.float32(0))
         else:
             latent = jnp.zeros((x.shape[0], 1), x.dtype)
             q, p = p_in, p_in
-            labels = jnp.zeros(x.shape[0], jnp.int32)
+            labels = prev_labels
+            delta = jnp.float32(0)
+            ari_v = jnp.float32(0)
         params, mu, opt_state, loss = self._cluster_epoch_impl(
             params, mu, opt_state, x, x_raw, sf, p, key, batch_size)
-        return params, mu, opt_state, p, q, latent, labels, loss
+        return (params, mu, opt_state, p, q, latent, labels, delta, ari_v,
+                loss)
 
     def _cluster_epoch_impl(self, params, mu, opt_state, x, x_raw, sf, p, key,
                             batch_size: int):
@@ -215,24 +225,33 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
         aris, snapshots = [], []
         key = jax.random.fold_in(jax.random.key(self.seed), 13)
         p = jnp.zeros((x.shape[0], int(self.mu.shape[0])), jnp.float32)
+        labels_dev = jnp.asarray(self.y_pred, jnp.int32)
+        if y is not None:
+            y_arr = np.asarray(y).ravel()
+            n_true = int(y_arr.max()) + 1
+            y_dev = jnp.asarray(y_arr, jnp.int32)
+        else:
+            n_true = 0
+            y_dev = jnp.zeros_like(labels_dev)
         for epoch in range(epochs):
             refresh = epoch % update_interval == 0
             key, ek = jax.random.split(key)
             prev_params, prev_mu = self.params, self.mu
-            (self.params, self.mu, opt_state, p, q, latent, labels,
-             loss) = self._dec_epoch(self.params, self.mu, opt_state, x, x_raw,
-                                     sf, p, ek, bs, refresh)
+            (self.params, self.mu, opt_state, p, q, latent, labels, delta,
+             ari_v, loss) = self._dec_epoch(self.params, self.mu, opt_state,
+                                            x, x_raw, sf, p, labels_dev,
+                                            y_dev, ek, bs, refresh, n_true)
             if refresh:
-                y_pred_new = np.asarray(labels)
                 # DEC early stop on label-change fraction (scdeepcluster.py:446)
-                delta_label = float((y_pred_new != self.y_pred).mean())
-                # keep q/z as device arrays: pulling them to the host every
-                # epoch costs ~MBs over the relay; one transfer at the end
+                # — computed on device; only this scalar crosses the relay
+                delta_label = float(delta)
+                # keep q/z/labels as device arrays: pulling them every epoch
+                # costs ~MBs over the relay; one transfer at the end
                 self.q, self.z = q, latent
-                self.y_pred = y_pred_new
-                snapshots.append((self.q, self.z, self.y_pred))
+                labels_dev = labels
+                snapshots.append((self.q, self.z, labels))
                 if y is not None:
-                    aris.append(self.score(None, y))
+                    aris.append(float(ari_v))
                 if epoch > 0 and delta_label < tol:
                     logger.info("Reach tolerance threshold (%.3e < %.3e). "
                                 "Stopping training.", delta_label, tol)
@@ -244,8 +263,9 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
                 logger.info("Epoch %3d: loss %.6f", epoch + 1, float(loss))
         if aris:
             best = int(np.argmax(aris))
-            self.q, self.z, self.y_pred = snapshots[best]
+            self.q, self.z, labels_dev = snapshots[best]
         self.q, self.z = np.asarray(self.q), np.asarray(self.z)
+        self.y_pred = np.asarray(labels_dev)
         return self
 
     def predict_proba(self, x=None) -> np.ndarray:

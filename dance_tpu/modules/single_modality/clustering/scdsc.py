@@ -180,6 +180,12 @@ class ScDSC(NNPretrain, BaseClusteringMethod):
                 logger.info("AE pretrain epoch %d, MSE %.6f", epoch, float(loss))
 
     @partial(jax.jit, static_argnames=("self",))
+    def _refresh(self, params, x, adj):
+        """DEC target refresh as one dispatch (q + target distribution)."""
+        _, q, *_ = self.model.apply({"params": params}, x, adj)
+        return q, target_distribution(q)
+
+    @partial(jax.jit, static_argnames=("self",))
     def _train_step(self, params, opt_state, x, adj, x_raw, sf, p, bcl, cl, rl, zl):
         def loss_fn(params):
             x_bar, q, pred, z, mean, disp, pi = self.model.apply({"params": params}, x,
@@ -247,18 +253,31 @@ class ScDSC(NNPretrain, BaseClusteringMethod):
 
         aris, qs = [], []
         p = None
+        q_dev = None
+        if y is not None:
+            # permuted comparison labels: q comes back in the (possibly
+            # RCM-permuted) training order; ARI is order-consistent
+            y_arr = np.asarray(y).ravel()
+            if getattr(self, "_perm", None) is not None:
+                y_arr = y_arr[self._perm]
+            n_true = int(y_arr.max()) + 1
+            y_dev = jnp.asarray(y_arr, jnp.int32)
         for epoch in range(epochs):
             if epoch % 10 == 0:
-                _, q, *_ = self.model.apply({"params": self.params}, xj, self.adj)
-                self.q = unpermute(getattr(self, "_perm", None), np.asarray(q))
-                p = jnp.asarray(target_distribution(q))
+                q_dev, p = self._refresh(self.params, xj, self.adj)
                 if y is not None:
-                    aris.append(self.score(None, y))
-                    qs.append(self.q)
+                    # device ARI — only the scalar crosses the relay; q stays
+                    # device-resident until the end of the fit
+                    from dance_tpu.utils.metrics import device_ari
+                    labels = q_dev.argmax(1).astype(jnp.int32)
+                    aris.append(float(device_ari(y_dev, labels, n_true,
+                                                 self.n_clusters)))
+                    qs.append(q_dev)
             self.params, opt_state, loss = self._train_step(
                 self.params, opt_state, xj, self.adj, xr, sf, p, bcl, cl, rl, zl)
         if aris:
-            self.q = qs[int(np.argmax(aris))]
+            q_dev = qs[int(np.argmax(aris))]
+        self.q = unpermute(getattr(self, "_perm", None), np.asarray(q_dev))
         return self
 
     def predict_proba(self, x: Optional[Any] = None) -> np.ndarray:

@@ -71,18 +71,32 @@ def _lloyd(x, centers, n_clusters: int, n_iter: int):
     return labels, centers, inertia
 
 
+@partial(jax.jit, static_argnames=("n_clusters", "n_iter", "n_init"))
+def _kmeans_multi(x, seed, n_clusters: int, n_iter: int, n_init: int):
+    # same stream as the historical loop: restart i uses key(seed + i)
+    keys = jax.vmap(jax.random.key)(seed + jnp.arange(n_init))
+
+    def one(key):
+        centers = _kmeans_pp_init(x, key, n_clusters)
+        return _lloyd(x, centers, n_clusters, n_iter)
+
+    labels, centers, inertias = jax.vmap(one)(keys)
+    b = jnp.argmin(inertias)
+    return labels[b], centers[b], inertias[b]
+
+
 def kmeans(x, n_clusters: int, *, n_init: int = 5, n_iter: int = 100, seed: int = 0
            ) -> KMeansResult:
-    """KMeans with kmeans++ init, best of ``n_init`` restarts, all on device."""
+    """KMeans with kmeans++ init, best of ``n_init`` restarts, all on device.
+
+    The restarts run vmapped in ONE dispatch with the argmin-by-inertia on
+    device — the previous Python loop pulled an inertia scalar per restart
+    (n_init relay round trips per call, and the DEC family calls this every
+    fit)."""
     x = jnp.asarray(x, jnp.float32)
-    best = None
-    for i in range(n_init):
-        key = jax.random.key(seed + i)
-        centers = _kmeans_pp_init(x, key, n_clusters)
-        labels, centers, inertia = _lloyd(x, centers, n_clusters, n_iter)
-        if best is None or float(inertia) < float(best.inertia):
-            best = KMeansResult(labels, centers, inertia)
-    return best
+    labels, centers, inertia = _kmeans_multi(x, seed, n_clusters, n_iter,
+                                             n_init)
+    return KMeansResult(labels, centers, inertia)
 
 
 def louvain(adj, resolution: float = 1.0, seed: int = 0, max_passes: int = 10) -> np.ndarray:
