@@ -262,6 +262,18 @@ class GraphSCI(BaseRegressionMethod):
             dg, gene_feat, adj_target, sf, xj, xrj, maskj = self._fit_cache
         else:
             dg = g.to_device()
+            # the gene correlation graph sits far above the dense-regime
+            # threshold (|corr|>thr keeps a few-% density) and the conv
+            # operand is gene_feat (g × n_cells) — the CSR gather/segment
+            # path would stream nnz×n_cells message bytes per conv; one MXU
+            # matmul does the same contraction at peak (see DenseAdj)
+            from dance_tpu.ops.pallas_kernels import choose_adj_format
+            if choose_adj_format(g.adj, reorder=False) == "dense":
+                from dance_tpu.ops.sparse import DenseAdj
+                deg = np.asarray((g.adj != 0).sum(1)).ravel().astype(np.float32)
+                dg = dg._replace(adj=DenseAdj(
+                    jnp.asarray(np.asarray(g.adj.todense()), jnp.float32),
+                    jnp.asarray(deg)))
             gene_feat = dg.ndata.get("feat")
             if gene_feat is None:
                 gene_feat = jnp.asarray(x.T)

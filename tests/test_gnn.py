@@ -553,3 +553,37 @@ def test_graphsc_dense_adj_fit():
                                 dg.ndata["features"])[1]
             zs.append(np.asarray(emb))
     np.testing.assert_allclose(zs[0], zs[1], rtol=1e-3, atol=1e-4)
+
+
+def test_graphsci_dense_adj_fit():
+    """GraphSCI's gene-graph conv trains identically through the forced
+    DenseAdj path (the auto dispatch engages it on TPU, where the correlation
+    graph's density makes one MXU matmul the right SpMM)."""
+    from dance_tpu.graph import Graph
+    from dance_tpu.modules.single_modality.imputation import GraphSCI
+    import dance_tpu.ops.pallas_kernels as pk
+
+    rng = np.random.default_rng(0)
+    x = rng.poisson(1.0, (80, 40)).astype(np.float32)
+    xl = np.log1p(x)
+    corr = np.corrcoef(xl.T)
+    adj = sp.csr_matrix((np.abs(corr) > 0.3).astype(np.float32))
+    deg = np.asarray(adj.sum(1)).ravel()
+    dinv = sp.diags(1.0 / np.sqrt(np.maximum(deg, 1e-12)))
+    g = Graph(sp.csr_matrix(dinv @ adj @ dinv))
+
+    preds = []
+    for fmt in ("csr", "dense"):
+        m = GraphSCI(num_cells=80, num_genes=40, seed=0)
+        m.n_epochs = 3
+        if fmt == "dense":
+            orig = pk.choose_adj_format
+            pk.choose_adj_format = lambda *a, **k: "dense"
+            try:
+                m.fit(g, xl, x)
+            finally:
+                pk.choose_adj_format = orig
+        else:
+            m.fit(g, xl, x)
+        preds.append(m.predict())
+    np.testing.assert_allclose(preds[0], preds[1], rtol=1e-4, atol=1e-5)
