@@ -244,6 +244,7 @@ class scHeteroNet(BaseClassificationMethod):
 
         raw_adj = sp.csr_matrix(graph.adj)
         from dance_tpu.ops.pallas_kernels import resolve_use_bsr
+        auto_fmt = use_bsr == "auto"
         use_bsr = resolve_use_bsr(use_bsr, raw_adj, bsr_block)
         # the hop-adjacency build (RCM + squared graph + device upload of the
         # full matrices) costs seconds per fit — cached across fits on the
@@ -275,6 +276,19 @@ class scHeteroNet(BaseClassificationMethod):
             else:
                 a1, a2 = build_hop_adjacencies(raw_adj)
                 adj1, adj2 = csr_from_scipy(a1), csr_from_scipy(a2)
+            if auto_fmt:
+                # the STRICT two-hop of a kNN graph squares the density
+                # (k=15 at 10k nodes → ~2%): per-hop upgrade to the dense
+                # MXU regime when choose_adj_format says so — the two-hop
+                # spmm dominates the HetConv epoch otherwise
+                from dance_tpu.ops.pallas_kernels import choose_adj_format
+                from dance_tpu.ops.sparse import dense_adj_from_scipy
+                for name, a in (("adj1", a1), ("adj2", a2)):
+                    if choose_adj_format(a, reorder=False) == "dense":
+                        if name == "adj1":
+                            adj1 = dense_adj_from_scipy(a)
+                        else:
+                            adj2 = dense_adj_from_scipy(a)
             # row-normalized one-hop adjacency for energy propagation (:611-640)
             self._prop_adj = csr_from_scipy(raw_adj)
             xj = jnp.asarray(x)

@@ -587,3 +587,35 @@ def test_graphsci_dense_adj_fit():
             m.fit(g, xl, x)
         preds.append(m.predict())
     np.testing.assert_allclose(preds[0], preds[1], rtol=1e-4, atol=1e-5)
+
+
+def test_scheteronet_dense_hop_fit():
+    """scHeteroNet's auto format upgrades hop adjacencies to the dense MXU
+    regime (forced here); predictions match the CSR path to f32 roundoff.
+    At bench scale the strict two-hop of kNN-15 sits at ~2% density where the
+    dense matmul wins."""
+    from dance_tpu.datasets.synthetic import synthetic_expression
+    from dance_tpu.graph import Graph
+    from dance_tpu.modules.single_modality.cell_type_annotation import scHeteroNet
+    from dance_tpu.ops.neighbors import knn_graph
+    import dance_tpu.ops.pallas_kernels as pk
+
+    x, y = synthetic_expression(150, 40, 3, seed=0)
+    xl = np.log1p(x)
+    adj = knn_graph(xl[:, :16], 6, mode="connectivity")
+
+    preds = []
+    for fmt in ("csr", "dense"):
+        g = Graph(adj, ndata={"feat": xl})
+        m = scHeteroNet(hidden_channels=8, num_layers=2, seed=0)
+        if fmt == "dense":
+            orig = pk.choose_adj_format
+            pk.choose_adj_format = lambda *a, **k: "dense"
+            try:
+                m.fit(g, y, x_raw=x, epochs=3, use_bsr="auto")
+            finally:
+                pk.choose_adj_format = orig
+        else:
+            m.fit(g, y, x_raw=x, epochs=3, use_bsr=False)
+        preds.append(m.predict_proba())
+    np.testing.assert_allclose(preds[0], preds[1], rtol=1e-4, atol=1e-5)
