@@ -86,6 +86,25 @@ def make_modality(n_train=500, n_test=200, d1=120, d2=40, seed=0):
     return x[:n_train], y[:n_train], x[n_train:], y[n_train:]
 
 
+def make_modality_lowrank(n_train=500, n_test=200, d1=100, d2=30, k=8, seed=6):
+    """Paired count modalities driven by a shared k-dim latent.
+
+    The matching task needs per-sample geometry the encoders can actually
+    recover: iid-Poisson `make_modality` data has no low-dimensional structure,
+    so latent-matching methods (reference included) sit at chance on it. Here
+    both modalities are Poisson emissions of a shared 8-dim latent — the
+    reference CMAE reaches ~0.9 match accuracy on the log1p view, i.e. the
+    reference side of the parity row is non-degenerate.
+    """
+    rng = np.random.default_rng(seed)
+    z = rng.normal(0, 1, (n_train + n_test, k)).astype(np.float32)
+    a = rng.normal(0, 0.5, (k, d1)).astype(np.float32)
+    b = rng.normal(0, 0.5, (k, d2)).astype(np.float32)
+    x = rng.poisson(20 * np.exp(np.clip(z @ a, -3, 3))).astype(np.float32)
+    y = rng.poisson(20 * np.exp(np.clip(z @ b, -3, 3))).astype(np.float32)
+    return x[:n_train], y[:n_train], x[n_train:], y[n_train:]
+
+
 def make_deconvo(n_spots=100, n_genes=150, n_types=4, seed=0):
     """Pseudo-spot mixtures from known cell-type expression profiles."""
     rng = np.random.default_rng(seed)
@@ -696,7 +715,9 @@ def run_scdsc():
                        n_input=x_norm.shape[1], n_enc_1=64, n_enc_2=32,
                        n_enc_3=32, n_dec_1=32, n_dec_2=32, n_dec_3=64,
                        n_z1=32, n_z2=16, n_z3=8, device="cpu")
-        ref.fit((adj, x_norm, raw, n_counts), y, epochs=10, pt_epochs=50,
+        # reference DEFAULT budget (scdsc.py:205-211: epochs=300, pt=200);
+        # it selects its best-ARI eval epoch using the labels (argmax(aris))
+        ref.fit((adj, x_norm, raw, n_counts), y, epochs=300, pt_epochs=200,
                 pt_batch_size=256)
         ref_ari = ari(ref.predict(), y)
 
@@ -704,9 +725,15 @@ def run_scdsc():
     ours = ScDSC(n_clusters=4, n_input=x_norm.shape[1], n_enc_1=64, n_enc_2=32,
                  n_enc_3=32, n_dec_1=32, n_dec_2=32, n_dec_3=64, n_z1=32,
                  n_z2=16, n_z3=8, seed=0)
-    ours.fit((adj, x_norm, raw, n_counts), y, epochs=10, pt_epochs=50)
+    ours.fit((adj, x_norm, raw, n_counts), y, epochs=300, pt_epochs=200)
     ours_ari = ari(ours.predict(), y)
-    return dict(metric="ari", ref=ref_ari, ours=ours_ari, tol=0.15)
+    return dict(
+        metric="ari", ref=ref_ari, ours=ours_ari, tol=0.15,
+        budget_note="both at the reference DEFAULT budget (300 epochs, "
+        "pt 200); the reference plateaus (ARI 0.35 @100ep, 0.41 @300ep, "
+        "probed) because it never kmeans-initializes its cluster layer — "
+        "xavier-random centers at scdsc.py:407-408 — while ours follows the "
+        "standard SDCN protocol (kmeans on the pretrained embedding)")
 
 
 @case("dstg")
@@ -842,21 +869,22 @@ def run_stdgcn():
 def run_cmae_match():
     import torch
 
-    x_tr, y_tr, x_te, y_te = make_modality(seed=6)
+    # log1p view of low-rank count data (both models receive preprocessed
+    # features in the real DANCE pipeline); super_w=10 gives the reference's
+    # paired latent-alignment loss (cmae.py:417-429 loss_supervision) the same
+    # relative weight as its reconstruction term — at the example default 0.1
+    # the only pairing loss is starved and the reference sits at chance.
+    x_tr, y_tr, x_te, y_te = [np.log1p(a) for a in make_modality_lowrank(seed=6)]
     config = dict(
-        lr=1e-4, input_dim_a=x_tr.shape[1], input_dim_b=y_tr.shape[1],
+        lr=1e-3, input_dim_a=x_tr.shape[1], input_dim_b=y_tr.shape[1],
         num_of_classes=2, shared_layer=True, resume=False,
         gen={"dim": 100, "latent": 50, "activ": "relu"},
         dis={"dim": 100, "norm": None, "activ": "lrelu", "gan_type": "lsgan"},
         beta1=0.5, beta2=0.999, weight_decay=1e-4, init="kaiming",
         lr_policy="step", step_size=100000, gamma=0.5, gan_w=10,
-        recon_x_w=10, recon_h_w=0, recon_kl_w=0, supervise=0, super_w=0.1,
-        batch_size=64, max_epochs=40, device="cpu",
+        recon_x_w=10, recon_h_w=0, recon_kl_w=0, supervise=0, super_w=10,
+        batch_size=64, max_epochs=100, device="cpu",
     )
-    # NB: the reference's unsupervised GAN alignment stays at chance-level
-    # 1-NN match accuracy on data this small (0.5% at 40 epochs, 0% at 120 —
-    # GAN instability); the case pins that our shared-latent AE + Hungarian
-    # assignment is no worse, and in practice finds real signal (~15%).
     RefCMAE = refshim.import_ref(
         "dance.modules.multi_modality.match_modality.cmae", "CMAE")
     torch.manual_seed(0)
@@ -868,7 +896,7 @@ def run_cmae_match():
         ref.fit(torch.from_numpy(x_tr), torch.from_numpy(y_tr),
                 checkpoint_directory="/tmp/cmae_match_parity")
         n = len(x_te)
-        # reference score: 1-NN match accuracy in the shared latent space
+        # reference score: L1 1-NN match accuracy in the shared latent space
         ref_acc = ref.score(torch.from_numpy(x_te), torch.from_numpy(y_te),
                             torch.arange(n))
     finally:
@@ -877,7 +905,7 @@ def run_cmae_match():
     from dance_tpu.modules.multi_modality.match_modality import CMAE as OurCMAE
     ours = OurCMAE(dim1=x_tr.shape[1], dim2=y_tr.shape[1], z_dim=50,
                    hidden=100, seed=0)
-    ours.fit(x_tr, y_tr, epochs=40)
+    ours.fit(x_tr, y_tr, epochs=100)
     ours_acc = ours.score_matching(ours.predict_matching(x_te, y_te))
     return dict(metric="match_acc", ref=ref_acc, ours=ours_acc, tol=0.1)
 
@@ -886,12 +914,17 @@ def run_cmae_match():
 def run_scmm_match():
     import torch
 
-    x_tr, y_tr, x_te, y_te = make_modality(seed=7, d1=100, d2=30)
-    y_tr, y_te = np.rint(y_tr), np.rint(y_te)
+    x_tr, y_tr, x_te, y_te = make_modality_lowrank(seed=6)
+    # Reference gets its best probed setup: latent 16, 200 epochs at lr 3e-3,
+    # and deterministic_warmup past the horizon (beta ~ 0, AE-like) — 0.095
+    # match accuracy, 19x above the 0.005 chance level. It cannot go much
+    # higher: its encoder pins the posterior variance near 1 by construction
+    # (scmm.py:203 `F.softmax(lv) * latent_dim + eta`), so every training
+    # step injects unit-scale latent noise that erases per-sample geometry.
     params = types.SimpleNamespace(
-        latent_dim=10, num_hidden_layers=2, r_hidden_dim=100, p_hidden_dim=20,
+        latent_dim=16, num_hidden_layers=2, r_hidden_dim=128, p_hidden_dim=20,
         learn_prior=True, llik_scaling=1.0, obj="m_elbo_naive_warmup",
-        batch_size=64, epochs=40, lr=1e-4, deterministic_warmup=20,
+        batch_size=64, epochs=200, lr=3e-3, deterministic_warmup=10000,
         print_freq=0, device="cpu", r_dim=x_tr.shape[1], p_dim=y_tr.shape[1],
         seed=0,
     )
@@ -915,10 +948,15 @@ def run_scmm_match():
     ref_acc = float((pred.argmax(1) == np.arange(n)).mean())
 
     from dance_tpu.modules.multi_modality.match_modality import MMVAE as OurMMVAE
-    ours = OurMMVAE("rna-protein", z_dim=10, seed=0)
-    ours.fit(x_tr, y_tr, epochs=40)
+    ours = OurMMVAE("rna-protein", z_dim=16, seed=0)
+    ours.fit(x_tr, y_tr, epochs=200)
     ours_acc = ours.score_matching(ours.predict_matching(x_te, y_te))
-    return dict(metric="match_acc", ref=ref_acc, ours=ours_acc, tol=0.1)
+    return dict(
+        metric="match_acc", ref=ref_acc, ours=ours_acc, tol=0.1,
+        budget_note="ref at its best probed budget (200ep lr3e-3 beta~0; "
+        "19x chance, non-degenerate) but its posterior variance is "
+        "architecture-pinned near 1 (scmm.py:203 softmax'd logvar), capping "
+        "1-NN latent matching; ours uses a standard learned logvar")
 
 
 @case("scmvae")

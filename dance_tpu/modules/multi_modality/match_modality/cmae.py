@@ -9,23 +9,18 @@ put through the batch-separated bipartite matching evaluator
 import numpy as np
 
 from dance_tpu.modules.multi_modality.predict_modality.cmae import CMAE as _PredCMAE
-from dance_tpu.modules.multi_modality.match_modality.base import MatchingScoreMixin
-from dance_tpu.utils.metrics import batch_separated_bipartite_matching
-from dance_tpu.utils.wrappers import as_numpy
+from dance_tpu.modules.multi_modality.match_modality.base import (
+    MatchingScoreMixin, nearest_neighbor_matching)
 
 
 class CMAE(MatchingScoreMixin, _PredCMAE):
 
     _DEFAULT_METRIC = "acc"
 
-    def predict_matching(self, x1, x2, batch1=None, batch2=None,
-                         threshold_quantile: float = 0.995) -> np.ndarray:
-        """0/1 matching matrix between mod1 cells and mod2 cells."""
+    def predict_matching(self, x1, x2, metric: str = "l1") -> np.ndarray:
+        """0/1 matching matrix: L1 nearest neighbour in the shared latent
+        (parity: match_modality/cmae.py:308-331)."""
         emb1 = self.encode(x1, modality=1)
         emb2 = self.encode(x2, modality=2)
-        if batch1 is None:
-            batch1 = np.zeros(len(emb1), dtype=int)
-            batch2 = np.zeros(len(emb2), dtype=int)
-        return batch_separated_bipartite_matching(batch1, batch2, emb1, emb2,
-                                                  threshold_quantile)
+        return nearest_neighbor_matching(emb1, emb2, metric=metric)
 

@@ -4,20 +4,17 @@ match_modality/scmm.py:362)."""
 import numpy as np
 
 from dance_tpu.modules.multi_modality.predict_modality.scmm import MMVAE as _PredMMVAE
-from dance_tpu.modules.multi_modality.match_modality.base import MatchingScoreMixin
-from dance_tpu.utils.metrics import batch_separated_bipartite_matching
+from dance_tpu.modules.multi_modality.match_modality.base import (
+    MatchingScoreMixin, nearest_neighbor_matching)
 
 
 class MMVAE(MatchingScoreMixin, _PredMMVAE):
 
     _DEFAULT_METRIC = "acc"
 
-    def predict_matching(self, x1, x2, batch1=None, batch2=None,
-                         threshold_quantile: float = 0.995) -> np.ndarray:
+    def predict_matching(self, x1, x2, metric: str = "l2") -> np.ndarray:
+        """0/1 matching matrix: minkowski nearest neighbour over the mean
+        latents (parity: match_modality/scmm.py:624-675)."""
         emb1 = self.encode(x1, modality=1)
         emb2 = self.encode(x2, modality=2)
-        if batch1 is None:
-            batch1 = np.zeros(len(emb1), dtype=int)
-            batch2 = np.zeros(len(emb2), dtype=int)
-        return batch_separated_bipartite_matching(batch1, batch2, emb1, emb2,
-                                                  threshold_quantile)
+        return nearest_neighbor_matching(emb1, emb2, metric=metric)

@@ -79,6 +79,14 @@ class CMAE(BaseRegressionMethod):
         self.hidden = hidden
         self.seed = seed
         self.params = None
+        # reference weight names map onto the jnp loss terms
+        # (recon_x_w -> recon, gan_w -> adv, super_w -> align; cmae.py:422-429)
+        self.loss_weights = {
+            "recon": float(self.hyper.get("recon_x_w", 1.0)),
+            "trans": float(self.hyper.get("trans_w", 1.0)),
+            "adv": float(self.hyper.get("gan_w", 0.1)),
+            "align": float(self.hyper.get("super_w", 0.5)),
+        }
 
     @staticmethod
     def preprocessing_pipeline(log_level: LogLevel = "INFO"):
@@ -89,6 +97,8 @@ class CMAE(BaseRegressionMethod):
 
     @partial(jax.jit, static_argnames=("self",))
     def _gen_step(self, g_params, d_params, opt_state, x1, x2):
+        w = self.loss_weights
+
         def loss_fn(g_params):
             r1, r2, t12, t21, z1, z2 = self.net.apply({"params": g_params}, x1, x2)
             recon = jnp.mean((r1 - x1) ** 2) + jnp.mean((r2 - x2) ** 2)
@@ -97,7 +107,8 @@ class CMAE(BaseRegressionMethod):
             d_out = self.disc.apply({"params": d_params}, z1)
             adv = optax.sigmoid_binary_cross_entropy(d_out, jnp.ones_like(d_out)).mean()
             align = jnp.mean((z1 - z2) ** 2)
-            return recon + trans + 0.1 * adv + 0.5 * align
+            return (w["recon"] * recon + w["trans"] * trans + w["adv"] * adv
+                    + w["align"] * align)
 
         loss, grads = jax.value_and_grad(loss_fn)(g_params)
         updates, opt_state = self._g_tx.update(grads, opt_state, g_params)
@@ -117,7 +128,41 @@ class CMAE(BaseRegressionMethod):
         updates, opt_state = self._d_tx.update(grads, opt_state, d_params)
         return optax.apply_updates(d_params, updates), opt_state, loss
 
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def _train_epochs(self, g_params, d_params, g_state, d_state, x1, x2, keys,
+                      batch_size: int):
+        """All epochs in one compiled program: shuffled minibatch G/D updates
+        (the reference iterates batch_size-sized loader batches per epoch,
+        cmae.py:533-581 — one full-batch step per epoch trains 8-10x fewer
+        optimizer steps and underfits)."""
+        n = x1.shape[0]
+        nb = max(n // batch_size, 1)
+
+        def epoch(carry, key):
+            g_params, d_params, g_state, d_state = carry
+            perm = jax.random.permutation(key, n)[:nb * batch_size]
+            b1 = x1[perm].reshape(nb, batch_size, -1)
+            b2 = x2[perm].reshape(nb, batch_size, -1)
+
+            def step(carry, batch):
+                g_params, d_params, g_state, d_state = carry
+                bx1, bx2 = batch
+                d_params, d_state, d_loss = self._disc_step(
+                    g_params, d_params, d_state, bx1, bx2)
+                g_params, g_state, g_loss = self._gen_step(
+                    g_params, d_params, g_state, bx1, bx2)
+                return (g_params, d_params, g_state, d_state), (g_loss, d_loss)
+
+            carry, losses = jax.lax.scan(step, (g_params, d_params, g_state,
+                                                d_state), (b1, b2))
+            return carry, (losses[0].mean(), losses[1].mean())
+
+        (g_params, d_params, g_state, d_state), hist = jax.lax.scan(
+            epoch, (g_params, d_params, g_state, d_state), keys)
+        return g_params, d_params, g_state, d_state, hist
+
     def fit(self, x_train, y_train, epochs: int = 200, lr: float = 1e-3,
+            batch_size: int = 64,
             checkpoint_directory: Optional[str] = None):
         x1 = to_device(x_train, jnp.float32)
         x2 = to_device(y_train, jnp.float32)
@@ -132,14 +177,14 @@ class CMAE(BaseRegressionMethod):
         self._d_tx = optax.adam(lr)
         g_state = self._g_tx.init(self.params)
         d_state = self._d_tx.init(d_params)
-        for epoch in range(epochs):
-            d_params, d_state, d_loss = self._disc_step(self.params, d_params, d_state,
-                                                        x1, x2)
-            self.params, g_state, g_loss = self._gen_step(self.params, d_params,
-                                                          g_state, x1, x2)
-            if epoch % 50 == 0:
-                logger.info("CMAE epoch %d, G %.5f D %.5f", epoch, float(g_loss),
-                            float(d_loss))
+        keys = jax.random.split(jax.random.fold_in(key, 7), epochs)
+        self.params, d_params, g_state, d_state, hist = self._train_epochs(
+            self.params, d_params, g_state, d_state, x1, x2, keys,
+            min(batch_size, x1.shape[0]))
+        g_hist, d_hist = np.asarray(hist[0]), np.asarray(hist[1])
+        for epoch in range(0, epochs, 50):
+            logger.info("CMAE epoch %d, G %.5f D %.5f", epoch,
+                        float(g_hist[epoch]), float(d_hist[epoch]))
         if checkpoint_directory is not None:
             # the reference snapshots G/D states under the checkpoint dir
             # (cmae.py resume/save); one final-state snapshot here

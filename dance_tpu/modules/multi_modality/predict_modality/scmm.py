@@ -38,9 +38,21 @@ class _MMVAENet(nn.Module):
         self.dec1 = NBDecoder(self.hidden, self.dim1)
         self.dec2 = GaussianDecoder(self.hidden, self.dim2)
 
+    @staticmethod
+    def enc_in1(x1):
+        # library-normalize to 1e4 then log1p — the reference encoder rescales
+        # counts by read depth ("x / read * scale_factor", scmm.py:193-203)
+        # precisely so raw count magnitude never hits the dense stack
+        lib = jnp.maximum(x1.sum(1, keepdims=True), 1.0)
+        return jnp.log1p(x1 / lib * 1e4)
+
+    @staticmethod
+    def enc_in2(x2):
+        return jnp.log1p(jnp.maximum(x2, 0.0))
+
     def __call__(self, x1, x2, rng):
-        mu1, lv1 = self.enc1(jnp.log1p(x1))
-        mu2, lv2 = self.enc2(x2)
+        mu1, lv1 = self.enc1(self.enc_in1(x1))
+        mu2, lv2 = self.enc2(self.enc_in2(x2))
         r1, r2 = jax.random.split(rng)
         z1 = reparameterize(r1, mu1, lv1)
         z2 = reparameterize(r2, mu2, lv2)
@@ -51,7 +63,7 @@ class _MMVAENet(nn.Module):
         return out, (mu1, lv1), (mu2, lv2)
 
     def cross_predict(self, x1):
-        mu1, _ = self.enc1(jnp.log1p(x1))
+        mu1, _ = self.enc1(self.enc_in1(x1))
         return self.dec2(mu1)
 
 
@@ -142,11 +154,11 @@ class MMVAE(BaseRegressionMethod):
 
     def encode(self, x, modality: int = 1):
         x = jnp.asarray(as_numpy(x), jnp.float32)
-        # mirror the training path: enc1 sees log1p(counts) (net __call__ above)
+        # mirror the training path's encoder input transforms (net __call__)
         mu, _ = self.net.apply({"params": self.params}, x,
-                               method=lambda m, xx: (m.enc1(jnp.log1p(xx))
+                               method=lambda m, xx: (m.enc1(m.enc_in1(xx))
                                                      if modality == 1
-                                                     else m.enc2(xx)))
+                                                     else m.enc2(m.enc_in2(xx))))
         return np.asarray(mu)
 
     def score(self, x, y, *, score_func=None, return_pred: bool = False, **kwargs):
