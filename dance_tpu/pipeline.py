@@ -615,7 +615,8 @@ class SweepRunner:
                 raise ValueError(f"Unsupported search spec for {key!r}: {spec}")
         return out
 
-    def run(self, function: Callable, count: Optional[int] = None):
+    def _trial_configs(self, count: Optional[int] = None):
+        """Generate this run's trial configs (grid / random, resume-aware)."""
         if self.method == "grid":
             trials = itertools.islice(self._grid_iter(), count)
         else:
@@ -641,7 +642,10 @@ class SweepRunner:
             src = (self._grid_iter() if self.method == "grid"
                    else (self._sample() for _ in range(max(n_new, 1) * 50)))
             trials = _fresh(src, count)
-        for i, trial_config in enumerate(trials):
+        return trials
+
+    def run(self, function: Callable, count: Optional[int] = None):
+        for i, trial_config in enumerate(self._trial_configs(count)):
             logger.info("Trial %d: %s", i, trial_config)
             import time
             t0 = time.perf_counter()
@@ -653,6 +657,80 @@ class SweepRunner:
             runtime = time.perf_counter() - t0
             self.records.append({**trial_config, **metrics, "_runtime": runtime,
                                  "_trial": len(self.records)})
+        return self
+
+    def run_vmapped(self, make_trial: Callable, count: Optional[int] = None, *,
+                    num_steps: int = 100, metric: str = "score",
+                    maximize: bool = True, mesh=None, seed_base: int = 0):
+        """Run an all-numeric sweep as ONE compiled vmapped program.
+
+        This is the TPU-native replacement for the reference's wandb agent
+        process fan-out (dance/pipeline.py:826-850): the candidate configs are
+        stacked onto a vmap axis, every training step advances all trials
+        simultaneously, and when a ``jax.sharding.Mesh`` is given the trial
+        axis is sharded over its ``dp`` axis (multi-chip trial parallelism,
+        zero collectives).
+
+        Parameters
+        ----------
+        make_trial
+            ``make_trial(configs) -> (init_fn, loss_fn, data, score_fn)``:
+
+            - ``init_fn(rng) -> params`` for a single trial;
+            - ``loss_fn(params, data, hyper) -> scalar`` where ``hyper`` maps
+              each non-``lr`` search key to that trial's scalar value;
+            - ``data``: pytree shared (replicated) across trials;
+            - ``score_fn(params, data) -> scalar`` trial score, vmapped over
+              the stacked params (``None`` -> negative final training loss).
+        count
+            Number of trials (same semantics as :meth:`run`).
+        num_steps
+            Optimizer steps per trial.
+        metric / maximize
+            Column name recorded for the score and its direction.
+        mesh
+            Optional mesh for dp-sharded trials.
+
+        Every search-space key must produce numeric candidates; ``lr`` (if
+        present) drives each trial's Adam learning rate.
+        """
+        import numpy as _np
+        import time
+
+        from dance_tpu.parallel.trials import vmapped_trials
+
+        configs = list(self._trial_configs(count))
+        if not configs:
+            return self
+        for cfg in configs:
+            for key, val in cfg.items():
+                if not isinstance(val, (int, float)) or isinstance(val, bool):
+                    raise ValueError(
+                        f"run_vmapped needs numeric candidates; {key!r}={val!r}."
+                        " Use run() for categorical/pipeline sweeps.")
+        n = len(configs)
+        lr = [float(cfg.get("lr", 1e-3)) for cfg in configs]
+        hyper = {key: _np.asarray([cfg[key] for cfg in configs], _np.float32)
+                 for key in self.search_space if key != "lr"}
+        init_fn, loss_fn, data, score_fn = make_trial(configs)
+
+        t0 = time.perf_counter()
+        stacked, losses = vmapped_trials(
+            init_fn, loss_fn, data, seeds=[seed_base + i for i in range(n)],
+            hyperparams=hyper, lr=lr, num_steps=num_steps, mesh=mesh)
+        if score_fn is None:
+            scores = -losses[-1]
+        else:
+            import jax as _jax
+            scores = _np.asarray(_jax.vmap(score_fn, in_axes=(0, None))(stacked,
+                                                                        data))
+        runtime = time.perf_counter() - t0
+        for i, cfg in enumerate(configs):
+            self.records.append({**cfg, metric: float(scores[i]),
+                                 "_runtime": runtime / n,
+                                 "_trial": len(self.records), "_vmapped": True})
+        self._last_stacked_params = stacked
+        self._last_scores = scores
         return self
 
     def summary(self) -> pd.DataFrame:

@@ -62,3 +62,56 @@ if __name__ == "__main__":
     for r in runners:
         if r.records:
             print("Step-3 best:", r.best("test_acc")["test_acc"])
+
+    # --- vmapped model-hyperparameter stage --------------------------------
+    # The reference fans each candidate out as a wandb agent process
+    # (dance/pipeline.py:826-850). Here the whole lr × lambd grid trains as
+    # ONE compiled vmapped program (SweepRunner.run_vmapped); under a mesh
+    # the trial axis shards over dp.
+    import jax
+    import jax.numpy as jnp
+
+    from dance_tpu.nn.mlp import VanillaMLP
+    from dance_tpu.pipeline import SweepRunner
+
+    data = annotation_data(n_cells=300, n_genes=100, seed=args.seed)
+    best_cfg = {k: best[k] for k in runner.search_space}
+    pipe = planer.generate(pipeline=best_cfg)
+    pipe.functional(data)
+    if "label_channel" not in data.config:
+        SetConfig({"label_channel": "cell_type"})(data)
+    x_tr, y_tr = data.get_train_data()
+    x_te, y_te = data.get_test_data()
+    y_tr, y_te = np.asarray(y_tr), np.asarray(y_te)
+    if y_tr.ndim == 2 and y_tr.shape[1] > 1:  # one-hot labels
+        y_tr, y_te = y_tr.argmax(1), y_te.argmax(1)
+    classes, y_tr_i = np.unique(y_tr.ravel(), return_inverse=True)
+    y_te_i = np.searchsorted(classes, y_te.ravel())
+    xj, yj = jnp.asarray(x_tr, jnp.float32), jnp.asarray(y_tr_i)
+    xt, yt = jnp.asarray(x_te, jnp.float32), jnp.asarray(y_te_i)
+    net = VanillaMLP(output_dim=len(classes), hidden_dims=(32, 16))
+
+    def make_trial(configs):
+        def init_fn(key):
+            return net.init(key, xj[:1])["params"]
+
+        def loss_fn(params, batch, hyper):
+            bx, by = batch
+            logp = jax.nn.log_softmax(net.apply({"params": params}, bx), -1)
+            nll = -jnp.take_along_axis(logp, by[:, None], 1).mean()
+            l2 = sum((w ** 2).sum() for w in jax.tree_util.tree_leaves(params))
+            return nll + hyper["lambd"] * l2
+
+        def score_fn(params, _):
+            pred = net.apply({"params": params}, xt).argmax(-1)
+            return (pred == yt).mean()
+
+        return init_fn, loss_fn, (xj, yj), score_fn
+
+    vm = SweepRunner({"lr": {"values": [0.03, 0.01, 0.003]},
+                      "lambd": {"values": [0.0, 0.005, 0.05]}}, method="grid")
+    vm.run_vmapped(make_trial, num_steps=args.epochs * 3, metric="test_acc")
+    best_vm = vm.best("test_acc")
+    print(f"Vmapped model-param stage ({len(vm.records)} trials, one compiled "
+          f"program): best test_acc={best_vm['test_acc']:.4f} "
+          f"(lr={best_vm['lr']}, lambd={best_vm['lambd']})")

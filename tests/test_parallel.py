@@ -315,3 +315,72 @@ def test_graphsc_sharded_fit_matches_single_device(cpu_mesh8):
     sh_emb = sh.get_latent()
     np.testing.assert_allclose(np.asarray(sh_emb), np.asarray(ref_emb),
                                atol=2e-3)
+
+
+def test_sweeprunner_run_vmapped_matches_sequential(cpu_mesh8):
+    """SweepRunner.run_vmapped (one compiled program, trial axis dp-sharded
+    over the 8-device mesh) reproduces the sequential trial-by-trial path:
+    same init seeds, same Adam arithmetic, same scores, same winner."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dance_tpu.nn.mlp import VanillaMLP
+    from dance_tpu.pipeline import SweepRunner
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((64, 10), dtype=np.float32))
+    w_true = rng.random((10, 1), dtype=np.float32)
+    y = jnp.asarray((np.asarray(x) @ w_true).ravel())
+    model = VanillaMLP(output_dim=1, hidden_dims=(8,))
+    space = {"lr": {"values": [1e-2, 3e-3, 1e-3]}, "l2": {"values": [0.0, 0.01]}}
+
+    def make_trial(configs):
+        def init_fn(key):
+            return model.init(key, jnp.zeros((1, 10)))["params"]
+
+        def loss_fn(params, data, hyper):
+            bx, by = data
+            pred = model.apply({"params": params}, bx).ravel()
+            l2 = sum(jnp.sum(p ** 2) for p in jax.tree_util.tree_leaves(params))
+            return jnp.mean((pred - by) ** 2) + hyper["l2"] * l2
+
+        def score_fn(params, data):
+            bx, by = data
+            pred = model.apply({"params": params}, bx).ravel()
+            return -jnp.mean((pred - by) ** 2)
+
+        return init_fn, loss_fn, (x, y), score_fn
+
+    runner = SweepRunner(space, method="grid")
+    runner.run_vmapped(make_trial, num_steps=120, metric="neg_mse",
+                       mesh=cpu_mesh8)
+    assert len(runner.records) == 6 and all(r["_vmapped"] for r in runner.records)
+    vm = {(r["lr"], r["l2"]): r["neg_mse"] for r in runner.records}
+
+    # sequential reference: same per-trial seeds and adam(lr) arithmetic
+    init_fn, loss_fn, data, score_fn = make_trial(None)
+    seq = {}
+    for i, cfg in enumerate(SweepRunner(space, method="grid")._trial_configs()):
+        params = init_fn(jax.random.key(i))
+        tx = optax.adam(cfg["lr"])
+        opt_state = tx.init(params)
+        hyper = {"l2": jnp.float32(cfg["l2"])}
+
+        @jax.jit
+        def step(params, opt_state):
+            loss, grads = jax.value_and_grad(loss_fn)(params, data, hyper)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        for _ in range(120):
+            params, opt_state = step(params, opt_state)
+        seq[(cfg["lr"], cfg["l2"])] = float(score_fn(params, data))
+
+    assert set(seq) == set(vm)
+    for key in seq:
+        assert abs(seq[key] - vm[key]) < 1e-3 + 1e-2 * abs(seq[key]), (
+            key, seq[key], vm[key])
+    best_vm = max(vm, key=vm.get)
+    best_seq = max(seq, key=seq.get)
+    assert best_vm == best_seq
