@@ -214,6 +214,21 @@ class scHeteroNet(BaseClassificationMethod):
         updates, opt_state = self._tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    @partial(jax.jit, static_argnames=("self", "use_zinb", "use_cl"))
+    def _train_epochs(self, params, opt_state, adj1, adj2, x, x_raw, sf, y,
+                      mask, zinb_weight, cl_weight, mask_ratio, keys,
+                      use_zinb: bool, use_cl: bool):
+        def epoch(carry, ek):
+            params, opt_state = carry
+            params, opt_state, loss = self._step(
+                params, opt_state, adj1, adj2, x, x_raw, sf, y, mask,
+                zinb_weight, cl_weight, mask_ratio, ek, use_zinb, use_cl)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(epoch, (params, opt_state),
+                                                   keys)
+        return params, opt_state, losses
+
     def fit(self, graph, y, x_raw=None, size_factors=None, use_zinb: bool = True,
             zinb_weight: float = 0.1, cl_weight: float = 0.0,
             mask_ratio: float = 0.2, epochs: int = 200, lr: float = 1e-2,
@@ -311,14 +326,18 @@ class scHeteroNet(BaseClassificationMethod):
                                         m.zinb(m.embed(a, b, xx))))["params"]
         self._tx = optax.adam(lr)
         opt_state = self._tx.init(self.params)
-        for epoch in range(epochs):
-            key, ek = jax.random.split(key)
-            self.params, opt_state, loss = self._step(
-                self.params, opt_state, adj1, adj2, xj, xrj, sfj, yj, mj,
-                zinb_weight, cl_weight, mask_ratio, ek, use_zinb,
-                cl_weight != 0.0)
-            if epoch % 50 == 0:
-                logger.info("scHeteroNet epoch %d, loss %.5f", epoch, float(loss))
+        # all epochs in ONE compiled scan: the per-epoch Python dispatch cost
+        # ~370 ms/epoch over the axon relay vs 25 ms of on-chip step compute
+        # (benchmarks/profile_slow.py scheteronet lane)
+        keys = jax.random.split(jax.random.fold_in(key, 17), epochs)
+        self.params, opt_state, losses = self._train_epochs(
+            self.params, opt_state, adj1, adj2, xj, xrj, sfj, yj, mj,
+            zinb_weight, cl_weight, mask_ratio, keys, use_zinb,
+            cl_weight != 0.0)
+        losses = np.asarray(losses)
+        for epoch in range(0, epochs, 50):
+            logger.info("scHeteroNet epoch %d, loss %.5f", epoch,
+                        float(losses[epoch]))
         self._cache = (adj1, adj2, xj)
         return self
 

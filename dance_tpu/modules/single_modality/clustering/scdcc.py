@@ -109,9 +109,7 @@ class ScDCC(ScDeepCluster):
         c_state = self._ctx.init((self.params, self.mu))
         bs = min(batch_size, x.shape[0])
 
-        aris, snapshots = [], []
         key = jax.random.fold_in(jax.random.key(self.seed), 13)
-        p = jnp.zeros((x.shape[0], int(self.mu.shape[0])), jnp.float32)
         labels_dev = jnp.asarray(res.labels, jnp.int32)
         if y is not None:
             y_arr = np.asarray(y).ravel()
@@ -120,40 +118,40 @@ class ScDCC(ScDeepCluster):
         else:
             n_true = 0
             y_dev = jnp.zeros_like(labels_dev)
-        first = True
-        for epoch in range(epochs):
-            refresh = epoch % update_interval == 0
-            key, ek = jax.random.split(key)
-            prev_params, prev_mu = self.params, self.mu
-            (self.params, self.mu, opt_state, p, q, latent, labels, delta,
-             ari_v, loss) = self._dec_epoch(self.params, self.mu, opt_state,
-                                            x, xr, sf, p, labels_dev, y_dev,
-                                            ek, bs, refresh, n_true)
-            if ml1.shape[0] or cl1.shape[0]:
-                self.params, self.mu, c_state = self._constraint_step(
-                    self.params, self.mu, c_state, x, ml1, ml2, cl1, cl2)
-            if refresh:
-                # DEC early stop on label-change fraction (reference scdcc
-                # tol) — device scalar, no q/z pull per epoch
-                delta_label = 1.0 if first else float(delta)
-                first = False
-                self.q, self.z = q, latent
-                labels_dev = labels
-                snapshots.append((self.q, self.z, labels))
-                if y is not None:
-                    aris.append(float(ari_v))
-                if epoch > 0 and delta_label < tol:
-                    logger.info("Reach tolerance threshold (%.3e < %.3e). "
-                                "Stopping training.", delta_label, tol)
-                    # the fused dispatch already ran this epoch's passes; the
-                    # reference breaks before them — roll back
-                    self.params, self.mu = prev_params, prev_mu
-                    break
-            if epoch % 50 == 0:
-                logger.info("Epoch %3d: loss %.6f", epoch + 1, float(loss))
-        if aris:
-            best = int(np.argmax(aris))
-            self.q, self.z, labels_dev = snapshots[best]
-        self.q, self.z = np.asarray(self.q), np.asarray(self.z)
-        self.y_pred = np.asarray(labels_dev)
+        # ONE dispatch for the whole DEC + constraint protocol (nn/dec_loop.py)
+        from dance_tpu.nn.dec_loop import run_dec_loop
+        state = (self.params, self.mu, opt_state, c_state)
+        data = dict(x=x, xr=xr, sf=sf, ml1=ml1, ml2=ml2, cl1=cl1, cl2=cl2)
+        (self.params, self.mu, opt_state, c_state), out = run_dec_loop(
+            self._dec_refresh, self._dec_train, state, data, labels_dev, y_dev,
+            key, epochs, tol, n_true=n_true, batch_size=bs,
+            update_interval=update_interval, static_token=(float(lr),))
+        if bool(out["stop"]):
+            logger.info("Reach tolerance threshold (%.3e < %.3e) at epoch %d. "
+                        "Stopped training.", float(out["delta"]), tol,
+                        int(out["epoch"]))
+        logger.info("Epoch %3d: loss %.6f", int(out["epoch"]),
+                    float(out["loss"]))
+        src = "best_" if n_true else ""
+        self.q = np.asarray(out[f"{src}q"])
+        self.z = np.asarray(out[f"{src}z"])
+        self.y_pred = np.asarray(out[f"{src}labels"])
         return self
+
+    def _dec_refresh(self, state, data):
+        params, mu, _, _ = state
+        latent = self.model.apply({"params": params}, data["x"],
+                                  method=self.model.encode)
+        q = soft_assign(latent, mu, self.alpha)
+        return q, latent, target_distribution(q)
+
+    def _dec_train(self, state, p, key, data, batch_size: int):
+        params, mu, opt_state, c_state = state
+        params, mu, opt_state, loss = self._cluster_epoch_impl(
+            params, mu, opt_state, data["x"], data["xr"], data["sf"], p, key,
+            batch_size)
+        if data["ml1"].shape[0] or data["cl1"].shape[0]:  # static shapes
+            params, mu, c_state = self._constraint_step(
+                params, mu, c_state, data["x"], data["ml1"], data["ml2"],
+                data["cl1"], data["cl2"])
+        return (params, mu, opt_state, c_state), loss

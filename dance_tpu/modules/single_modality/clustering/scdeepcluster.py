@@ -222,9 +222,7 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
         opt_state = self._cl_tx.init((self.params, self.mu))
 
         bs = min(batch_size, x.shape[0])
-        aris, snapshots = [], []
         key = jax.random.fold_in(jax.random.key(self.seed), 13)
-        p = jnp.zeros((x.shape[0], int(self.mu.shape[0])), jnp.float32)
         labels_dev = jnp.asarray(self.y_pred, jnp.int32)
         if y is not None:
             y_arr = np.asarray(y).ravel()
@@ -233,40 +231,39 @@ class ScDeepCluster(NNPretrain, BaseClusteringMethod):
         else:
             n_true = 0
             y_dev = jnp.zeros_like(labels_dev)
-        for epoch in range(epochs):
-            refresh = epoch % update_interval == 0
-            key, ek = jax.random.split(key)
-            prev_params, prev_mu = self.params, self.mu
-            (self.params, self.mu, opt_state, p, q, latent, labels, delta,
-             ari_v, loss) = self._dec_epoch(self.params, self.mu, opt_state,
-                                            x, x_raw, sf, p, labels_dev,
-                                            y_dev, ek, bs, refresh, n_true)
-            if refresh:
-                # DEC early stop on label-change fraction (scdeepcluster.py:446)
-                # — computed on device; only this scalar crosses the relay
-                delta_label = float(delta)
-                # keep q/z/labels as device arrays: pulling them every epoch
-                # costs ~MBs over the relay; one transfer at the end
-                self.q, self.z = q, latent
-                labels_dev = labels
-                snapshots.append((self.q, self.z, labels))
-                if y is not None:
-                    aris.append(float(ari_v))
-                if epoch > 0 and delta_label < tol:
-                    logger.info("Reach tolerance threshold (%.3e < %.3e). "
-                                "Stopping training.", delta_label, tol)
-                    # the fused dispatch already ran this epoch's minibatch
-                    # pass; the reference breaks before it — roll it back
-                    self.params, self.mu = prev_params, prev_mu
-                    break
-            if epoch % 50 == 0:
-                logger.info("Epoch %3d: loss %.6f", epoch + 1, float(loss))
-        if aris:
-            best = int(np.argmax(aris))
-            self.q, self.z, labels_dev = snapshots[best]
-        self.q, self.z = np.asarray(self.q), np.asarray(self.z)
-        self.y_pred = np.asarray(labels_dev)
+        # the WHOLE DEC protocol (refresh / tol stop / best-ARI snapshot)
+        # runs as ONE dispatch — see nn/dec_loop.py
+        from dance_tpu.nn.dec_loop import run_dec_loop
+        (self.params, self.mu, opt_state), out = run_dec_loop(
+            self._dec_refresh, self._dec_train,
+            (self.params, self.mu, opt_state), dict(x=x, xr=x_raw, sf=sf),
+            labels_dev, y_dev, key, epochs, tol, n_true=n_true, batch_size=bs,
+            update_interval=update_interval, static_token=(float(lr),))
+        if bool(out["stop"]):
+            logger.info("Reach tolerance threshold (%.3e < %.3e) at epoch %d. "
+                        "Stopped training.", float(out["delta"]), tol,
+                        int(out["epoch"]))
+        logger.info("Epoch %3d: loss %.6f", int(out["epoch"]),
+                    float(out["loss"]))
+        src = "best_" if n_true else ""
+        self.q = np.asarray(out[f"{src}q"])
+        self.z = np.asarray(out[f"{src}z"])
+        self.y_pred = np.asarray(out[f"{src}labels"])
         return self
+
+    def _dec_refresh(self, state, data):
+        params, mu, _ = state
+        latent = self.model.apply({"params": params}, data["x"],
+                                  method=self.model.encode)
+        q = soft_assign(latent, mu, self.alpha)
+        return q, latent, target_distribution(q)
+
+    def _dec_train(self, state, p, key, data, batch_size: int):
+        params, mu, opt_state = state
+        params, mu, opt_state, loss = self._cluster_epoch_impl(
+            params, mu, opt_state, data["x"], data["xr"], data["sf"], p, key,
+            batch_size)
+        return (params, mu, opt_state), loss
 
     def predict_proba(self, x=None) -> np.ndarray:
         return np.asarray(self.q)

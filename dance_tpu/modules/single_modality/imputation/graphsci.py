@@ -243,6 +243,22 @@ class GraphSCI(BaseRegressionMethod):
         updates, opt_state = self._tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    @partial(jax.jit, static_argnames=("self",))
+    def _train_epochs(self, params, opt_state, adj, gene_feat, x, x_raw, sf,
+                      adj_target, loss_mask, keys, le, la, ke, ka):
+        """All epochs in one compiled scan — per-epoch dispatch costs ~370 ms
+        over the axon relay vs tens of ms of step compute."""
+        def epoch(carry, sk):
+            params, opt_state = carry
+            params, opt_state, loss = self._step(
+                params, opt_state, adj, gene_feat, x, x_raw, sf, adj_target,
+                loss_mask, sk, le, la, ke, ka)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(epoch, (params, opt_state),
+                                                   keys)
+        return params, opt_state, losses
+
     def fit(self, g, x, x_raw, mask=None, le=1.0, la=1.0, ke=1.0, ka=1.0):
         from dance_tpu.graph import Graph
         assert isinstance(g, Graph)
@@ -293,13 +309,14 @@ class GraphSCI(BaseRegressionMethod):
         # reference uses Adam with weight_decay (graphsci.py:274)
         self._tx = optax.adamw(self.lr, weight_decay=self.weight_decay)
         opt_state = self._tx.init(self.params)
-        for epoch in range(self.n_epochs):
-            key, sk = jax.random.split(key)
-            self.params, opt_state, loss = self._step(
-                self.params, opt_state, dg.adj, gene_feat, xj, xrj, sf,
-                adj_target, maskj, sk, le, la, ke, ka)
-            if epoch % 50 == 0:
-                logger.info("GraphSCI epoch %d, loss %.6f", epoch, float(loss))
+        keys = jax.random.split(jax.random.fold_in(key, 23), self.n_epochs)
+        self.params, opt_state, losses = self._train_epochs(
+            self.params, opt_state, dg.adj, gene_feat, xj, xrj, sf,
+            adj_target, maskj, keys, le, la, ke, ka)
+        losses = np.asarray(losses)
+        for epoch in range(0, self.n_epochs, 50):
+            logger.info("GraphSCI epoch %d, loss %.6f", epoch,
+                        float(losses[epoch]))
         self._cache = (dg, gene_feat, xj, sf)
         return self
 
