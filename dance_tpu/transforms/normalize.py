@@ -382,19 +382,79 @@ def _poisson_glm_theta(y, u, n_irls: int = 25):
 
 
 class ScTransformR(BaseTransform):
-    """rpy2 bridge to the R scTransform (parity: normalize.py:109; unregistered).
+    """rpy2 bridge to the R scTransform (parity: normalize.py:109-204;
+    unregistered in the reference too).
 
-    Retained for interop completeness; requires rpy2 + R at runtime."""
+    Runs Seurat's ``SCTransform(vst.flavor="v2")`` in an embedded R session and
+    writes the corrected ``RNA@data`` matrix back into ``data.data.X``. The
+    reference protocol is mirrored step for step: CRAN mirror selection,
+    BiocManager-driven install of Seurat/SingleCellExperiment, library-size
+    logcounts, ``as.Seurat`` conversion, and the assay swap. Requires rpy2 + R
+    at runtime (``try_import`` raises with an install hint when absent); the
+    default JAX ``ScTransform`` (Pearson-residual GLM port) needs neither.
+    """
 
-    def __init__(self, min_cells: int = 5, **kwargs):
+    def __init__(self, min_cells: int = 5, mirror_index: int = -1, **kwargs):
         super().__init__(**kwargs)
         self.min_cells = min_cells
+        self.mirror_index = mirror_index
+
+    def _r_protocol(self) -> str:
+        """The R side of the bridge (reference normalize.py:159-166), minus
+        the anndata2ri dependency: the SCE is assembled in R from the raw
+        counts matrix handed over as ``counts`` (genes x cells)."""
+        return f"""
+        sce <- SingleCellExperiment(assays=list(X=counts))
+        libsizes <- colSums(counts)
+        size.factors <- libsizes/mean(libsizes)
+        logcounts(sce) <- log2(t(t(counts)/size.factors) + 1)
+        seurat <- as.Seurat(sce, counts="X")
+        seurat@assays$RNA <- seurat@assays$originalexp
+        seurat_p = SCTransform(seurat, vst.flavor = "v2", verbose = FALSE,
+                               min_cells={self.min_cells})
+        """
+
+    def _ensure_r_packages(self, robjects, rpackages):
+        """Install-if-missing protocol (reference normalize.py:139-147)."""
+        utils = rpackages.importr("utils")
+        if self.mirror_index != -1:
+            utils.chooseCRANmirror(ind=self.mirror_index)
+        if not rpackages.isinstalled("BiocManager"):
+            utils.install_packages("BiocManager")
+        biocmanager = rpackages.importr("BiocManager")
+        for pkg in ("Seurat", "SingleCellExperiment"):
+            if not rpackages.isinstalled(pkg):
+                biocmanager.install(pkg)
+            robjects.r(f"library({pkg})")
 
     def __call__(self, data):
+        import scipy.sparse as sp
+
         from dance_tpu.utils import try_import
-        try_import("rpy2")  # raises with install hint when absent
-        raise NotImplementedError(
-            "R interop path not wired in this environment; use ScTransform (JAX) instead")
+
+        robjects = try_import("rpy2.robjects")
+        rpackages = try_import("rpy2.robjects.packages")
+        numpy2ri = try_import("rpy2.robjects.numpy2ri")
+        conversion = try_import("rpy2.robjects.conversion")
+
+        x = data.data.X
+        if sp.issparse(x):
+            self.logger.warning("Native support for sparse matrix is not "
+                                "implemented yet, converting to dense array "
+                                "explicitly.")
+            x = x.toarray()
+        x = np.asarray(x, np.float64)
+
+        with conversion.localconverter(robjects.default_converter):
+            self._ensure_r_packages(robjects, rpackages)
+        with conversion.localconverter(robjects.default_converter
+                                       + numpy2ri.converter):
+            # R sees counts genes x cells (SCE/Seurat orientation)
+            robjects.r.assign("counts", x.T)
+            robjects.r(self._r_protocol())
+            corrected = np.asarray(robjects.r("as.matrix(seurat@assays$RNA@data)"))
+        data.data.X = corrected.T.astype(np.float32)
+        return data
 
 
 @register_preprocessor("normalize")

@@ -347,3 +347,80 @@ def test_sctransform_glm_pipeline():
     assert "log_umi_sct" in d.data.obs
     th = np.asarray(d.data.var["theta_sct"], float)
     assert np.nanmedian(th) == pytest.approx(np.median(theta_true), rel=1.0)
+
+
+def test_sctransform_r_bridge_with_mock_rpy2(data, monkeypatch):
+    """The rpy2 bridge's Python-side protocol, driven by a mock R session:
+    package-ensure calls, genes x cells handover, the reference R code
+    (normalize.py:159-166 incl. min_cells interpolation), and the transposed
+    write-back of RNA@data into data.data.X."""
+    import sys
+    import types
+
+    from dance_tpu.transforms.normalize import ScTransformR
+
+    x_before = np.asarray(data.data.X, np.float64).copy()
+    state = {"assigned": None, "code": [], "libs": []}
+
+    class _R:
+        def __call__(self, code):
+            state["code"].append(code)
+            if code.startswith("library("):
+                state["libs"].append(code)
+                return None
+            if code.strip().startswith("as.matrix"):
+                # mock SCTransform output: log1p of the handed-over counts
+                return np.log1p(state["assigned"])
+            return None
+
+        def assign(self, name, value):
+            assert name == "counts"
+            state["assigned"] = np.asarray(value)
+
+    class _LocalConverter:
+        def __init__(self, *a):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    robjects = types.ModuleType("rpy2.robjects")
+    robjects.r = _R()
+    robjects.default_converter = object()
+    packages = types.ModuleType("rpy2.robjects.packages")
+    packages.importr = lambda name: types.SimpleNamespace(
+        chooseCRANmirror=lambda ind: None, install_packages=lambda p: None,
+        install=lambda p: None)
+    packages.isinstalled = lambda name: True
+    numpy2ri = types.ModuleType("rpy2.robjects.numpy2ri")
+    numpy2ri.converter = object()
+    conversion = types.ModuleType("rpy2.robjects.conversion")
+    conversion.localconverter = _LocalConverter
+    class _Converter:  # default_converter + numpy2ri.converter must be addable
+        def __add__(self, other):
+            return self
+
+    robjects.default_converter = _Converter()
+
+    rpy2 = types.ModuleType("rpy2")
+    for name, mod in [("rpy2", rpy2), ("rpy2.robjects", robjects),
+                      ("rpy2.robjects.packages", packages),
+                      ("rpy2.robjects.numpy2ri", numpy2ri),
+                      ("rpy2.robjects.conversion", conversion)]:
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    ScTransformR(min_cells=3)(data)
+
+    # R saw genes x cells; X came back cells x genes, SCTransform'd
+    assert state["assigned"].shape == (x_before.shape[1], x_before.shape[0])
+    np.testing.assert_allclose(np.asarray(data.data.X),
+                               np.log1p(x_before.T).T.astype(np.float32),
+                               rtol=1e-6)
+    protocol = "\n".join(state["code"])
+    assert "SCTransform" in protocol and "min_cells=3" in protocol
+    assert "as.Seurat(sce" in protocol
+    assert any("library(Seurat)" in c for c in state["libs"])
+    assert any("library(SingleCellExperiment)" in c for c in state["libs"])
