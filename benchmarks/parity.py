@@ -327,14 +327,17 @@ def run_scdeepcluster():
     np.random.seed(0)
     ref = RefSDC(input_dim=x.shape[1], z_dim=16, encodeLayer=[64, 32],
                  decodeLayer=[32, 64], sigma=2.5, device="cpu")
-    ref.fit((x, raw, n_counts), y, n_clusters=4, epochs=10, pt_epochs=100,
+    # reference DEFAULT pretrain budget (scdeepcluster.py:363 pt_epochs=400):
+    # at 100 the AE latent is under-converged on BOTH sides and the kmeans
+    # init (hence the whole DEC stage) is luck-of-the-seed
+    ref.fit((x, raw, n_counts), y, n_clusters=4, epochs=10, pt_epochs=400,
             batch_size=256)
     ref_ari = ari(ref.predict(), y)
 
     from dance_tpu.modules.single_modality.clustering import ScDeepCluster
     ours = ScDeepCluster(input_dim=x.shape[1], z_dim=16, encodeLayer=(64, 32),
                          decodeLayer=(32, 64), sigma=2.5, seed=0)
-    ours.fit((x, raw, n_counts), y, n_clusters=4, epochs=10, pt_epochs=100,
+    ours.fit((x, raw, n_counts), y, n_clusters=4, epochs=10, pt_epochs=400,
              batch_size=256)
     ours_ari = ari(ours.predict(), y)
     return dict(metric="ari", ref=ref_ari, ours=ours_ari, tol=0.15)

@@ -151,6 +151,74 @@ def _v2_epoch_steps(params, opt_state, x_dense, yj, bf1, ctj, phj,
     return params, opt_state, losses.sum()
 
 
+def _v2_train_run(params, opt_state, g, x_dense, yj, bf1, ctj, phj, train_idx,
+                  val_idx, p_feat, key, epochs, lr0, *, net, f1, f2,
+                  weight_decay, n_steps: int, bs: int, n_samp: int,
+                  early_stopping: int, lr_decay: float):
+    """The whole validation-selected sampled fit as ONE dispatch.
+
+    Per epoch inside a lax.while_loop: device-side cell shuffle, Gumbel
+    top-k weighted feature sampling WITHOUT replacement (the device analog of
+    ``rng.choice(p=deg)``), the epoch's minibatch scan, a full-graph val
+    loss, best-params tracking, the reference early-stop rule and the
+    epoch>150 lr decay — replacing a per-epoch dispatch + scalar pull over
+    the axon relay."""
+    epochs = jnp.asarray(epochs, jnp.int32)
+    logp = jnp.log(jnp.maximum(p_feat, 1e-20))
+
+    def sample_feats(rng):
+        gumbel = -jnp.log(-jnp.log(
+            jax.random.uniform(rng, logp.shape, minval=1e-20, maxval=1.0)))
+        return jax.lax.top_k(logp + gumbel, n_samp)[1].astype(jnp.int32)
+
+    carry0 = dict(params=params, opt=opt_state, epoch=jnp.int32(0),
+                  stop=jnp.bool_(False), best_val=jnp.float32(jnp.inf),
+                  best_epoch=jnp.int32(0), best_params=params,
+                  lr=jnp.float32(lr0), loss=jnp.float32(0),
+                  val=jnp.float32(0))
+
+    def cond(c):
+        return (c["epoch"] < epochs) & (~c["stop"])
+
+    def body(c):
+        e = c["epoch"]
+        ekey = jax.random.fold_in(key, e)
+        perm = jax.random.permutation(ekey, train_idx)[:n_steps * bs]
+        cell_idx_mat = perm.reshape(n_steps, bs)
+        step_ids = jnp.arange(n_steps) + e * 100003
+        feat_idx_mat = jax.vmap(
+            lambda s: sample_feats(jax.random.fold_in(ekey, s)))(step_ids)
+        rngs = jax.vmap(lambda s: jax.random.fold_in(key, s))(step_ids)
+        opt = c["opt"]
+        opt = opt._replace(hyperparams={**opt.hyperparams,
+                                        "learning_rate": c["lr"]})
+        params, opt, total = _v2_epoch_steps(
+            c["params"], opt, x_dense, yj, bf1, ctj, phj, cell_idx_mat,
+            feat_idx_mat, rngs, net=net, f1=f1, f2=f2,
+            weight_decay=weight_decay)
+        val = _v2_val_loss(params, g, yj, bf1, val_idx, net=net, f1=f1, f2=f2)
+        better = val < c["best_val"]
+        pick = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(better, a, b), new, old)
+        best_epoch = jnp.where(better, e, c["best_epoch"])
+        stop = (e > early_stopping) & (e - best_epoch >= early_stopping)
+        lr = jnp.where(e > 150, c["lr"] * lr_decay, c["lr"])
+        return dict(params=params, opt=opt, epoch=e + 1, stop=stop,
+                    best_val=jnp.minimum(val, c["best_val"]),
+                    best_epoch=best_epoch,
+                    best_params=pick(params, c["best_params"]), lr=lr,
+                    loss=total, val=val)
+
+    c = jax.lax.while_loop(cond, body, carry0)
+    return (c["best_params"], c["opt"], c["best_val"], c["best_epoch"],
+            c["epoch"], c["loss"], c["lr"])
+
+
+_v2_train_run = partial(jax.jit, static_argnames=(
+    "net", "f1", "f2", "weight_decay", "n_steps", "bs", "n_samp",
+    "early_stopping", "lr_decay"))(_v2_train_run)
+
+
 @partial(jax.jit, static_argnames=("net", "f1", "f2"))
 def _v2_val_loss(params, g, yj, bf1, idx, *, net, f1, f2):
     emb, out, _, _ = net.apply({"params": params}, g, bf1)
@@ -266,16 +334,6 @@ class ScMoGCNWrapperV2:
         phj = jnp.asarray(phase_score)
         f1, f2 = feat1, feat2
 
-        def epoch_steps(params, opt_state, x_dense, yj, bf1, ctj, phj,
-                        cell_idx_mat, feat_idx_mat, rngs):
-            return _v2_epoch_steps(params, opt_state, x_dense, yj, bf1, ctj,
-                                   phj, cell_idx_mat, feat_idx_mat, rngs,
-                                   net=net, f1=f1, f2=f2,
-                                   weight_decay=self.weight_decay)
-
-        def val_loss(params, g, yj, bf1, idx):
-            return _v2_val_loss(params, g, yj, bf1, idx, net=net, f1=f1, f2=f2)
-
         rng_np = np.random.default_rng(self.seed)
         idx = rng_np.permutation(n)
         train_idx = idx[:max(1, int(n * 0.9))]
@@ -283,38 +341,22 @@ class ScMoGCNWrapperV2:
         bs = min(batch_size, len(train_idx))
         n_samp = max(1, int(self.node_sampling_rate * g.n_feats))
         deg_f = np.asarray(g.deg_f)
-        p_feat = deg_f / max(deg_f.sum(), 1e-12)
-        vals, best = [], self.params
-        for epoch in range(epochs):
-            perm = rng_np.permutation(train_idx)
-            n_steps = max(1, len(perm) // bs)
-            # same RNG draw order as the stepwise loop: one feature sample
-            # per step, drawn host-side before the epoch dispatch
-            cell_idx_mat = jnp.asarray(
-                perm[:n_steps * bs].reshape(n_steps, bs))
-            feat_idx_mat = jnp.asarray(np.stack([
-                rng_np.choice(g.n_feats, n_samp, replace=False, p=p_feat)
-                for _ in range(n_steps)]))
-            rngs = jax.vmap(lambda s: jax.random.fold_in(key, s))(
-                jnp.arange(n_steps) + epoch * 100003)
-            self.params, opt_state, total = epoch_steps(
-                self.params, opt_state, x_dense, yj, bf1, ctj, phj,
-                cell_idx_mat, feat_idx_mat, rngs)
-            total = float(total)
-            vals.append(float(val_loss(self.params, g, yj, bf1, val_idx)))
-            if min(vals) == vals[-1]:
-                best = self.params
-            if (epoch > self.early_stopping
-                    and min(vals) != min(vals[-self.early_stopping:])):
-                logger.info("scMoGNN-v2 early stopped at epoch %d", epoch)
-                break
-            if epoch > 150:
-                self._lr *= self.lr_decay
-                opt_state.hyperparams["learning_rate"] = self._lr
-            if epoch % 20 == 0:
-                logger.info("scMoGNN-v2 epoch %d, loss %.5f, val %.5f", epoch,
-                            total / n_steps, vals[-1])
-        self.params = best
+        p_feat = jnp.asarray(deg_f / max(deg_f.sum(), 1e-12), jnp.float32)
+        n_steps = max(1, len(train_idx) // bs)
+        (self.params, opt_state, best_val, best_epoch, ran, loss,
+         self._lr) = _v2_train_run(
+            self.params, opt_state, g, x_dense, yj, bf1, ctj, phj,
+            jnp.asarray(train_idx), val_idx, p_feat, key, epochs, self._lr,
+            net=net, f1=f1, f2=f2, weight_decay=self.weight_decay,
+            n_steps=n_steps, bs=bs, n_samp=n_samp,
+            early_stopping=self.early_stopping, lr_decay=self.lr_decay)
+        ran = int(ran)
+        if ran < epochs:
+            logger.info("scMoGNN-v2 early stopped at epoch %d", ran - 1)
+        logger.info("scMoGNN-v2 best val %.5f at epoch %d (%d epochs, final "
+                    "loss %.5f)", float(best_val), int(best_epoch), ran,
+                    float(loss))
+        self._lr = float(self._lr)
         self._cache = (g, bf1)
         return self
 

@@ -182,6 +182,67 @@ def _match_train_step(params, opt_state, H1, H2, idx, rng, *, net, lr, aux):
     return optax.apply_updates(params, updates), opt_state, loss
 
 
+@partial(jax.jit, static_argnames=("net", "lr", "aux", "n_steps", "bs",
+                                   "early_stopping"))
+def _match_train_run(params, opt_state, H1, H2, train_idx, val_idx, key,
+                     epochs, *, net, lr, aux, n_steps: int, bs: int,
+                     early_stopping: int):
+    """The whole validation-selected contrastive fit as ONE dispatch.
+
+    Per epoch: a device-side shuffle of the training cells, ``n_steps``
+    minibatch contrastive steps (scan), a val matching score, best-params
+    tracking, and the reference early-stop rule ("global max val is older
+    than ``early_stopping`` epochs", match_modality/scmogcn.py:157-275) — all
+    inside a lax.while_loop, so the per-step dispatch + per-epoch scalar pull
+    the Python loop paid over the axon relay disappears."""
+    epochs = jnp.asarray(epochs, jnp.int32)
+
+    def epoch_pass(params, opt_state, ekey):
+        perm = jax.random.permutation(ekey, train_idx)[:n_steps * bs]
+        bidx = perm.reshape(n_steps, bs)
+        rngs = jax.vmap(lambda s: jax.random.fold_in(ekey, s))(
+            jnp.arange(n_steps))
+
+        def step(carry, batch):
+            params, opt_state = carry
+            idx, rng = batch
+            params, opt_state, loss = _match_train_step(
+                params, opt_state, H1, H2, idx, rng, net=net, lr=lr, aux=aux)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state),
+                                                   (bidx, rngs))
+        return params, opt_state, losses.mean()
+
+    carry0 = dict(params=params, opt=opt_state, epoch=jnp.int32(0),
+                  stop=jnp.bool_(False), best_val=jnp.float32(-jnp.inf),
+                  best_epoch=jnp.int32(0), best_params=params,
+                  loss=jnp.float32(0), val=jnp.float32(0))
+
+    def cond(c):
+        return (c["epoch"] < epochs) & (~c["stop"])
+
+    def body(c):
+        e = c["epoch"]
+        params, opt, loss = epoch_pass(c["params"], c["opt"],
+                                       jax.random.fold_in(key, e))
+        val = _match_val_score(params, H1, H2, val_idx, net=net)
+        better = val > c["best_val"]
+        pick = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(better, a, b), new, old)
+        best_epoch = jnp.where(better, e, c["best_epoch"])
+        stop = e - best_epoch >= early_stopping
+        return dict(params=params, opt=opt, epoch=e + 1, stop=stop,
+                    best_val=jnp.maximum(val, c["best_val"]),
+                    best_epoch=best_epoch,
+                    best_params=pick(params, c["best_params"]),
+                    loss=loss, val=val)
+
+    c = jax.lax.while_loop(cond, body, carry0)
+    return (c["best_params"], c["opt"], c["best_val"], c["best_epoch"],
+            c["epoch"], c["loss"])
+
+
 @partial(jax.jit, static_argnames=("net",))
 def _match_val_score(params, H1, H2, idx, *, net):
     # device-side matching accuracy: pulling the (val, val) logits to the
@@ -265,45 +326,26 @@ class ScMoGCNWrapper(MatchingScoreMixin):
         tx = optax.adamw(self.learning_rate)
         opt_state = tx.init(params)
         net, aux, lr = self.net, self.auxiliary_loss, self.learning_rate
-
-        def step(params, opt_state, H1, H2, idx, rng):
-            return _match_train_step(params, opt_state, H1, H2, idx, rng,
-                                     net=net, lr=lr, aux=aux)
-
-        def val_score(params, H1, H2, idx):
-            return _match_val_score(params, H1, H2, idx, net=net)
-
         # reference split: random perm of train cells, last BATCH_SIZE = val
         bs = min(batch_size, max(2, math.floor(train_size / 2)))
         rng_np = np.random.default_rng(self.seed)
         idx = rng_np.permutation(train_size)
         train_idx, val_idx = idx[:-bs], idx[-bs:]
-        val_idx_j = jnp.asarray(val_idx)
-        self.params = params
-        maxval, best, vals = -1.0, (params["model"], params["wt1"], params["wt2"]), []
-        for epoch in range(epochs):
-            perm = rng_np.permutation(train_idx)
-            n_steps = max(1, len(perm) // bs)
-            losses = []
-            for s in range(n_steps):
-                bidx = jnp.asarray(perm[s * bs:(s + 1) * bs])
-                rng = jax.random.fold_in(key, epoch * 65537 + s)
-                params, opt_state, loss = step(params, opt_state, H1, H2,
-                                               bidx, rng)
-                losses.append(loss)  # device-resident; one sync per epoch
-            total = float(jnp.stack(losses).sum())
-            self.params = params
-            vals.append(float(val_score(params, H1, H2, val_idx_j)))
-            if vals[-1] > maxval:
-                maxval = vals[-1]
-                best = (params["model"], params["wt1"], params["wt2"])
-            if max(vals) != max(vals[-early_stopping:]):
-                logger.info("scMoGNN-match early stopped at epoch %d", epoch)
-                break
-            if epoch % 10 == 0:
-                logger.info("scMoGNN-match epoch %d, loss %.5f, val %.4f",
-                            epoch, total / n_steps, vals[-1])
-        self.params = {"model": best[0], "wt1": best[1], "wt2": best[2]}
+        n_steps = max(1, len(train_idx) // bs)
+        # whole fit (minibatch steps, val scoring, best tracking, early stop)
+        # as one dispatch — see _match_train_run
+        (self.params, opt_state, best_val, best_epoch, ran,
+         loss) = _match_train_run(params, opt_state, H1, H2,
+                                  jnp.asarray(train_idx),
+                                  jnp.asarray(val_idx), key, epochs, net=net,
+                                  lr=lr, aux=aux, n_steps=n_steps, bs=bs,
+                                  early_stopping=early_stopping)
+        ran = int(ran)
+        if ran < epochs:
+            logger.info("scMoGNN-match early stopped at epoch %d", ran - 1)
+        logger.info("scMoGNN-match best val %.4f at epoch %d (%d epochs, "
+                    "final loss %.5f)", float(best_val), int(best_epoch), ran,
+                    float(loss))
         self.wt = [self.params["wt1"], self.params["wt2"]]
         return self
 

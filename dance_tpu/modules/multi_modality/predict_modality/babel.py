@@ -131,6 +131,46 @@ class BabelWrapper(BaseRegressionMethod):
                                                    keys)
         return params, opt_state, losses
 
+    @partial(jax.jit, static_argnames=("self", "batch_size", "earlystop",
+                                       "n_valid"))
+    def _train_epochs_val(self, params, opt_state, x1, x2, lib1, xv1, xv2,
+                          keys, batch_size: int, earlystop: int, n_valid: int):
+        """Validation-selected training as ONE dispatch: per-epoch val RMSE,
+        best-params snapshot and the reference's early-stop rule ("global
+        best is older than `earlystop` epochs", babel.py:815-860) all run on
+        device inside a lax.while_loop — the prior per-epoch Python loop paid
+        a dispatch plus a scalar pull per epoch over the axon relay."""
+        epochs = keys.shape[0]
+        carry0 = dict(params=params, opt=opt_state, epoch=jnp.int32(0),
+                      stop=jnp.bool_(False), best_val=jnp.float32(jnp.inf),
+                      best_epoch=jnp.int32(0), best_params=params,
+                      vals=jnp.full((epochs,), jnp.nan, jnp.float32),
+                      loss=jnp.float32(0))
+
+        def cond(c):
+            return (c["epoch"] < epochs) & (~c["stop"])
+
+        def body(c):
+            e = c["epoch"]
+            params, opt, loss = self._train_epoch(c["params"], c["opt"], x1,
+                                                  x2, lib1, keys[e],
+                                                  batch_size)
+            val = self._val_rmse(params, xv1, xv2, n_valid)
+            better = val < c["best_val"]
+            pick = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(better, a, b), new, old)
+            best_epoch = jnp.where(better, e, c["best_epoch"])
+            stop = (e > earlystop) & (e - best_epoch >= earlystop)
+            return dict(params=params, opt=opt, epoch=e + 1, stop=stop,
+                        best_val=jnp.minimum(val, c["best_val"]),
+                        best_epoch=best_epoch,
+                        best_params=pick(params, c["best_params"]),
+                        vals=c["vals"].at[e].set(val), loss=loss)
+
+        c = jax.lax.while_loop(cond, body, carry0)
+        return (c["best_params"], c["opt"], c["vals"], c["best_val"],
+                c["best_epoch"], c["epoch"], c["loss"])
+
     def fit(self, x_train, y_train, val_ratio: float = 0.15, epochs: int = 100,
             lr: float = 1e-3, batch_size: int = 64, earlystop: int = 20):
         """``val_ratio`` holds out cells whose cross-modal prediction RMSE
@@ -180,26 +220,17 @@ class BabelWrapper(BaseRegressionMethod):
                             float(losses[epoch]))
             return self
         epoch_keys = jax.random.split(key, epochs)
-        vals, best_params = [], self.params
-        for epoch in range(epochs):
-            self.params, opt_state, loss = self._train_epoch(
-                self.params, opt_state, x1, x2, lib1, epoch_keys[epoch], bs)
-            if n_val:
-                # device-side val RMSE: only the scalar crosses the relay
-                # (the op-by-op forward cost ~100x the train step before)
-                vals.append(float(self._val_rmse(self.params, xv1, xv2,
-                                                 n_valid)))
-                if min(vals) == vals[-1]:
-                    best_params = self.params
-                if (epoch > earlystop
-                        and min(vals) != min(vals[-earlystop:])):
-                    logger.info("BABEL early stopped at epoch %d (val RMSE "
-                                "%.5f)", epoch, min(vals))
-                    break
-            if epoch % 20 == 0:
-                logger.info("BABEL epoch %d, loss %.5f", epoch, float(loss))
-        if n_val:
-            self.params = best_params
+        (self.params, opt_state, vals, best_val, best_epoch, ran,
+         loss) = self._train_epochs_val(self.params, opt_state, x1, x2, lib1,
+                                        xv1, xv2, epoch_keys, bs, earlystop,
+                                        n_valid)
+        ran = int(ran)
+        if ran < epochs:
+            logger.info("BABEL early stopped at epoch %d (val RMSE %.5f)",
+                        ran - 1, float(best_val))
+        logger.info("BABEL best val RMSE %.5f at epoch %d (%d epochs run, "
+                    "final loss %.5f)", float(best_val), int(best_epoch), ran,
+                    float(loss))
         return self
 
     def predict(self, x):

@@ -164,20 +164,34 @@ class ScDSC(NNPretrain, BaseClusteringMethod):
                                                    idx)
         return params, opt_state, losses.mean()
 
-    def pretrain(self, x, batch_size: int = 256, epochs: int = 200, lr: float = 1e-3):
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def _pretrain_epochs(self, params, opt_state, x, keys, batch_size: int):
         from dance_tpu.utils.batch import epoch_batches
+
+        def epoch(carry, ek):
+            params, opt_state = carry
+            idx = epoch_batches(ek, x.shape[0], batch_size)
+            params, opt_state, loss = self._pretrain_epoch(params, opt_state,
+                                                           x, idx, ek)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(epoch, (params, opt_state),
+                                                   keys)
+        return params, opt_state, losses
+
+    def pretrain(self, x, batch_size: int = 256, epochs: int = 200, lr: float = 1e-3):
         x = jnp.asarray(x, jnp.float32)
         self._pt_tx = optax.adam(lr)
         opt_state = self._pt_tx.init(self.params)
-        key = jax.random.key(self.seed)
+        keys = jax.random.split(jax.random.key(self.seed), epochs)
         bs = min(batch_size, x.shape[0])
-        for epoch in range(epochs):
-            key, ek = jax.random.split(key)
-            idx = epoch_batches(ek, x.shape[0], bs)
-            self.params, opt_state, loss = self._pretrain_epoch(
-                self.params, opt_state, x, idx, ek)
-            if epoch % 100 == 0:
-                logger.info("AE pretrain epoch %d, MSE %.6f", epoch, float(loss))
+        # one compiled scan for the whole pretrain (per-epoch dispatch costs
+        # more than the epoch's compute over the axon relay)
+        self.params, opt_state, losses = self._pretrain_epochs(
+            self.params, opt_state, x, keys, bs)
+        losses = np.asarray(losses)
+        for epoch in range(0, epochs, 100):
+            logger.info("AE pretrain epoch %d, MSE %.6f", epoch, losses[epoch])
 
     @partial(jax.jit, static_argnames=("self",))
     def _refresh(self, params, x, adj):
@@ -251,9 +265,6 @@ class ScDSC(NNPretrain, BaseClusteringMethod):
         self._tx = optax.adam(lr)
         opt_state = self._tx.init(self.params)
 
-        aris, qs = [], []
-        p = None
-        q_dev = None
         if y is not None:
             # permuted comparison labels: q comes back in the (possibly
             # RCM-permuted) training order; ARI is order-consistent
@@ -262,23 +273,39 @@ class ScDSC(NNPretrain, BaseClusteringMethod):
                 y_arr = y_arr[self._perm]
             n_true = int(y_arr.max()) + 1
             y_dev = jnp.asarray(y_arr, jnp.int32)
-        for epoch in range(epochs):
-            if epoch % 10 == 0:
-                q_dev, p = self._refresh(self.params, xj, self.adj)
-                if y is not None:
-                    # device ARI — only the scalar crosses the relay; q stays
-                    # device-resident until the end of the fit
-                    from dance_tpu.utils.metrics import device_ari
-                    labels = q_dev.argmax(1).astype(jnp.int32)
-                    aris.append(float(device_ari(y_dev, labels, n_true,
-                                                 self.n_clusters)))
-                    qs.append(q_dev)
-            self.params, opt_state, loss = self._train_step(
-                self.params, opt_state, xj, self.adj, xr, sf, p, bcl, cl, rl, zl)
-        if aris:
-            q_dev = qs[int(np.argmax(aris))]
+        else:
+            n_true = 0
+            y_dev = jnp.zeros((xj.shape[0],), jnp.int32)
+        # whole DEC protocol (refresh every 10 + best-ARI selection, no tol
+        # stop in the reference scdsc) as ONE dispatch — nn/dec_loop.py
+        from dance_tpu.nn.dec_loop import run_dec_loop
+        labels0 = jnp.zeros((xj.shape[0],), jnp.int32)
+        # adj rides in data (NOT a closure): a closure would bake this fit's
+        # adjacency into the cached compilation as a constant
+        data = dict(x=xj, xr=xr, sf=sf, adj=self.adj,
+                    w=jnp.asarray([bcl, cl, rl, zl], jnp.float32))
+        (self.params, opt_state), out = run_dec_loop(
+            self._dec_refresh, self._dec_train, (self.params, opt_state),
+            data, labels0, y_dev, jax.random.key(self.seed), epochs,
+            -1.0,  # never tol-stop
+            n_true=n_true, batch_size=1, update_interval=10,
+            static_token=(float(lr),))
+        q_dev = out["best_q"] if n_true else out["q"]
         self.q = unpermute(getattr(self, "_perm", None), np.asarray(q_dev))
         return self
+
+    def _dec_refresh(self, state, data):
+        params, _ = state
+        q, p = self._refresh(params, data["x"], data["adj"])
+        return q, q, p
+
+    def _dec_train(self, state, p, key, data, batch_size: int):
+        params, opt_state = state
+        bcl, cl, rl, zl = data["w"]
+        params, opt_state, loss = self._train_step(
+            params, opt_state, data["x"], data["adj"], data["xr"], data["sf"],
+            p, bcl, cl, rl, zl)
+        return (params, opt_state), loss
 
     def predict_proba(self, x: Optional[Any] = None) -> np.ndarray:
         return np.asarray(self.q)
