@@ -113,3 +113,29 @@ def spatial_data(n_spots: int = 300, n_genes: int = 120, n_domains: int = 3,
     adata.uns["image"] = rng.random((side * 10 + 20, side * 10 + 20, 3)).astype(
         np.float32)
     return Data(adata, train_size="all")
+
+
+def deconvo_data(n_spots: int = 60, n_genes: int = 80, n_types: int = 3,
+                 n_ref_cells: int = 150, mix_scale: float = 3.0, seed: int = 0):
+    """Synthetic deconvolution bundle (namespace).
+
+    Pseudo-spot mixtures over planted cell-type profiles — the shape of the
+    reference's CellTypeDeconvoDataset bundles (ref+mix tables,
+    dance/datasets/spatial.py:160-277). Fields: ``profiles_df`` (genes x
+    types), ``profiles`` (types x genes), ``x_mix``/``portions``/``spatial``
+    (spots), ``x_ref``/``labels`` (reference cells), ``n_types``."""
+    from types import SimpleNamespace
+
+    rng = np.random.default_rng(seed)
+    x_ref, labels = synthetic_expression(n_ref_cells, n_genes, n_types,
+                                         seed=seed + 1, effect=6.0)
+    profiles = np.stack([x_ref[labels == c].mean(0) for c in range(n_types)])
+    portions = rng.dirichlet(np.ones(n_types), n_spots)
+    x_mix = rng.poisson(portions @ profiles * mix_scale).astype(np.float32)
+    spatial = rng.random((n_spots, 2)).astype(np.float32)
+    profiles_df = pd.DataFrame(profiles.T,
+                               columns=[f"ct{i}" for i in range(n_types)])
+    return SimpleNamespace(profiles_df=profiles_df, profiles=profiles,
+                           x_mix=x_mix, portions=portions.astype(np.float32),
+                           spatial=spatial, x_ref=x_ref, labels=labels,
+                           n_types=n_types)

@@ -7,7 +7,7 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 3)[0])
 import numpy as np
 
-from _utils import base_parser, multimodal_data, set_seed
+from _utils import load_synthetic, base_parser, multimodal_data, set_seed
 from dance_tpu.modules.multi_modality.joint_embedding.scmogcnv2 import ScMoGCNWrapperV2
 
 if __name__ == "__main__":
@@ -15,7 +15,7 @@ if __name__ == "__main__":
     p.add_argument("--epochs", type=int, default=60)
     args = p.parse_args()
     set_seed(args.seed)
-    data = multimodal_data(seed=args.seed)
+    data = load_synthetic("multimodal", args)
     x1 = np.log1p(data.get_feature(split_name="train", mod="mod1", channel_type="X"))
     x2 = np.log1p(data.get_feature(split_name="train", mod="mod2", channel_type="X"))
     ct = data.get_feature(split_name="train", mod="mod1", channel="cell_type",

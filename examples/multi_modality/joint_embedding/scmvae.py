@@ -4,13 +4,13 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 3)[0])
 import numpy as np
 
-from _utils import base_parser, multimodal_data, set_seed
+from _utils import load_synthetic, base_parser, multimodal_data, set_seed
 from dance_tpu.modules.multi_modality.joint_embedding import scMVAE
 
 if __name__ == "__main__":
     args = base_parser("scMVAE joint embedding").parse_args()
     set_seed(args.seed)
-    data = multimodal_data(seed=args.seed)
+    data = load_synthetic("multimodal", args)
     x1_tr = np.log1p(data.get_feature(split_name="train", mod="mod1", channel_type="X"))
     x2_tr = np.log1p(data.get_feature(split_name="train", mod="mod2", channel_type="X"))
     x1_te = np.log1p(data.get_feature(split_name="test", mod="mod1", channel_type="X"))
@@ -20,3 +20,18 @@ if __name__ == "__main__":
     model = scMVAE(seed=args.seed, n_centroids=2 * len(np.unique(ct_arr)))
     model.fit(np.expm1(x1_tr), np.expm1(x2_tr), epochs=200)
     print(f"NMI: {model.score(None, ct):.4f}")
+
+"""Reference benchmark reproduction commands (upstream examples/multi_modality/joint_embedding/scmvae.py):
+
+To reproduce scMVAE on other samples, please refer to command lines belows:
+
+GEX-ADT:
+$ python scmvae.py --subtask openproblems_bmmc_cite_phase2 --device cuda
+
+GEX-ATAC:
+$ python scmvae.py --subtask openproblems_bmmc_multiome_phase2 --device cuda
+
+These CLIs apply once the raw benchmark data is staged under --data_dir; in
+no-egress environments use the synthetic analogs instead, e.g.
+``--dataset`` (see examples/_utils.py DATASET_ANALOGS).
+"""

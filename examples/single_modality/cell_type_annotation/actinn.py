@@ -10,7 +10,7 @@ import numpy as np
 from dance_tpu.modules.single_modality.cell_type_annotation import ACTINN
 
 sys.path.insert(0, __file__.rsplit("/", 3)[0])
-from _utils import annotation_data, base_parser, set_seed
+from _utils import load_synthetic, annotation_data, base_parser, set_seed
 
 if __name__ == "__main__":
     p = base_parser("ACTINN cell-type annotation")
@@ -34,10 +34,28 @@ if __name__ == "__main__":
         ).load_data(model.preprocessing_pipeline(), cache=args.cache)
     except FileNotFoundError:
         print("Raw data not staged; using synthetic data")
-        data = annotation_data(seed=args.seed)
+        data = load_synthetic("annotation", args)
         model.preprocessing_pipeline()(data)
     x_train, y_train = data.get_train_data()
     model.fit(x_train, y_train, batch_size=args.batch_size, lr=args.learning_rate,
               num_epochs=args.num_epochs, seed=args.seed)
     x_test, y_test = data.get_test_data()
     print(f"ACC: {model.score(x_test, y_test):.4f}")
+
+"""Reference benchmark reproduction commands (upstream examples/single_modality/cell_type_annotation/actinn.py):
+
+To reproduce ACTINN benchmarks, please refer to command lines below:
+
+Mouse Brain
+$ python actinn.py --species mouse --tissue Brain --train_dataset 753 3285 --test_dataset 2695
+
+Mouse Spleen
+$ python actinn.py --species mouse --tissue Spleen --train_dataset 1970 --test_dataset 1759
+
+Mouse Kidney
+$ python actinn.py --species mouse --tissue Kidney --train_dataset 4682 --test_dataset 203
+
+These CLIs apply once the raw benchmark data is staged under --data_dir; in
+no-egress environments use the synthetic analogs instead, e.g.
+``--dataset`` (see examples/_utils.py DATASET_ANALOGS).
+"""

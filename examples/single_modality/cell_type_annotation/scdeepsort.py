@@ -4,7 +4,7 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 3)[0])
 import numpy as np
 
-from _utils import annotation_data, base_parser, set_seed
+from _utils import load_synthetic, annotation_data, base_parser, set_seed
 from dance_tpu.modules.single_modality.cell_type_annotation import ScDeepSort
 
 if __name__ == "__main__":
@@ -15,7 +15,7 @@ if __name__ == "__main__":
     p.add_argument("--n_epochs", type=int, default=100)
     args = p.parse_args()
     set_seed(args.seed)
-    data = annotation_data(seed=args.seed)
+    data = load_synthetic("annotation", args)
     model = ScDeepSort(args.dense_dim, args.hidden_dim, args.n_layers, seed=args.seed)
     model.preprocess(data, n_components=args.dense_dim)
     graph = data.data.uns["PCACellFeatureGraph"]
@@ -30,3 +30,21 @@ if __name__ == "__main__":
     pred = model.predict(g_test)
     acc = (data.get_y("test").argmax(1) == pred).mean()
     print(f"ACC: {acc:.4f}")
+
+"""Reference benchmark reproduction commands (upstream examples/single_modality/cell_type_annotation/scdeepsort.py):
+
+To reproduce the benchmarking results, please run the following command:
+
+Mouse Brain
+$ python scdeepsort.py --species mouse --tissue Brain --train_dataset 753 3285 --test_dataset 2695
+
+Mouse Spleen
+$ python scdeepsort.py --species mouse --tissue Spleen --train_dataset 1970 --test_dataset 1759
+
+Mouse Kidney
+$ python scdeepsort.py --species mouse --tissue Kidney --train_dataset 4682 --test_dataset 203
+
+These CLIs apply once the raw benchmark data is staged under --data_dir; in
+no-egress environments use the synthetic analogs instead, e.g.
+``--dataset`` (see examples/_utils.py DATASET_ANALOGS).
+"""

@@ -6,7 +6,7 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 3)[0])
 import numpy as np
 
-from _utils import annotation_data, base_parser, set_seed
+from _utils import load_synthetic, annotation_data, base_parser, set_seed
 from dance_tpu.modules.single_modality.cell_type_annotation import scHeteroNet
 from dance_tpu.transforms.graph import HeteronetGraph
 
@@ -21,7 +21,7 @@ if __name__ == "__main__":
     args = p.parse_args()
     set_seed(args.seed)
 
-    data = annotation_data(n_cells=300, n_genes=100, n_types=3, seed=args.seed)
+    data = load_synthetic("annotation", args, n_cells=300, n_genes=100, n_types=3)
     HeteronetGraph(knn_num=args.knn_num)(data)
     g = data.data.uns["HeteronetGraph"]
     y = data.data.obsm["cell_type"].to_numpy().argmax(1)
@@ -38,3 +38,33 @@ if __name__ == "__main__":
     auroc, aupr, fpr95 = model.evaluate_ood(ind, ood)
     print(f"ACC: {acc:.4f}")
     print(f"OOD AUROC: {auroc:.4f}  AUPR: {aupr:.4f}  FPR@95: {fpr95:.4f}")
+
+"""Reference benchmark reproduction commands (upstream examples/single_modality/cell_type_annotation/scheteronet.py):
+
+Epoch: 00, Loss: 2.3264, AUROC: 44.03%, AUPR: 99.12%, FPR95: 100.00%, Test Score: 46.85%
+Run 01:
+Chosen epoch: 4
+OOD Test 1 Final AUROC: 64.61
+OOD Test 1 Final AUPR: 99.53
+OOD Test 1 Final FPR95: 100.00
+IND Test Score: 81.88
+All runs:
+OOD Test 1 Final AUROC: 64.61
+OOD Test 1 Final AUPR: 99.53
+OOD Test 1 Final FPR: 100.00
+IND Test Score: 81.88
+
+python scheteronet.py --gpu -1 --use_zinb --use_prop --use_2hop
+
+python scheteronet.py --gpu -1  --species human --tissue Brain --train_dataset 328 --test_dataset 138 --use_zinb --use_prop --use_2hop
+python scheteronet.py --gpu -1  --species human --tissue CD8 --train_dataset 1027 1357 1641 517 706 777 850 972 --test_dataset 245 332 377 398 405 455 470 492 --use_zinb --use_prop --use_2hop
+python scheteronet.py --gpu 0  --species human --tissue CD4 --train_dataset 1013 1247 598 732 767 768 770 784 845 864 --test_dataset 315 340 376 381 390 404 437 490 551 559 --use_zinb --use_prop --use_2hop
+
+python scheteronet.py --gpu 0  --species human --tissue Spleen --train_dataset 3043 3777 4029 4115 4362 4657 --test_dataset 1729 2125 2184 2724 2743 --use_zinb --use_prop --use_2hop
+
+python scheteronet.py --gpu 0  --species human --tissue Immune --train_dataset 11407 1519 636 713 9054 9258 --test_dataset 1925 205 3323 6509 7572 --use_zinb --use_prop --use_2hop
+
+These CLIs apply once the raw benchmark data is staged under --data_dir; in
+no-egress environments use the synthetic analogs instead, e.g.
+``--dataset`` (see examples/_utils.py DATASET_ANALOGS).
+"""

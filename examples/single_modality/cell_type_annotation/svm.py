@@ -4,16 +4,34 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 3)[0])
 import numpy as np
 
-from _utils import annotation_data, base_parser, set_seed
+from _utils import load_synthetic, annotation_data, base_parser, set_seed
 from dance_tpu.modules.single_modality.cell_type_annotation import SVM
 
 if __name__ == "__main__":
     args = base_parser("SVM cell-type annotation").parse_args()
     set_seed(args.seed)
-    data = annotation_data(seed=args.seed)
+    data = load_synthetic("annotation", args)
     model = SVM(None, random_state=args.seed)
     model.preprocess(data, n_components=50)
     x_train, y_train = data.get_train_data()
     model.fit(x_train, y_train.argmax(1))
     x_test, y_test = data.get_test_data()
     print(f"ACC: {model.score(x_test, y_test):.4f}")
+
+"""Reference benchmark reproduction commands (upstream examples/single_modality/cell_type_annotation/svm.py):
+
+To reproduce SVM benchmarks, please refer to command lines below:
+
+Mouse Brain
+$ python svm.py --species mouse --tissue Brain --train_dataset 753 3285 --test_dataset 2695
+
+Mouse Spleen
+$ python svm.py --species mouse --tissue Spleen --train_dataset 1970 --test_dataset 1759
+
+Mouse Kidney
+$ python svm.py --species mouse --tissue Kidney --train_dataset 4682 --test_dataset 203
+
+These CLIs apply once the raw benchmark data is staged under --data_dir; in
+no-egress environments use the synthetic analogs instead, e.g.
+``--dataset`` (see examples/_utils.py DATASET_ANALOGS).
+"""

@@ -4,7 +4,7 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 3)[0])
 import numpy as np
 
-from _utils import base_parser, clustering_data, set_seed
+from _utils import load_synthetic, base_parser, clustering_data, set_seed
 from dance_tpu.modules.single_modality.clustering import GraphSC
 
 if __name__ == "__main__":
@@ -13,9 +13,29 @@ if __name__ == "__main__":
     p.add_argument("--epochs", type=int, default=50)
     args = p.parse_args()
     set_seed(args.seed)
-    data = clustering_data(seed=args.seed)
+    data = load_synthetic("clustering", args)
     GraphSC.preprocessing_pipeline()(data)
     g, y = data.get_train_data()
     model = GraphSC(n_clusters=args.n_clusters, seed=args.seed)
     model.fit(g, y, epochs=args.epochs)
     print(f"ARI: {model.score(None, y):.4f}")
+
+"""Reference benchmark reproduction commands (upstream examples/single_modality/clustering/graphsc.py):
+
+Reproduction information
+10X PBMC:
+python graphsc.py --dataset 10X_PBMC --dropout 0.5
+
+Mouse ES:
+python graphsc.py --dataset mouse_ES_cell
+
+Worm Neuron:
+python graphsc.py --dataset worm_neuron_cell
+
+Mouse Bladder:
+python graphsc.py --dataset mouse_bladder_cell
+
+These CLIs apply once the raw benchmark data is staged under --data_dir; in
+no-egress environments use the synthetic analogs instead, e.g.
+``--dataset`` (see examples/_utils.py DATASET_ANALOGS).
+"""

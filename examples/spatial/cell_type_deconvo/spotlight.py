@@ -2,22 +2,37 @@
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 3)[0])
-import numpy as np
 
-from _utils import base_parser, set_seed
-from dance_tpu.datasets.synthetic import synthetic_expression
+from _utils import base_parser, load_synthetic, set_seed
 from dance_tpu.modules.spatial.cell_type_deconvo import SPOTlight
 
 if __name__ == "__main__":
-    args = base_parser("SPOTlight").parse_args()
+    p = base_parser("SPOTlight")
+    p.add_argument("--max_iter", type=int, default=400)
+    args = p.parse_args()
     set_seed(args.seed)
-    rng = np.random.default_rng(args.seed)
-    x_ref, labels = synthetic_expression(150, 80, 3, seed=1, effect=6.0)
-    portions = rng.dirichlet(np.ones(3), 60)
-    profiles = np.stack([x_ref[labels == c].mean(0) for c in range(3)])
-    x_mix = rng.poisson(portions @ profiles * 3).astype(np.float32)
-    model = SPOTlight(ref_count=x_ref, ref_annot=labels.astype(str),
-                      ct_select=["0", "1", "2"], rank=3)
-    model.fit(x_mix, max_iter=400)
+    d = load_synthetic("deconvo", args, n_spots=60, n_genes=80, n_types=3)
+    model = SPOTlight(ref_count=d.x_ref, ref_annot=d.labels.astype(str),
+                      ct_select=[str(i) for i in range(d.n_types)],
+                      rank=d.n_types)
+    model.fit(d.x_mix, max_iter=args.max_iter)
     pred = model.predict()
-    print(f"MSE: {((pred - portions) ** 2).mean():.5f}")
+    print(f"MSE: {((pred - d.portions) ** 2).mean():.5f}")
+
+"""Reference benchmark reproduction commands (upstream examples/spatial/cell_type_deconvo/spotlight.py):
+
+To reproduce SpatialDecon benchmarks, please refer to command lines belows:
+
+GSE174746:
+$ python spotlight.py --dataset GSE174746 --lr .1 --max_iter 15000 --rank 4 --bias 0
+
+CARD synthetic:
+$ python spotlight.py --dataset CARD_synthetic --lr .1 --max_iter 100 --rank 8 --bias 0
+
+SPOTLight synthetic:
+$ python spotlight.py --dataset SPOTLight_synthetic --lr .1 --max_iter 150 --rank 10 --bias 0
+
+These CLIs apply once the raw benchmark data is staged under --data_dir; in
+no-egress environments use the synthetic analogs instead, e.g.
+``--dataset`` (see examples/_utils.py DATASET_ANALOGS).
+"""

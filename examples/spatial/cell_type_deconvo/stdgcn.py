@@ -4,27 +4,26 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 3)[0])
 import numpy as np
 
-from _utils import base_parser, set_seed
-from dance_tpu.datasets.synthetic import synthetic_expression
+from _utils import base_parser, load_synthetic, set_seed
 from dance_tpu.modules.spatial.cell_type_deconvo import StdGCN
 
 if __name__ == "__main__":
     p = base_parser("StdGCN")
     p.add_argument("--use_bsr", action="store_true",
                    help="force the Pallas BSR path (default: auto-select on TPU)")
+    p.add_argument("--max_epochs", type=int, default=200)
     args = p.parse_args()
     set_seed(args.seed)
+    d = load_synthetic("deconvo", args, n_spots=60, n_genes=80, n_types=3)
     rng = np.random.default_rng(args.seed)
-    x_ref, labels = synthetic_expression(150, 80, 3, seed=1, effect=6.0)
-    portions = rng.dirichlet(np.ones(3), 60)
-    profiles = np.stack([x_ref[labels == c].mean(0) for c in range(3)])
-    x_mix = rng.poisson(portions @ profiles * 3).astype(np.float32)
-    ps_port = rng.dirichlet(np.ones(3), 100)
-    ps_x = rng.poisson(ps_port @ profiles * 3).astype(np.float32)
-    feats = np.log1p(np.concatenate([ps_x, x_mix], axis=0))
-    coords = np.concatenate([np.zeros((100, 2)), rng.random((60, 2)) * 10], axis=0)
-    y = np.concatenate([ps_port, np.zeros_like(portions)], axis=0)
+    n_pseudo = max(100, 2 * len(d.x_mix))
+    ps_port = rng.dirichlet(np.ones(d.n_types), n_pseudo)
+    ps_x = rng.poisson(ps_port @ d.profiles * 3).astype(np.float32)
+    feats = np.log1p(np.concatenate([ps_x, d.x_mix], axis=0))
+    coords = np.concatenate([np.zeros((n_pseudo, 2)), d.spatial * 10], axis=0)
+    y = np.concatenate([ps_port, np.zeros_like(d.portions)], axis=0)
     model = StdGCN(seed=args.seed)
-    model.fit((feats, coords), y, max_epochs=200, use_bsr=args.use_bsr or "auto")
-    pred = model.predict()[100:]
-    print(f"MSE: {((pred - portions) ** 2).mean():.5f}")
+    model.fit((feats, coords), y, max_epochs=args.max_epochs,
+              use_bsr=args.use_bsr or "auto")
+    pred = model.predict()[n_pseudo:]
+    print(f"MSE: {((pred - d.portions) ** 2).mean():.5f}")

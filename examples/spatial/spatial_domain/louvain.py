@@ -4,7 +4,7 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 3)[0])
 import numpy as np
 
-from _utils import base_parser, set_seed, spatial_data
+from _utils import load_synthetic, base_parser, set_seed, spatial_data
 from dance_tpu.modules.spatial.spatial_domain import Louvain
 
 if __name__ == "__main__":
@@ -12,7 +12,7 @@ if __name__ == "__main__":
     p.add_argument("--n_clusters", type=int, default=3)
     args = p.parse_args()
     set_seed(args.seed)
-    data = spatial_data(seed=args.seed)
+    data = load_synthetic("spatial", args)
     data.data.obs["label"] = data.data.obs["domain"]
     Louvain.preprocessing_pipeline(dim=20, n_neighbors=10)(data)
     adj, y = data.get_train_data()
@@ -20,3 +20,22 @@ if __name__ == "__main__":
     model.fit(adj)
     from sklearn.metrics import adjusted_rand_score
     print(f"ARI: {adjusted_rand_score(np.asarray(y).ravel(), model.predict()):.4f}")
+
+"""Reference benchmark reproduction commands (upstream examples/spatial/spatial_domain/louvain.py):
+
+To reproduce louvain on other samples, please refer to command lines belows:
+NOTE: you have to run multiple times to get best performance.
+
+human dorsolateral prefrontal cortex sample 151673 (0.305):
+$ python louvain.py --sample_number 151673
+
+human dorsolateral prefrontal cortex sample 151676 (0.288):
+$ python louvain.py --sample_number 151676
+
+human dorsolateral prefrontal cortex sample 151507 (0.285):
+$ python louvain.py --sample_number 151507
+
+These CLIs apply once the raw benchmark data is staged under --data_dir; in
+no-egress environments use the synthetic analogs instead, e.g.
+``--dataset`` (see examples/_utils.py DATASET_ANALOGS).
+"""

@@ -5,7 +5,7 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 3)[0])
 import numpy as np
 
-from _utils import base_parser, set_seed, spatial_data
+from _utils import load_synthetic, base_parser, set_seed, spatial_data
 from dance_tpu.modules.spatial.spatial_domain import SpaGCN
 from dance_tpu.modules.spatial.spatial_domain.spagcn import refine
 
@@ -16,7 +16,7 @@ if __name__ == "__main__":
                    help="run the reference's resolution search (slower)")
     args = p.parse_args()
     set_seed(args.seed)
-    data = spatial_data(seed=args.seed)
+    data = load_synthetic("spatial", args)
     data.data.obs["label"] = data.data.obs["domain"]
     SpaGCN.preprocessing_pipeline(alpha=1, beta=9, dim=20)(data)
     (embed, adj, adj_2d), y = data.get_train_data()
@@ -35,3 +35,21 @@ if __name__ == "__main__":
     refined = refine(sample_id=list(range(len(pred))), pred=list(pred),
                      dis=adj_2d, shape="hexagon")
     print(f"ARI (refined): {adjusted_rand_score(y, refined):.4f}")
+
+"""Reference benchmark reproduction commands (upstream examples/spatial/spatial_domain/spagcn.py):
+
+To reproduce SpaGCN on other samples, please refer to command lines belows:
+
+human dorsolateral prefrontal cortex sample 151673:
+$ python spagcn.py --sample_number 151673 --lr 0.1
+
+human dorsolateral prefrontal cortex sample 151676:
+$ python spagcn.py --sample_number 151676 --lr 0.02
+
+human dorsolateral prefrontal cortex sample 151507:
+$ python spagcn.py --sample_number 151507 --lr 0.009
+
+These CLIs apply once the raw benchmark data is staged under --data_dir; in
+no-egress environments use the synthetic analogs instead, e.g.
+``--dataset`` (see examples/_utils.py DATASET_ANALOGS).
+"""
