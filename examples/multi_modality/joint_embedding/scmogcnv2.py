@@ -23,3 +23,13 @@ if __name__ == "__main__":
     model = ScMoGCNWrapperV2(seed=args.seed)
     model.fit(x1, x2, cell_type=ct, epochs=args.epochs)
     print(f"NMI: {model.score(None, ct):.4f}")
+
+"""Reference benchmark reproduction commands (upstream examples/multi_modality/joint_embedding/scmogcnv2.py:43 (argparse default; upstream carries no reproduce block)):
+
+Default benchmark:
+$ python scmogcnv2.py --subtask openproblems_bmmc_cite_phase2 --device cuda
+
+These CLIs apply once the raw benchmark data is staged; in no-egress
+environments use the synthetic analogs instead (examples/_utils.py
+DATASET_ANALOGS).
+"""

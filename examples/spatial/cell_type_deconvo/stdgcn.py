@@ -27,3 +27,13 @@ if __name__ == "__main__":
               use_bsr=args.use_bsr or "auto")
     pred = model.predict()[n_pseudo:]
     print(f"MSE: {((pred - d.portions) ** 2).mean():.5f}")
+
+"""Reference benchmark reproduction commands (upstream examples/spatial/cell_type_deconvo/stdgcn.py:20 (argparse default; upstream carries no reproduce block)):
+
+Default benchmark:
+$ python stdgcn.py --dataset CARD_synthetic
+
+These CLIs apply once the raw benchmark data is staged; in no-egress
+environments use the synthetic analogs instead (examples/_utils.py
+DATASET_ANALOGS).
+"""
