@@ -86,7 +86,11 @@ class BabelWrapper(BaseRegressionMethod):
         n = x1.shape[0]
         # full pass incl. partial batch (reference DataLoader drop_last=False)
         idx = epoch_batches(key, n, batch_size)
-        b1, b2, bl = x1[idx], x2[idx], lib1[idx][..., None]
+        # lib1 is (n, 1) (keepdims sum in fit); idx keeps the trailing axis,
+        # so per-step lib is (bs, 1) — an extra [..., None] here once made it
+        # (bs, 1, 1), broadcasting the NB mean to (bs, bs, genes): every
+        # cell scaled by every other cell's library, a 512x compute blowup
+        b1, b2, bl = x1[idx], x2[idx], lib1[idx]
 
         def loss_fn(params, bx1, bx2, blib):
             out, z1, z2 = self.net.apply({"params": params}, bx1, bx2, blib)
