@@ -270,6 +270,71 @@ def test_morphology_feature_cnn_trains():
     assert not np.allclose(feat, data2.data.obsm["MorphologyFeatureCNN"])
 
 
+def test_morphology_feature_cnn_downstream_ari():
+    """Quality delta vs the reference's pretrained CNN (spatial_feature.py:19).
+
+    The reference extracts torchvision-resnet50 features whose value is that
+    spots from the same tissue domain cluster together. No pretrained weights
+    exist offline, so this quantifies the replacement's downstream quality
+    directly: on a synthetic slide whose domains differ by patch texture,
+    kmeans on the trained self-supervised features must (a) recover the
+    domains well (ARI floor) and (b) beat the untrained random-kernel
+    fallback — the null the self-supervised training must improve on.
+    """
+    import numpy as np
+
+    from dance_tpu.data import AnnData, Data
+    from dance_tpu.ops.cluster import kmeans
+    from dance_tpu.transforms import MorphologyFeatureCNN
+    from dance_tpu.utils.metrics import ari
+
+    rng = np.random.default_rng(0)
+    n_dom, per_dom = 3, 30
+    # 3 horizontal texture bands: smooth / vertical stripes / checker
+    h = w = 312
+    image = np.empty((h, w, 3), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    band = np.minimum(yy * n_dom // h, n_dom - 1)
+    tex = np.stack([
+        0.5 + 0.05 * rng.standard_normal((h, w)),
+        0.5 + 0.45 * np.sin(xx / 2.0),
+        0.5 + 0.45 * np.sign(np.sin(xx / 4.0) * np.sin(yy / 4.0)),
+    ])
+    base = np.take_along_axis(tex, band[None], axis=0)[0]
+    for c in range(3):
+        image[..., c] = np.clip(base + 0.02 * rng.standard_normal((h, w)), 0, 1)
+
+    labels = np.repeat(np.arange(n_dom), per_dom)
+    ys = np.concatenate([
+        rng.integers(d * h // n_dom + 20, (d + 1) * h // n_dom - 20, per_dom)
+        for d in range(n_dom)])
+    xs = rng.integers(20, w - 20, n_dom * per_dom)
+    # crop convention is image[first-coord, second-coord] (row, col) — same
+    # as the reference's _crop_and_process (spatial_feature.py:70)
+    xy = np.stack([ys, xs], 1).astype(np.float32)
+
+    def extract(train_epochs, seed=0):
+        adata = AnnData(rng.random((len(labels), 10), dtype=np.float32))
+        adata.obsm["spatial_pixel"] = xy
+        adata.uns["image"] = image
+        data = Data(adata, train_size="all")
+        MorphologyFeatureCNN(n_components=8, train_epochs=train_epochs,
+                             random_state=seed)(data)
+        return np.asarray(data.data.obsm["MorphologyFeatureCNN"], np.float32)
+
+    def cluster_ari(feat):
+        import jax.numpy as jnp
+        pred = np.asarray(kmeans(jnp.asarray(feat), n_dom, seed=0).labels)
+        return ari(labels, pred)
+
+    ari_trained = cluster_ari(extract(train_epochs=30))
+    ari_random = cluster_ari(extract(train_epochs=0))
+    assert ari_trained >= 0.6, f"trained morphology ARI too low: {ari_trained}"
+    assert ari_trained >= ari_random, (
+        f"self-supervised training failed to beat the random-kernel null: "
+        f"{ari_trained} < {ari_random}")
+
+
 def test_sctransform_glm_pipeline():
     """GLM-flavor ScTransform (reference pipeline): theta_ml matches a
     brute-force NB MLE, residuals follow the reference's clip/zero rules,
