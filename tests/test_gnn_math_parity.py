@@ -206,6 +206,73 @@ def test_scmogcn_v2_structured_latent_layout():
     assert got.shape[1] == 20 + (56 - 45 - 2) + 3
 
 
+def test_scmogcn_v2_loss_composition_matches_reference_math():
+    """scmogcnv2.py:1048-1075 (the operative training branch): the v2 loss is
+    0.5*mse(decode(temp)[:, :feat1], y[:, :feat1])
+    + 0.5*mse(decode(temp)[:, -feat2:], y[:, -feat2:])
+    + ce(c_decoder(emb[:, :20]), cell_type)
+    + mse(cc_decoder(emb[:, :20]), phase_score)
+    with temp = [emb[:, :20], emb[:, 45:-2], one_hot(batch)] and single-Dense
+    decode/c_decoder/cc_decoder heads.  Replicated in numpy from the same
+    extracted weights and compared against the flax net's outputs fed through
+    the identical loss arithmetic."""
+    from dance_tpu.modules.multi_modality.joint_embedding.scmogcnv2 import (
+        _ScMoGCNv2Net)
+
+    rng = np.random.default_rng(7)
+    n, f1, f2, n_ct = 6, 5, 3, 4
+    net = _ScMoGCNv2Net(feature_size=6, out_size=f1 + f2, n_ct=n_ct,
+                        hidden_size=14, conv_layers=4, readout_layers=1)
+    emb = rng.normal(size=(n, 56)).astype(np.float32)
+    batch = rng.integers(0, 3, n)
+    bf = np.eye(3, dtype=np.float32)[batch]
+    y = rng.normal(size=(n, f1 + f2)).astype(np.float32)
+    ct = rng.integers(0, n_ct, n)
+    phase = rng.normal(size=(n, 2)).astype(np.float32)
+
+    # initialize the three heads by tracing structured+decode+heads once
+    dec_in = 20 + (56 - 45 - 2) + 3
+    params = {
+        "decoder_0": {"kernel": rng.normal(size=(dec_in, f1 + f2)).astype(
+            np.float32) * 0.1, "bias": np.zeros(f1 + f2, np.float32)},
+        "c_decoder": {"kernel": rng.normal(size=(20, n_ct)).astype(
+            np.float32) * 0.1, "bias": np.zeros(n_ct, np.float32)},
+        "cc_decoder": {"kernel": rng.normal(size=(20, 2)).astype(
+            np.float32) * 0.1, "bias": np.zeros(2, np.float32)},
+    }
+
+    def jax_loss():
+        temp = net.apply({"params": params}, jnp.asarray(emb),
+                         jnp.asarray(bf), method=net.structured)
+        out = net.apply({"params": params}, temp, method=net.decode)
+        ct_logits = net.apply({"params": params}, jnp.asarray(emb[:, :20]),
+                              method=lambda m, h: m.c_decoder(h))
+        cc_pred = net.apply({"params": params}, jnp.asarray(emb[:, :20]),
+                            method=lambda m, h: m.cc_decoder(h))
+        import optax
+        l1 = ((out[:, :f1] - y[:, :f1]) ** 2).mean()
+        l2 = ((out[:, -f2:] - y[:, -f2:]) ** 2).mean()
+        l3 = optax.softmax_cross_entropy_with_integer_labels(
+            ct_logits, jnp.asarray(ct)).mean()
+        l5 = ((cc_pred - jnp.asarray(phase)) ** 2).mean()
+        return float(0.5 * l1 + 0.5 * l2 + l3 + l5)
+
+    # numpy replica of the reference's arithmetic
+    temp = np.concatenate([emb[:, :20], emb[:, 45:-2], bf], 1)
+    out = _dense(params["decoder_0"], temp)
+    logits = _dense(params["c_decoder"], emb[:, :20])
+    cc = _dense(params["cc_decoder"], emb[:, :20])
+    l1 = ((out[:, :f1] - y[:, :f1]) ** 2).mean()
+    l2 = ((out[:, -f2:] - y[:, -f2:]) ** 2).mean()
+    logp = logits - np.log(np.exp(logits - logits.max(1, keepdims=True)).sum(
+        1, keepdims=True)) - logits.max(1, keepdims=True)
+    l3 = -logp[np.arange(n), ct].mean()
+    l5 = ((cc - phase) ** 2).mean()
+    want = 0.5 * l1 + 0.5 * l2 + l3 + l5
+
+    np.testing.assert_allclose(jax_loss(), want, rtol=2e-5)
+
+
 # --------------------------------------------------------------------------
 # AdaptiveSAGE (reference dance/models/nn/gnn.py:62-96)
 # --------------------------------------------------------------------------
