@@ -21,12 +21,23 @@ fwd+bwd+Adam). DGL itself is not installable here; torch scatter ops are the
 faithful stand-in for its CPU path (the reference's own CI runs CPU tests).
 This is an honest single-chip vs single-host-CPU comparison, not a claim
 about V100s; BENCH_NOTES.md carries the full context.
+
+``vs_baseline`` stability: the host lane runs on this VM's ONE contended CPU
+core and its rate varied 3x across rounds (163 cells/s in BENCH_r02, 506 in
+BENCH_r03) at near-identical TPU rates. To keep the ratio comparable across
+rounds it is computed against max(live host rate, PINNED_HOST_CELLS_PER_SEC)
+— the fastest host rate ever measured on this machine, i.e. the denominator
+most favorable to the baseline. Both rates are emitted alongside.
 """
 
 import json
 import time
 
 import numpy as np
+
+# Fastest torch-CPU lane rate observed on this machine (BENCH_r03, round 3);
+# see module docstring. Update only upward (a faster host run).
+PINNED_HOST_CELLS_PER_SEC = 506.0
 
 
 def build_graph(n_cells=12000, n_genes=2000, dim=256, density=0.025, seed=0):
@@ -136,11 +147,14 @@ def main():
     g, labels = build_graph(n_cells=n_cells)
     tpu_rate, tpu_step = bench_tpu(g, labels, n_cells)
     cpu_rate, cpu_step = bench_torch_cpu(g, labels, n_cells)
+    baseline_rate = max(cpu_rate, PINNED_HOST_CELLS_PER_SEC)
     print(json.dumps({
         "metric": "scdeepsort_bsr_train_cells_per_sec",
         "value": round(tpu_rate, 1),
         "unit": "cells/sec",
-        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "vs_baseline": round(tpu_rate / baseline_rate, 2),
+        "host_live_cells_per_sec": round(cpu_rate, 1),
+        "host_pinned_cells_per_sec": PINNED_HOST_CELLS_PER_SEC,
     }))
 
 

@@ -6,7 +6,11 @@ Fills the ``host_ms_epoch`` / ``host_s_total`` columns of
 :mod:`refshim`, torch CPU / sklearn / numpy) on the same synthetic inputs and
 scales as :mod:`matrix`. Methods whose reference depends on DGL/PyG
 (scdeepsort, graphsc, sctag, stagate, scheteronet, graphsci, spotlight,
-scmogcn*) cannot run here — their stand-in numbers live in BENCH_NOTES.md.
+scmogcn*, efnst) cannot import the reference here — for those the
+``@standin`` cases below reproduce the reference's per-epoch compute pattern
+with torch's own CPU kernels (sparse COO SpMM for the graph aggregations,
+dense linears, same loss family) and their rows are marked
+"torch-CPU stand-in" in the notes column.
 
 Honest caveats (also in BENCH_MATRIX.md): this host has ONE CPU core; the
 reference's own benchmark hardware is a V100. Treat the column as a
@@ -29,9 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import refshim  # noqa: E402
 from matrix import (CASES as TPU_CASES, N_CELLS, N_CT, N_GENES, N_PSEUDO,  # noqa: E402
-                    N_REAL, N_SPOTS, N_TYPES, _clustering_inputs,
-                    _deconvo_inputs, _expr, _knn_csr, _mm_inputs,
-                    _spatial_inputs, load_results, render, save_results)
+                    N_REAL, N_SPOTS, N_TYPES, _bipartite_graph,
+                    _clustering_inputs, _deconvo_inputs, _expr, _knn_csr,
+                    _mm_inputs, _spatial_inputs, load_results, render,
+                    save_results)
 
 HOST_CASES = {}
 
@@ -556,6 +561,617 @@ def host_stdgcn():
 
 
 # --------------------------------------------------------------------------
+# torch-CPU stand-ins for DGL/PyG-dependent references
+#
+# DGL and PyG are not installable here, so these rows cannot run the
+# reference code itself. Each stand-in reproduces the reference's per-epoch
+# compute pattern with torch's own CPU kernels — sparse COO SpMM for the
+# graph aggregations (the same class of kernel DGL's CPU backend dispatches),
+# dense linears, the same loss family, Adam, full-graph steps — at the exact
+# scale/hyperparameters the TPU lane measures. bench.py uses the identical
+# approach for its headline number.
+# --------------------------------------------------------------------------
+
+STANDIN_NOTE = "host = torch-CPU stand-in (DGL/PyG not installable)"
+STANDIN = set()
+
+
+def standin(name):
+    def wrap(fn):
+        STANDIN.add(name)
+        HOST_CASES[name] = fn
+        return fn
+    return wrap
+
+
+def _torch_coo(adj):
+    import torch
+    coo = adj.tocoo()
+    return torch.sparse_coo_tensor(
+        np.stack([coo.row, coo.col]), coo.data.astype(np.float32),
+        coo.shape).coalesce()
+
+
+def _epoch_steps(step, e_small=5, e_big=25):
+    """Per-step seconds for a full-graph train step (reference pattern)."""
+    def make(e):
+        for _ in range(e):
+            step()
+    step()  # warm
+    return epoch_delta_host(make, e_small, e_big)
+
+
+@standin("scdeepsort")
+def host_scdeepsort():
+    """AdaptiveSAGE over the cell-gene graph (reference scdeepsort.py:183
+    runs this through DGL's CPU SpMM when no GPU is present)."""
+    import torch
+    x, y = _expr()
+    g = _bipartite_graph(x, dim=256)
+    adj = g.adj.tocsr()
+    at = _torch_coo(adj)
+    deg = torch.from_numpy(
+        np.maximum(np.asarray(adj.sum(1)).ravel(), 1).astype(np.float32))[:, None]
+    feats = torch.from_numpy(np.asarray(g.ndata["features"], np.float32))
+    n_genes = int(g.info["num_genes"])
+    n = feats.shape[0]
+    yt = torch.from_numpy(np.concatenate(
+        [-np.ones(n_genes, np.int64), y.astype(np.int64)]))
+    mask = yt >= 0
+    lin1, lin2 = torch.nn.Linear(256, 256), torch.nn.Linear(256, 256)
+    head = torch.nn.Linear(256, N_TYPES)
+    norm1, norm2 = torch.nn.LayerNorm(256), torch.nn.LayerNorm(256)
+    alpha = torch.nn.Parameter(torch.ones(n, 1))
+    params = ([alpha] + list(lin1.parameters()) + list(lin2.parameters())
+              + list(head.parameters()) + list(norm1.parameters())
+              + list(norm2.parameters()))
+    opt = torch.optim.Adam(params, lr=1e-3)
+
+    def step():
+        opt.zero_grad()
+        h = norm1(torch.relu(lin1(torch.sparse.mm(at, feats * alpha) / deg)))
+        h = norm2(torch.relu(lin2(torch.sparse.mm(at, h) / deg)))
+        loss = torch.nn.functional.cross_entropy(head(h)[mask], yt[mask])
+        loss.backward()
+        opt.step()
+
+    return dict(host_ms_epoch=_epoch_steps(step) * 1e3)
+
+
+@standin("graphsc")
+def host_graphsc():
+    """WeightedGraphConv AE + inner-product decoder (reference graph-sc
+    trains GCNAE through DGL, graphsc.py:274)."""
+    import torch
+    x, y = _expr()
+    g = _bipartite_graph(x, dim=50)
+    at = _torch_coo(g.adj)
+    feats = torch.from_numpy(np.asarray(g.ndata["features"], np.float32))
+    n = feats.shape[0]
+    lin0 = torch.nn.Linear(50, 200)
+    lin1 = torch.nn.Linear(200, 300)
+    opt = torch.optim.Adam(list(lin0.parameters()) + list(lin1.parameters()),
+                           lr=1e-3)
+    # dense BCE target at the reference's own formulation (adj reconstruction)
+    target = torch.zeros(n, n)
+    coo = g.adj.tocoo()
+    target[coo.row, coo.col] = 1.0
+
+    def step():
+        opt.zero_grad()
+        h = torch.relu(lin0(torch.sparse.mm(at, feats)))
+        emb = lin1(torch.sparse.mm(at, h))
+        logits = emb @ emb.T
+        loss = torch.nn.functional.binary_cross_entropy_with_logits(logits,
+                                                                    target)
+        loss.backward()
+        opt.step()
+
+    return dict(host_ms_epoch=_epoch_steps(step, 2, 10) * 1e3)
+
+
+@standin("sctag")
+def host_sctag():
+    """TAGConv (k=3 hop propagation) AE + ZINB head (reference sctag.py uses
+    DGL TAGConv)."""
+    import torch
+    (xl, x, sf), y = _clustering_inputs()
+    adj = _knn_csr(xl[:, :64])
+    at = _torch_coo(adj)
+    ft = torch.from_numpy(xl)
+    xt = torch.from_numpy(x)
+    sft = torch.from_numpy(sf.astype(np.float32))[:, None]
+    k, hid, lat = 3, 128, 15
+    lin_in = torch.nn.Linear(N_GENES * (k + 1), hid)
+    lin_lat = torch.nn.Linear(hid * (k + 1), lat)
+    dec = torch.nn.Sequential(torch.nn.Linear(lat, 128), torch.nn.ReLU(),
+                              torch.nn.Linear(128, 256), torch.nn.ReLU(),
+                              torch.nn.Linear(256, 512), torch.nn.ReLU())
+    heads = torch.nn.Linear(512, N_GENES * 3)
+    params = (list(lin_in.parameters()) + list(lin_lat.parameters())
+              + list(dec.parameters()) + list(heads.parameters()))
+    opt = torch.optim.Adam(params, lr=1e-3)
+
+    def tag(h, lin):
+        hops = [h]
+        for _ in range(k):
+            hops.append(torch.sparse.mm(at, hops[-1]))
+        return torch.relu(lin(torch.cat(hops, 1)))
+
+    def step():
+        opt.zero_grad()
+        h = tag(ft, lin_in)
+        z = tag(h, lin_lat)
+        out = heads(dec(z))
+        mu, disp, pi = out.chunk(3, 1)
+        mu = torch.nn.functional.softplus(mu) * sft
+        disp = torch.clamp(torch.nn.functional.softplus(disp), 1e-4, 1e4)
+        # ZINB NLL (reference loss family)
+        t1 = (torch.lgamma(disp) + torch.lgamma(xt + 1)
+              - torch.lgamma(xt + disp))
+        t2 = ((disp + xt) * torch.log1p(mu / disp)
+              + xt * (torch.log(disp + 1e-8) - torch.log(mu + 1e-8)))
+        nb = t1 + t2
+        zero_nb = torch.pow(disp / (disp + mu + 1e-8), disp)
+        pi_s = torch.sigmoid(pi)
+        loss = torch.where(
+            xt < 1e-8, -torch.log(pi_s + (1 - pi_s) * zero_nb + 1e-8),
+            -torch.log(1 - pi_s + 1e-8) + nb).mean()
+        loss.backward()
+        opt.step()
+
+    return dict(host_ms_epoch=_epoch_steps(step, 2, 10) * 1e3)
+
+
+@standin("stagate")
+def host_stagate():
+    """Tied-attention GAT autoencoder (reference STAGATE.py trains a 4-layer
+    tied GAT through PyG)."""
+    import torch
+    xl, coords, _ = _spatial_inputs()
+    adj = _knn_csr(coords, k=8).tocoo()
+    src = torch.from_numpy(adj.col.astype(np.int64))
+    dst = torch.from_numpy(adj.row.astype(np.int64))
+    n = xl.shape[0]
+    ft = torch.from_numpy(xl)
+    w1 = torch.nn.Parameter(torch.randn(N_GENES, 512) * 0.01)
+    w2 = torch.nn.Parameter(torch.randn(512, 30) * 0.01)
+    a_s = torch.nn.Parameter(torch.randn(512) * 0.01)
+    a_d = torch.nn.Parameter(torch.randn(512) * 0.01)
+    opt = torch.optim.Adam([w1, w2, a_s, a_d], lr=1e-3)
+
+    def attn_agg(h, av_s, av_d):
+        e = torch.sigmoid((h * av_s).sum(1)[src] + (h * av_d).sum(1)[dst])
+        # edge softmax over incoming edges (PyG softmax(index=dst))
+        den = torch.zeros(n).index_add_(0, dst, torch.exp(e))
+        w = torch.exp(e) / den[dst]
+        out = torch.zeros_like(h).index_add_(0, dst, h[src] * w[:, None])
+        return out
+
+    def step():
+        opt.zero_grad()
+        h1 = torch.nn.functional.elu(attn_agg(ft @ w1, a_s, a_d))
+        z = attn_agg(h1 @ w2, torch.ones(30), torch.ones(30))
+        # tied decoder
+        h3 = torch.nn.functional.elu(attn_agg(z @ w2.T, a_s, a_d))
+        rec = attn_agg(h3 @ w1.T, torch.ones(N_GENES), torch.ones(N_GENES))
+        loss = ((rec - ft) ** 2).mean()
+        loss.backward()
+        opt.step()
+
+    return dict(host_ms_epoch=_epoch_steps(step, 2, 10) * 1e3)
+
+
+@standin("scheteronet")
+def host_scheteronet():
+    """Two-hop HetConv + ZINB decoder (reference scheteronet.py trains
+    through PyG gcn_conv at one- and two-hop adjacencies)."""
+    import torch
+    x, y = _expr()
+    xl = np.log1p(x)
+    adj = _knn_csr(xl[:, :50] @ np.random.default_rng(0).random(
+        (50, 32), dtype=np.float32))
+    at = _torch_coo(adj)
+    ft = torch.from_numpy(xl)
+    xt = torch.from_numpy(x)
+    yt = torch.from_numpy(y.astype(np.int64))
+    hid = 64
+    lin_in = torch.nn.Linear(N_GENES, hid)
+    convs = [torch.nn.Linear(hid * 3, hid) for _ in range(2)]
+    head = torch.nn.Linear(hid, N_TYPES)
+    dec = torch.nn.Linear(hid, N_GENES * 3)
+    params = (list(lin_in.parameters()) + list(head.parameters())
+              + list(dec.parameters())
+              + [p for c in convs for p in c.parameters()])
+    opt = torch.optim.Adam(params, lr=1e-3)
+
+    def step():
+        opt.zero_grad()
+        h = torch.relu(lin_in(ft))
+        for conv in convs:
+            a1 = torch.sparse.mm(at, h)
+            a2 = torch.sparse.mm(at, a1)  # strict two-hop propagation
+            h = torch.relu(conv(torch.cat([h, a1, a2], 1)))
+        out = dec(h)
+        mu, disp, pi = out.chunk(3, 1)
+        mu = torch.nn.functional.softplus(mu)
+        disp = torch.clamp(torch.nn.functional.softplus(disp), 1e-4, 1e4)
+        t1 = (torch.lgamma(disp) + torch.lgamma(xt + 1)
+              - torch.lgamma(xt + disp))
+        t2 = ((disp + xt) * torch.log1p(mu / disp)
+              + xt * (torch.log(disp + 1e-8) - torch.log(mu + 1e-8)))
+        zinb = (t1 + t2).mean()
+        ce = torch.nn.functional.cross_entropy(head(h), yt)
+        (ce + zinb).backward()
+        opt.step()
+
+    return dict(host_ms_epoch=_epoch_steps(step, 2, 10) * 1e3)
+
+
+@standin("graphsci")
+def host_graphsci():
+    """Gene-graph VAE + expression AE (reference graphsci.py trains GNNModel
+    through DGL GraphConv on the 2000-node gene graph + an AE over cells)."""
+    import scipy.sparse as ssp
+    import torch
+    x, _ = _expr()
+    xl = np.log1p(x)
+    corr = np.corrcoef(xl[:2000].T)
+    adj = ssp.csr_matrix((np.abs(corr) > 0.3).astype(np.float32))
+    at = _torch_coo(adj)
+    xt = torch.from_numpy(xl)
+    g1 = torch.nn.Linear(N_CELLS, 256)
+    g2_mean = torch.nn.Linear(256, 16)
+    g2_std = torch.nn.Linear(256, 16)
+    ae1 = torch.nn.Linear(N_GENES, 256)
+    ae2 = torch.nn.Linear(256, N_GENES * 3)
+    params = (list(g1.parameters()) + list(g2_mean.parameters())
+              + list(g2_std.parameters()) + list(ae1.parameters())
+              + list(ae2.parameters()))
+    opt = torch.optim.Adam(params, lr=1e-3)
+    target = torch.from_numpy(adj.toarray())
+
+    def step():
+        opt.zero_grad()
+        gene_feat = xt.T  # genes x cells
+        h = torch.relu(g1(torch.sparse.mm(at, gene_feat)))
+        z_mean = g2_mean(torch.sparse.mm(at, h))
+        z_std = g2_std(torch.sparse.mm(at, h))
+        z = z_mean + torch.randn_like(z_std) * torch.exp(z_std)
+        adj_logits = z @ z.T
+        l_adj = torch.nn.functional.binary_cross_entropy_with_logits(
+            adj_logits, target)
+        h2 = torch.relu(ae1(xt))
+        mu, disp, pi = ae2(h2).chunk(3, 1)
+        mu = torch.nn.functional.softplus(mu)
+        disp = torch.clamp(torch.nn.functional.softplus(disp), 1e-4, 1e4)
+        t1 = (torch.lgamma(disp) + torch.lgamma(xt + 1)
+              - torch.lgamma(xt + disp))
+        t2 = ((disp + xt) * torch.log1p(mu / disp)
+              + xt * (torch.log(disp + 1e-8) - torch.log(mu + 1e-8)))
+        loss = l_adj + (t1 + t2).mean()
+        loss.backward()
+        opt.step()
+
+    return dict(host_ms_epoch=_epoch_steps(step, 2, 10) * 1e3)
+
+
+@standin("spotlight")
+def host_spotlight():
+    """NMF multiplicative updates + NNLS projections (reference spotlight.py
+    runs torchnmf on CPU when no GPU is present)."""
+    import torch
+    profiles, portions, x_mix, _, rng = _deconvo_inputs()
+    x_ref, labels = _expr(2000, N_GENES, N_CT, seed=5)
+    V = torch.from_numpy(x_ref.T.astype(np.float32))  # genes x cells
+    rank = N_CT
+    W = torch.rand(N_GENES, rank) + 0.1
+    H = torch.rand(rank, 2000) + 0.1
+
+    def mu_iter():
+        nonlocal W, H
+        WH = W @ H
+        H = H * (W.T @ V) / (W.T @ WH + 1e-8)
+        WH = W @ H
+        W = W * (V @ H.T) / (WH @ H.T + 1e-8)
+
+    return dict(host_ms_epoch=_epoch_steps(mu_iter, 20, 220) * 1e3)
+
+
+def _host_scmogcn_step(d_hid=48, conv_layers=4, extra_feats=134):
+    """Shared hetero-SAGE trunk: alternating cell<->feature sparse SpMMs
+    (reference scmogcn.py:477 DGL SAGEConv per relation per layer)."""
+    import scipy.sparse as ssp
+    import torch
+    x1, x2, _ = _mm_inputs()
+    n_feats = N_GENES + extra_feats
+    expr = ssp.csr_matrix(np.concatenate([np.expm1(x1), np.abs(x2)], 1))
+    a_c2f = _torch_coo(expr.T.tocsr())  # feats x cells
+    a_f2c = _torch_coo(expr)            # cells x feats
+    hc = torch.nn.Parameter(torch.randn(N_CELLS, d_hid) * 0.05)
+    hf = torch.nn.Parameter(torch.randn(n_feats, d_hid) * 0.05)
+    lins = [torch.nn.Linear(2 * d_hid, d_hid) for _ in range(2 * conv_layers)]
+    head = torch.nn.Linear(d_hid, extra_feats)
+    params = [hc, hf] + [p for l in lins for p in l.parameters()] + list(
+        head.parameters())
+    opt = torch.optim.Adam(params, lr=1e-3)
+    target = torch.from_numpy(x2)
+
+    def step():
+        opt.zero_grad()
+        c, f = hc, hf
+        for i in range(conv_layers):
+            f_new = torch.relu(lins[2 * i](
+                torch.cat([f, torch.sparse.mm(a_c2f, c)], 1)))
+            c = torch.relu(lins[2 * i + 1](
+                torch.cat([c, torch.sparse.mm(a_f2c, f)], 1)))
+            f = f_new
+        loss = ((head(c) - target) ** 2).mean()
+        loss.backward()
+        opt.step()
+
+    return step
+
+
+@standin("scmogcn_predict")
+def host_scmogcn_predict():
+    return dict(host_ms_epoch=_epoch_steps(_host_scmogcn_step(), 2, 10) * 1e3)
+
+
+@standin("scmogcn_je")
+def host_scmogcn_je():
+    return dict(host_ms_epoch=_epoch_steps(_host_scmogcn_step(), 2, 10) * 1e3)
+
+
+@standin("scmogcn_match")
+def host_scmogcn_match():
+    """Contrastive matching over propagated one-hot features (g=512 as in
+    the TPU lane; the trunk is the propagation + projection pair)."""
+    import torch
+    x1, x2, _ = _mm_inputs(n=N_CELLS, g=512, p=134)
+    ft1 = torch.from_numpy(x1)
+    ft2 = torch.from_numpy(x2)
+    proj1 = torch.nn.Sequential(torch.nn.Linear(512, 512), torch.nn.ReLU(),
+                                torch.nn.Linear(512, 64))
+    proj2 = torch.nn.Sequential(torch.nn.Linear(134, 512), torch.nn.ReLU(),
+                                torch.nn.Linear(512, 64))
+    opt = torch.optim.Adam(list(proj1.parameters())
+                           + list(proj2.parameters()), lr=1e-3)
+    bs = 4096
+
+    def step():
+        opt.zero_grad()
+        z1 = torch.nn.functional.normalize(proj1(ft1[:bs]), dim=1)
+        z2 = torch.nn.functional.normalize(proj2(ft2[:bs]), dim=1)
+        logits = z1 @ z2.T * 10
+        y = torch.arange(bs)
+        loss = (torch.nn.functional.cross_entropy(logits, y)
+                + torch.nn.functional.cross_entropy(logits.T, y))
+        loss.backward()
+        opt.step()
+
+    return dict(host_ms_epoch=_epoch_steps(step, 2, 10) * 1e3)
+
+
+@standin("scmogcn_v2")
+def host_scmogcn_v2():
+    return dict(host_ms_epoch=_epoch_steps(
+        _host_scmogcn_step(conv_layers=2), 2, 10) * 1e3)
+
+
+@standin("efnst")
+def host_efnst():
+    """Graph autoencoder over spot features (reference EfNST trains a GCN AE
+    through PyG; the conv image features are a fixed preprocess)."""
+    import torch
+    xl, coords, _ = _spatial_inputs()
+    adj = _knn_csr(coords, k=8)
+    at = _torch_coo(adj)
+    rng = np.random.default_rng(4)
+    concat = np.concatenate(
+        [xl[:, :200], rng.random((N_SPOTS, 32), dtype=np.float32)], 1)
+    ft = torch.from_numpy(concat)
+    d = concat.shape[1]
+    enc1 = torch.nn.Linear(d, 64)
+    enc2 = torch.nn.Linear(64, 16)
+    dec1 = torch.nn.Linear(16, 64)
+    dec2 = torch.nn.Linear(64, d)
+    params = (list(enc1.parameters()) + list(enc2.parameters())
+              + list(dec1.parameters()) + list(dec2.parameters()))
+    opt = torch.optim.Adam(params, lr=1e-3)
+
+    def step():
+        opt.zero_grad()
+        h = torch.relu(enc1(torch.sparse.mm(at, ft)))
+        z = enc2(torch.sparse.mm(at, h))
+        rec = dec2(torch.relu(dec1(z)))
+        loss = ((rec - ft) ** 2).mean()
+        loss.backward()
+        opt.step()
+
+    return dict(host_ms_epoch=_epoch_steps(step, 2, 10) * 1e3)
+
+
+# --------------------------------------------------------------------------
+# Host-stack methods: both the reference and the repo run these on the host
+# CPU (sklearn / networkx community detection), so the columns below compare
+# the reference implementation directly at the TPU lane's scale/protocol.
+# --------------------------------------------------------------------------
+
+@case("svm")
+def host_svm():
+    import jax.numpy as jnp
+
+    from dance_tpu.ops.linalg import pca
+    RefSVM = refshim.import_ref(
+        "dance.modules.single_modality.cell_type_annotation.svm", "SVM")
+    x, y = _expr()
+    emb = np.asarray(pca(jnp.asarray(np.log1p(x)), 400).embedding)
+
+    def fit():
+        ref = RefSVM(None, random_state=0)
+        ref.fit(emb, y)
+        return ref
+
+    fit()  # warm sklearn caches
+    t0 = time.perf_counter()
+    fit()
+    return dict(host_s_total=time.perf_counter() - t0)
+
+
+@case("celltypist")
+def host_celltypist():
+    import sys
+
+    import sklearn.linear_model as sklm
+    RefCelltypist = refshim.import_ref(
+        "dance.modules.single_modality.cell_type_annotation.celltypist",
+        "Celltypist")
+    # the reference pins multi_class='ovr' (celltypist.py:772); sklearn >=1.7
+    # removed the kwarg. Drop it so the reference code runs — the multinomial
+    # fallback is the same solve our own port runs (celltypist.py:144), so
+    # the comparison stays like-for-like.
+    ref_mod = sys.modules[RefCelltypist.__module__]
+    _real_LR = sklm.LogisticRegression
+
+    def _LR(*a, multi_class=None, **k):
+        return _real_LR(*a, **k)
+
+    ref_mod.LogisticRegression = _LR
+    x, y = _expr()
+    x = np.log1p(x)
+
+    def fit():
+        ref = RefCelltypist(majority_voting=False)
+        ref.fit(x, y)
+        return ref
+
+    fit()
+    t0 = time.perf_counter()
+    fit()
+    return dict(host_s_total=time.perf_counter() - t0)
+
+
+@case("singlecellnet")
+def host_singlecellnet():
+    RefSCN = refshim.import_ref(
+        "dance.modules.single_modality.cell_type_annotation.singlecellnet",
+        "SingleCellNet")
+    x, y = _expr()
+    xl = np.log1p(x)
+
+    def fit():
+        ref = RefSCN(num_trees=100)
+        ref.fit(xl, y)
+        return ref
+
+    fit()
+    t0 = time.perf_counter()
+    fit()
+    return dict(host_s_total=time.perf_counter() - t0)
+
+
+@case("louvain")
+def host_louvain():
+    RefLouvain = refshim.import_ref(
+        "dance.modules.spatial.spatial_domain.louvain", "Louvain")
+    xl, coords, _ = _spatial_inputs()
+    adj = _knn_csr(xl[:, :50])
+    dense = np.asarray((adj + adj.T).toarray())  # ref requires symmetric
+
+    def fit():
+        ref = RefLouvain()
+        ref.fit(dense)
+        return ref
+
+    fit()
+    t0 = time.perf_counter()
+    fit()
+    return dict(host_s_total=time.perf_counter() - t0)
+
+
+@case("stlearn")
+def host_stlearn():
+    RefStKmeans = refshim.import_ref(
+        "dance.modules.spatial.spatial_domain.stlearn", "StKmeans")
+    xl, coords, _ = _spatial_inputs()
+
+    def fit():
+        try:
+            ref = RefStKmeans(n_clusters=6)  # signature default algorithm="auto"
+        except Exception:
+            ref = None
+        if ref is None or getattr(ref.model, "algorithm", None) == "auto":
+            # sklearn >=1.3 removed algorithm="auto"; lloyd is its successor
+            ref = RefStKmeans(n_clusters=6, algorithm="lloyd")
+        ref.fit(xl)
+        return ref
+
+    fit()
+    t0 = time.perf_counter()
+    fit()
+    return dict(host_s_total=time.perf_counter() - t0)
+
+
+@standin("scgnn2")
+def host_scgnn2():
+    """scGNN2 EM loop (reference scgnn2.py: feature AE dim->512->128->512->dim,
+    VGAE over the cell kNN graph, per-cluster AEs). igraph (its clustering
+    dep) is not installable, so this reproduces the torch compute pattern of
+    one EM iteration at the TPU lane's budgets (20 epochs per AE stage)."""
+    import torch
+    x, _ = _expr()
+    xl = np.log1p(x)
+    xt = torch.from_numpy(xl)
+    n = xl.shape[0]
+
+    def feature_ae_epochs(e, in_t):
+        fc1 = torch.nn.Linear(in_t.shape[1], 512)
+        fc2 = torch.nn.Linear(512, 128)
+        fc3 = torch.nn.Linear(128, 512)
+        fc4 = torch.nn.Linear(512, in_t.shape[1])
+        params = sum([list(m.parameters()) for m in (fc1, fc2, fc3, fc4)], [])
+        opt = torch.optim.Adam(params, lr=1e-3)
+        for _ in range(e):
+            opt.zero_grad()
+            h = torch.relu(fc2(torch.relu(fc1(in_t))))
+            rec = fc4(torch.relu(fc3(h)))
+            ((rec - in_t) ** 2).mean().backward()
+            opt.step()
+        return h.detach()
+
+    def run(e):
+        h = feature_ae_epochs(e, xt)  # feature AE stage
+        adj = _knn_csr(h.numpy()[:, :32])
+        at = _torch_coo(adj)
+        gc1 = torch.nn.Linear(128, 32)
+        gc_mu = torch.nn.Linear(32, 16)
+        gc_lv = torch.nn.Linear(32, 16)
+        params = (list(gc1.parameters()) + list(gc_mu.parameters())
+                  + list(gc_lv.parameters()))
+        opt = torch.optim.Adam(params, lr=1e-2)
+        labels = torch.from_numpy(adj.toarray())
+        for _ in range(e):  # graph AE (VGAE) stage
+            opt.zero_grad()
+            h1 = torch.relu(gc1(torch.sparse.mm(at, h)))
+            mu = gc_mu(torch.sparse.mm(at, h1))
+            lv = gc_lv(torch.sparse.mm(at, h1))
+            z = mu + torch.randn_like(lv) * torch.exp(lv)
+            logits = z @ z.T
+            loss = torch.nn.functional.binary_cross_entropy_with_logits(
+                logits, labels)
+            loss = loss - 0.5 / n * (1 + 2 * lv - mu**2 - (2 * lv).exp()).mean()
+            loss.backward()
+            opt.step()
+        feature_ae_epochs(e, xt)  # cluster-AE stage (same arch over the cells)
+
+    t0 = time.perf_counter()
+    run(20)
+    return dict(host_s_total=time.perf_counter() - t0,
+                notes="1 EM iter, 20 AE epochs each")
+
+
+# --------------------------------------------------------------------------
 
 def main():
     ap = argparse.ArgumentParser()
@@ -583,6 +1199,9 @@ def main():
             scale=TPU_CASES[name][2] if name in TPU_CASES else ""))
         row.update({k: f"{v:.4f}" if isinstance(v, float) else v
                     for k, v in res.items()})
+        if name in STANDIN and STANDIN_NOTE not in row.get("notes", ""):
+            row["notes"] = "; ".join(
+                filter(None, [row.get("notes", ""), STANDIN_NOTE]))
         save_results(rows)
         print(f"   {res} [{time.time() - t0:.0f}s]", flush=True)
     render()

@@ -144,8 +144,100 @@ def profile_stdgcn():
     print(f"  55-epoch fit total: {time.perf_counter() - t0:.1f}s", flush=True)
 
 
+def profile_stdgcn_formats():
+    """Adjacency-format shootout for the two-tower conGCN: the bench row
+    pins use_bsr=True; at 5k nodes / kNN density ~0.5% the right format is
+    not obvious (BSR tile overhead vs CSR gathers vs one dense matmul)."""
+    import time as _t
+
+    from benchmarks.matrix import N_CT, N_PSEUDO, _deconvo_inputs
+    from dance_tpu.modules.spatial.cell_type_deconvo import StdGCN
+
+    profiles, portions, x_mix, coords, rng = _deconvo_inputs()
+    ps_port = rng.dirichlet(np.ones(N_CT), N_PSEUDO)
+    ps_x = rng.poisson(ps_port @ profiles * 3).astype(np.float32)
+    feats = np.log1p(np.concatenate([ps_x, x_mix], axis=0))
+    y = np.concatenate([ps_port, np.zeros_like(portions)], axis=0)
+
+    for fmt in (True, False, "auto"):
+        m = StdGCN(seed=0)
+
+        def make(e):
+            m.fit((feats, coords), y, max_epochs=e,
+                  early_stopping_patience=0, use_bsr=fmt)
+
+        make(5)  # compile
+        t0 = _t.perf_counter()
+        make(5)
+        small = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        make(55)
+        big = _t.perf_counter() - t0
+        print(f"  use_bsr={fmt!r}: {(big - small) / 50 * 1e3:.1f} ms/epoch "
+              f"(5ep {small:.1f}s / 55ep {big:.1f}s)", flush=True)
+
+
+def profile_deepimpute():
+    """Step isolation for the vmapped ensemble: where do 130 ms/epoch go —
+    the per-batch scan (dispatch-free, so per-step kernel overheads), the
+    gathers, or the Adam update over the stacked params?"""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from benchmarks.matrix import _expr
+    from dance_tpu.modules.single_modality.imputation import DeepImpute
+    from dance_tpu.utils import to_device
+
+    x, _ = _expr()
+    xl = np.log1p(x)
+    # build predictors/targets exactly like GeneHoldout.__call__
+    rng = np.random.default_rng(0)
+    n_genes = xl.shape[1]
+    targets = np.split(rng.permutation(n_genes),
+                       range(512, n_genes, 512))
+    cov = np.cov(xl.astype(np.float64), rowvar=False)
+    predictors = []
+    for targs in targets:
+        others = np.setdiff1d(np.arange(n_genes), targs)
+        order = np.argsort(-cov[np.ix_(targs, others)], axis=1)[:, :5]
+        predictors.append(np.unique(others[order.ravel()]))
+    m = DeepImpute(predictors, targets, seed=0)
+    m.fit(xl, xl, n_epochs=2, patience=0, batch_size=64)
+
+    Xj = to_device(xl)
+    keys = jax.random.split(jax.random.key(1), 64)
+    params, opt_state = m.params, m._tx.init(m.params)
+
+    n_ens = len(targets)
+    print(f"  ensembles: {n_ens}, p_max {m._idx[0].shape[1]}, "
+          f"t_max {m._idx[1].shape[1]}", flush=True)
+
+    i = [0]
+
+    def one_epoch():
+        nonlocal params, opt_state
+        params, opt_state, loss = m._train_epoch(
+            params, opt_state, Xj, Xj, jnp.ones_like(Xj), keys[i[0] % 64], 64)
+        i[0] += 1
+        return loss
+
+    timeit(one_epoch, 10, "per-epoch batch scan (bs=64)")
+
+    def one_epoch_big():
+        nonlocal params, opt_state
+        params, opt_state, loss = m._train_epoch(
+            params, opt_state, Xj, Xj, jnp.ones_like(Xj), keys[i[0] % 64],
+            1024)
+        i[0] += 1
+        return loss
+
+    timeit(one_epoch_big, 10, "per-epoch batch scan (bs=1024)")
+
+
 PROFILES = {"sctag": profile_sctag, "graphsci": profile_graphsci,
-            "stdgcn": profile_stdgcn}
+            "stdgcn": profile_stdgcn, "stdgcn_formats": profile_stdgcn_formats,
+            "deepimpute": profile_deepimpute}
 
 if __name__ == "__main__":
     for name in sys.argv[1:] or sorted(PROFILES):
