@@ -1,4 +1,4 @@
-"""Exact per-epoch FLOP accounting for the bench matrix (CPU lane).
+"""Exact per-epoch FLOP accounting for the bench matrix (--flops lane).
 
 Wraps ``jax.jit`` so every executable dispatched from Python is recorded
 (one representative signature per distinct shape/static signature, plus a
@@ -22,8 +22,12 @@ call count).  ``totals()`` then traces each recorded signature with
 
 The lane runs the same fit at two epoch counts and differences the totals,
 so per-fit fixed costs cancel exactly like the timing-delta methodology.
-Used by ``benchmarks/matrix.py --flops`` under the CPU backend; counts are
-backend-independent (tracing only, no compiles).
+Used by ``benchmarks/matrix.py --flops``; the counting itself is pure
+tracing, but the lane should run on the SAME backend as the timing lane
+(TPU) so backend-dependent dispatch (use_bsr, dense-regime selection) counts
+the program that was actually measured. ``pallas_call`` bodies are
+multiplied by their grid size, so BSR-path counts include block padding —
+they measure dispatched work, like XLA's own cost model.
 """
 
 import functools
@@ -128,6 +132,12 @@ class _Counter:
             self.flops += mult * best.flops
             self.transcendentals += mult * best.transcendentals
             self.while_loops += best.while_loops
+        elif name == "pallas_call":
+            # kernel body executes once per grid tile
+            gm = p.get("grid_mapping")
+            grid = getattr(gm, "grid", ()) if gm is not None else ()
+            tiles = float(np.prod([g for g in grid if isinstance(g, int)]) or 1)
+            self._sub(p["jaxpr"], mult * tiles)
         elif name in ("pjit", "closed_call", "core_call", "remat_call",
                       "checkpoint", "custom_jvp_call", "custom_vjp_call",
                       "custom_vjp_call_jaxpr", "custom_jvp_call_jaxpr"):

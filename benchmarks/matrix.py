@@ -964,8 +964,13 @@ def run_flops(want):
     """CPU lane: fill gflops_epoch/gtransc_epoch/gflops_total for each case
     and recompute mfu_pct from the already-measured TPU timings."""
     import jax
-    assert jax.default_backend() == "cpu", \
-        "run the flop lane on the CPU backend (strip axon_site, JAX_PLATFORMS=cpu)"
+    # Counts come from tracing (backend-independent), but the backend decides
+    # which code path each fit takes (use_bsr / dense-regime dispatch): run
+    # this lane on the SAME backend the timing lane used (TPU) so the counted
+    # program is the measured program. The CPU backend also works but is
+    # minutes-slow per whole-fit compile on this host and resolves sparse
+    # paths differently.
+    print(f"flop lane on backend: {jax.default_backend()}")
     from benchmarks import flopcount as fc
     fc.install()
     global epoch_delta, total_time

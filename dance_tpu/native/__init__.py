@@ -21,9 +21,12 @@ _SO_PATH = os.path.join(_SRC_DIR, "libdance_native.so")
 _LIB = None
 
 
+_SOURCES = ("graph_sampler.cpp", "louvain.cpp")
+
+
 def _build() -> bool:
-    src = os.path.join(_SRC_DIR, "graph_sampler.cpp")
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO_PATH, src]
+    srcs = [os.path.join(_SRC_DIR, s) for s in _SOURCES]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO_PATH, *srcs]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         return True
@@ -37,9 +40,9 @@ def get_lib():
     global _LIB
     if _LIB is not None:
         return _LIB
-    src = os.path.join(_SRC_DIR, "graph_sampler.cpp")
+    src_mtime = max(os.path.getmtime(os.path.join(_SRC_DIR, s)) for s in _SOURCES)
     if (not os.path.exists(_SO_PATH)
-            or os.path.getmtime(_SO_PATH) < os.path.getmtime(src)):
+            or os.path.getmtime(_SO_PATH) < src_mtime):
         if not _build():
             return None
     lib = ctypes.CDLL(_SO_PATH)
@@ -57,6 +60,10 @@ def get_lib():
     lib.csr_subgraph.argtypes = [i64p, i32p, ctypes.c_void_p, ctypes.c_int64, i32p,
                                  ctypes.c_int64, i64p, i32p, f32p]
     lib.csr_subgraph.restype = ctypes.c_int64
+    lib.louvain_csr.argtypes = [i64p, i32p, f32p, ctypes.c_int64,
+                                ctypes.c_double, ctypes.c_uint64,
+                                ctypes.c_int32, ctypes.c_int32, i32p]
+    lib.louvain_csr.restype = ctypes.c_int32
     _LIB = lib
     return _LIB
 
@@ -165,4 +172,28 @@ class NeighborSampler:
             yield seeds, idx, w
 
 
-__all__ = ["NeighborSampler", "build_bipartite_csr", "get_lib", "neighbor_sample"]
+def louvain_labels(adj, *, resolution: float = 1.0, seed: int = 0,
+                   max_passes: int = 10, local_iters: int = 10):
+    """Native Louvain over a (symmetric) scipy CSR adjacency.
+
+    Returns int32 community labels (uncompacted), or None when the native
+    library is unavailable (callers fall back to the numpy implementation in
+    dance_tpu/ops/cluster.py).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    import scipy.sparse as sp
+    adj = sp.csr_matrix(adj)
+    n = adj.shape[0]
+    labels = np.empty(n, np.int32)
+    lib.louvain_csr(np.ascontiguousarray(adj.indptr, np.int64),
+                    np.ascontiguousarray(adj.indices, np.int32),
+                    np.ascontiguousarray(adj.data, np.float32), n,
+                    float(resolution), int(seed) & 0xFFFFFFFFFFFFFFFF,
+                    int(max_passes), int(local_iters), labels)
+    return labels
+
+
+__all__ = ["NeighborSampler", "build_bipartite_csr", "get_lib", "louvain_labels",
+           "neighbor_sample"]

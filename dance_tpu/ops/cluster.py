@@ -104,11 +104,19 @@ def louvain(adj, resolution: float = 1.0, seed: int = 0, max_passes: int = 10) -
 
     Replaces the vendored python-louvain module (reference louvain.py:328).
     Standard two-phase modularity optimization; returns integer labels.
+    Dispatches to the C++ kernel (native/louvain.cpp) when the toolchain is
+    available — the numpy loop below is the behavioral spec and fallback.
     """
     import scipy.sparse as sp
 
     adj = sp.csr_matrix(adj)
     adj = adj + adj.T  # symmetrize
+    from dance_tpu.native import louvain_labels
+    raw = louvain_labels(adj, resolution=resolution, seed=seed,
+                         max_passes=max_passes)
+    if raw is not None:
+        _, labels = np.unique(raw, return_inverse=True)
+        return labels
     n0 = adj.shape[0]
     node_map = np.arange(n0)  # community of each original node
     rng = np.random.default_rng(seed)
