@@ -824,8 +824,11 @@ def run_stdgcn():
     m = StdGCN(seed=0)
 
     def make(e):
+        # "auto" format dispatch: the MNN-coupled towers tile badly under BSR
+        # (union-RCM tile expansion ~200x at this scale), so auto picks
+        # csr/dense — forcing BSR here cost 164 ms/epoch vs single-digit
         m.fit((feats, coords), y, max_epochs=e, early_stopping_patience=0,
-              use_bsr=True)
+              use_bsr="auto")
         return m
 
     per = epoch_delta(make, 5, 55)

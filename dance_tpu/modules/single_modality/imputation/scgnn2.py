@@ -115,7 +115,11 @@ class ScGNN2(BaseRegressionMethod):
     def _feature_step(self, params, opt_state, x, mask):
         def loss_fn(params):
             _, x_hat = self.feature_ae.apply({"params": params}, x)
-            return jnp.sum(mask * (x - x_hat) ** 2) / jnp.maximum(mask.sum(), 1.0)
+            # mask may be a scalar 1.0 (no-mask fit: saves uploading an
+            # all-ones matrix over the relay); the denominator is then the
+            # full element count, same as an explicit ones mask
+            denom = mask.sum() if jnp.ndim(mask) else mask * x.size
+            return jnp.sum(mask * (x - x_hat) ** 2) / jnp.maximum(denom, 1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = self._f_tx.update(grads, opt_state, params)
@@ -215,17 +219,26 @@ class ScGNN2(BaseRegressionMethod):
             gw[c, :len(members)] = np.asarray(sub.sum(0)).ravel()
         stacked = jax.tree_util.tree_map(
             lambda leaf: jnp.broadcast_to(leaf, (k_cl,) + leaf.shape), f_params)
-        xr_pad = jnp.asarray(np.asarray(x_recon)[idx_mat])
-        xd_pad = jnp.asarray(np.asarray(x_dropout)[idx_mat])
+        # x_recon / x_dropout live on device; pad-gather and the scatter back
+        # run there too (pulling 2×(n, genes) to the host and re-uploading the
+        # padded copies cost more relay time than the whole AE training)
+        idx_j = jnp.asarray(idx_mat)
+        xr_pad = jnp.asarray(x_recon)[idx_j]
+        xd_pad = jnp.asarray(x_dropout)[idx_j]
         recon_pad, losses = self._cluster_ae_train(
             stacked, xr_pad, xd_pad, jnp.asarray(row_mask), jnp.asarray(gw),
             n_epochs=self.cluster_epoch)
-        out = np.zeros_like(np.asarray(x_recon))
-        recon_np = np.asarray(recon_pad)
-        for c in range(k_cl):
-            members = idx_mat[c][row_mask[c] > 0]
-            out[members] = recon_np[c, :len(members)]
-        return out
+        return self._scatter_members(recon_pad, idx_j, jnp.asarray(row_mask),
+                                     n)
+
+    @partial(jax.jit, static_argnames=("self", "n"))
+    def _scatter_members(self, recon_pad, idx_mat, row_mask, n: int):
+        """Un-pad the per-cluster reconstructions back to cell order. Every
+        cell belongs to exactly one cluster, so a masked scatter-add writes
+        each row once (padding slots contribute zeros to row 0)."""
+        flat_idx = idx_mat.reshape(-1)
+        flat = (recon_pad * row_mask[:, :, None]).reshape(flat_idx.shape[0], -1)
+        return jnp.zeros((n, flat.shape[1]), flat.dtype).at[flat_idx].add(flat)
 
     # --- EM loop --------------------------------------------------------------
 
@@ -238,11 +251,15 @@ class ScGNN2(BaseRegressionMethod):
         import scipy.sparse as sp
 
         x = as_numpy(x).astype(np.float32)
-        mask_arr = (as_numpy(mask).astype(np.float32) if mask is not None
-                    else np.ones_like(x))
-        x_dropout = x * mask_arr  # observed entries only (reference x_dropout)
-        mj = jnp.asarray(mask_arr)
         n = x.shape[0]
+        if mask is not None:
+            mask_arr = as_numpy(mask).astype(np.float32)
+            x_dropout = x * mask_arr  # observed entries only (reference x_dropout)
+            mj = jnp.asarray(mask_arr)
+        else:
+            mask_arr = None
+            x_dropout = x
+            mj = jnp.float32(1.0)  # scalar: no 80 MB all-ones upload
 
         self.feature_ae = _FeatureAE(hidden=self.hidden)
         self.graph_ae = _GraphAE(z_dim=self.hidden[-1])
@@ -250,6 +267,7 @@ class ScGNN2(BaseRegressionMethod):
         f_params = self.feature_ae.init(key, jnp.asarray(x_dropout[:1]))["params"]
         self._f_tx = optax.adam(self.lr)
         g_params = None
+        xd_j = jnp.asarray(x_dropout)  # uploaded once; EM stages stay on device
 
         def feature_stage(x_in, params, train_mask):
             state = self._f_tx.init(params)
@@ -258,7 +276,7 @@ class ScGNN2(BaseRegressionMethod):
                 params, state, loss = self._feature_step(params, state, xj,
                                                          train_mask)
             z, x_hat = self.feature_ae.apply({"params": params}, xj)
-            return params, z, np.asarray(x_hat), float(loss)
+            return params, z, x_hat, float(loss)
 
         def graph_stage(z, g_params, em):
             adj = knn_graph(np.asarray(z), min(self.k, n - 1),
@@ -278,18 +296,18 @@ class ScGNN2(BaseRegressionMethod):
             return g_params, z_g, adj, float(g_loss)
 
         # pre-EM: feature AE on the observed matrix, then the first graph
-        f_params, z, x_recon, f_loss = feature_stage(x_dropout, f_params, mj)
+        f_params, z, x_recon, f_loss = feature_stage(xd_j, f_params, mj)
         g_params, z_g, adj, g_loss = graph_stage(z, g_params, 0)
 
         labels = np.zeros(n, np.int64)
         x_imputed = x_recon
         for em in range(self.total_epoch):
             labels = self._cluster_labels(z_g, adj, n)
-            x_imputed = self._cluster_ae_stage(f_params, x_recon, x_dropout,
+            x_imputed = self._cluster_ae_stage(f_params, x_recon, xd_j,
                                                labels, adj)
             # next round: feature AE retrains on the imputed matrix (EM "M" step)
             f_params, z, x_recon, f_loss = feature_stage(
-                x_imputed, f_params, jnp.ones_like(mj))
+                x_imputed, f_params, jnp.float32(1.0))
             g_params, z_g, adj, g_loss = graph_stage(z, g_params, em + 1)
             logger.info("EM round %d: %d clusters, recon %.5f graph %.5f", em,
                         int(labels.max()) + 1, f_loss, g_loss)

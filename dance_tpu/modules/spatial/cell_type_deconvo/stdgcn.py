@@ -378,9 +378,16 @@ class StdGCN(BaseRegressionMethod):
             ae_epochs=autoencoder_epoches, ae_lr=autoencoder_LR)
         self._perm = None
         y = as_numpy(y).astype(np.float32)
-        from dance_tpu.ops.pallas_kernels import resolve_use_bsr
-        use_bsr = resolve_use_bsr(use_bsr, adj_exp + adj_sp, bsr_block)
-        if use_bsr:
+        from dance_tpu.ops.pallas_kernels import choose_adj_format
+        if use_bsr == "auto":
+            # full format dispatch: the two MNN-coupled towers tile badly
+            # under BSR (union-RCM tile expansion ~200x at bench scale), so
+            # "auto" usually lands on csr/dense here
+            fmt = choose_adj_format(adj_exp + adj_sp, bsr_block)
+        else:
+            fmt = "bsr" if use_bsr else "csr"
+        logger.info("stdGCN adjacency format: %s", fmt)
+        if fmt == "bsr":
             from dance_tpu.ops.pallas_kernels import bsr_from_scipy, rcm_reorder
             perm, _ = rcm_reorder(adj_exp + adj_sp)
             perm = np.asarray(perm)
@@ -388,6 +395,12 @@ class StdGCN(BaseRegressionMethod):
             adj_exp = bsr_from_scipy(adj_exp[perm][:, perm], block=bsr_block)
             adj_sp = bsr_from_scipy(adj_sp[perm][:, perm], block=bsr_block)
             x, y, train_mask = x[perm], y[perm], train_mask[perm]
+        elif fmt == "dense":
+            from dance_tpu.ops.sparse import DenseAdj
+            adj_exp, adj_sp = (DenseAdj(jnp.asarray(a.toarray()),
+                                        jnp.asarray(np.asarray(
+                                            (a != 0).sum(1), np.float32).ravel()))
+                               for a in (adj_exp, adj_sp))
         else:
             adj_exp = csr_from_scipy(adj_exp)
             adj_sp = csr_from_scipy(adj_sp)
