@@ -102,6 +102,11 @@ class _Counter:
         self.flops = 0.0
         self.transcendentals = 0.0
         self.while_loops = 0
+        # (flops, transcendentals) of the single most expensive while BODY,
+        # per iteration (unscaled by trip count): the DEC/CAR drivers run
+        # their epoch loop as a traced-bound lax.while_loop, so epoch-count
+        # differencing is identically zero — one body execution IS one epoch
+        self.while_body = (0.0, 0.0)
 
     def jaxpr(self, jaxpr, mult=1.0):
         for eqn in jaxpr.eqns:
@@ -119,7 +124,13 @@ class _Counter:
         elif name == "while":
             self.while_loops += 1
             self._sub(p["cond_jaxpr"], mult)
-            self._sub(p["body_jaxpr"], mult)
+            body = _Counter()
+            body._sub(p["body_jaxpr"], 1.0)
+            if body.flops > self.while_body[0]:
+                self.while_body = (body.flops, body.transcendentals)
+            self.flops += mult * body.flops
+            self.transcendentals += mult * body.transcendentals
+            self.while_loops += body.while_loops
         elif name == "cond":
             branches = p["branches"]
             # count the most expensive branch (upper bound for two-way conds)
@@ -226,7 +237,7 @@ class _JitProxy:
     def _cost(self):
         """Trace + jaxpr-walk each recorded signature, weighted by count."""
         out = {"flops": 0.0, "transcendentals": 0.0, "calls": 0,
-               "while_loops": 0}
+               "while_loops": 0, "while_body": (0.0, 0.0)}
         for count, (args, kwargs) in self._sigs.values():
             # close over non-array leaves (statics stay concrete), trace the
             # UNJITTED original over the array leaves only
@@ -254,6 +265,8 @@ class _JitProxy:
             out["transcendentals"] += count * c.transcendentals
             out["while_loops"] += c.while_loops
             out["calls"] += count
+            if c.while_body[0] > out["while_body"][0]:
+                out["while_body"] = c.while_body
         return out
 
 
@@ -277,11 +290,16 @@ def reset():
 
 def totals():
     """Aggregate counters since last reset."""
-    agg = {"flops": 0.0, "transcendentals": 0.0, "calls": 0, "while_loops": 0}
+    agg = {"flops": 0.0, "transcendentals": 0.0, "calls": 0, "while_loops": 0,
+           "while_body": (0.0, 0.0)}
     for p in _REGISTRY:
         if not p._sigs:
             continue
         c = p._cost()
         for k in agg:
-            agg[k] += c[k]
+            if k == "while_body":
+                if c[k][0] > agg[k][0]:
+                    agg[k] = c[k]
+            else:
+                agg[k] += c[k]
     return agg

@@ -934,21 +934,34 @@ _FLOP_LAST = {}
 
 def _flop_epoch_delta(make, e_small, e_big, reps=2):
     """Flop-lane stand-in for epoch_delta: exact per-epoch FLOPs by
-    differencing XLA cost_analysis totals at two epoch counts (window of 2
-    epochs — FLOPs are deterministic, no noise to average away)."""
+    differencing XLA cost_analysis totals at two epoch counts (FLOPs are
+    deterministic, no noise to average away). The window widens when a
+    small delta vanishes — DEC-style drivers quantize their epoch count to
+    update-interval chunks, so a 2-epoch window can land inside one chunk."""
     from benchmarks import flopcount as fc
-    window = 2
     make(e_small)               # warm: compiles + device-input caches
     fc.reset()
     make(e_small)
     f1 = fc.totals()
-    fc.reset()
-    make(e_small + window)
-    f2 = fc.totals()
-    _FLOP_LAST.update(
-        gflops_epoch=(f2["flops"] - f1["flops"]) / window / 1e9,
-        gtransc_epoch=(f2["transcendentals"] - f1["transcendentals"])
-        / window / 1e9)
+    for window in (2, 10, 20):
+        fc.reset()
+        make(e_small + window)
+        f2 = fc.totals()
+        if f2["flops"] > f1["flops"]:
+            break
+    if f2["flops"] > f1["flops"]:
+        _FLOP_LAST.update(
+            gflops_epoch=(f2["flops"] - f1["flops"]) / window / 1e9,
+            gtransc_epoch=(f2["transcendentals"] - f1["transcendentals"])
+            / window / 1e9)
+    elif f2["while_body"][0] > 0:
+        # traced-bound epoch loop (DEC family, CARD): the jaxpr is identical
+        # at any epoch count, so difference = 0 — but one iteration of the
+        # dominant lax.while_loop body IS one epoch; use its count directly.
+        # (An update_interval>1 driver's cond picks the refresh branch, so
+        # this is a slight upper bound for scDSC-style chunked refreshes.)
+        bf, bt = f2["while_body"]
+        _FLOP_LAST.update(gflops_epoch=bf / 1e9, gtransc_epoch=bt / 1e9)
     return float("nan")
 
 

@@ -83,8 +83,13 @@ FULL_MATRIX = []
 # -- cell-type annotation: 6 methods x 3 scDeepSort-benchmark analogs -------
 for ds in CTA_SETS:
     FULL_MATRIX += [
+        # lr 0.001: the script default 0.01 collapses training on the
+        # 17-class brain analog in BOTH stacks (verified head-to-head vs the
+        # reference torch ACTINN at seed 0: ref test ACC 0.22, ours 0.11) —
+        # the reference's own full tier tunes per-dataset flags the same way
         ("single_modality/cell_type_annotation/actinn.py",
-         ["--dataset", ds, "--num_epochs", "50"], "ACC", 0.6, "max"),
+         ["--dataset", ds, "--num_epochs", "50", "--learning_rate", "0.001"],
+         "ACC", 0.6, "max"),
         ("single_modality/cell_type_annotation/svm.py",
          ["--dataset", ds], "ACC", 0.7, "max"),
         ("single_modality/cell_type_annotation/celltypist.py",
