@@ -128,6 +128,10 @@ class _Counter:
             body._sub(p["body_jaxpr"], 1.0)
             if body.flops > self.while_body[0]:
                 self.while_body = (body.flops, body.transcendentals)
+            # a while nested deeper (e.g. inside this body) may be the real
+            # epoch loop — propagate the most expensive body seen anywhere
+            if body.while_body[0] > self.while_body[0]:
+                self.while_body = body.while_body
             self.flops += mult * body.flops
             self.transcendentals += mult * body.transcendentals
             self.while_loops += body.while_loops
@@ -143,6 +147,13 @@ class _Counter:
             self.flops += mult * best.flops
             self.transcendentals += mult * best.transcendentals
             self.while_loops += best.while_loops
+            # an epoch while_loop hidden inside a cond branch (DEC drivers
+            # gate the refresh epoch behind lax.cond) must stay visible to
+            # the traced-bound fallback — merge the priciest body from ANY
+            # branch, not just the flop-max one
+            for c in subs:
+                if c.while_body[0] > self.while_body[0]:
+                    self.while_body = c.while_body
         elif name == "pallas_call":
             # kernel body executes once per grid tile
             gm = p.get("grid_mapping")

@@ -949,19 +949,28 @@ def _flop_epoch_delta(make, e_small, e_big, reps=2):
         f2 = fc.totals()
         if f2["flops"] > f1["flops"]:
             break
-    if f2["flops"] > f1["flops"]:
+    per_epoch = (f2["flops"] - f1["flops"]) / window
+    body_f, body_t = f2["while_body"]
+    # A tiny positive delta (re-jitted helper, one extra refresh dispatch)
+    # must not shadow the traced-bound fallback: if the delta per epoch is
+    # smaller than one execution of the dominant while body, the epoch loop
+    # itself did NOT scale with the count — fall through to the body path.
+    # Likewise require a non-negligible absolute delta (>= 1 MFLOP/epoch).
+    delta_ok = per_epoch >= max(1e6, 0.5 * body_f)
+    if per_epoch > 0 and delta_ok:
         _FLOP_LAST.update(
-            gflops_epoch=(f2["flops"] - f1["flops"]) / window / 1e9,
+            gflops_epoch=per_epoch / 1e9,
             gtransc_epoch=(f2["transcendentals"] - f1["transcendentals"])
             / window / 1e9)
-    elif f2["while_body"][0] > 0:
+    elif body_f > 0:
         # traced-bound epoch loop (DEC family, CARD): the jaxpr is identical
         # at any epoch count, so difference = 0 — but one iteration of the
         # dominant lax.while_loop body IS one epoch; use its count directly.
         # (An update_interval>1 driver's cond picks the refresh branch, so
         # this is a slight upper bound for scDSC-style chunked refreshes.)
-        bf, bt = f2["while_body"]
-        _FLOP_LAST.update(gflops_epoch=bf / 1e9, gtransc_epoch=bt / 1e9)
+        _FLOP_LAST.update(gflops_epoch=body_f / 1e9, gtransc_epoch=body_t / 1e9)
+    # else: leave _FLOP_LAST unset — a ~0 value must never be published as a
+    # measurement (the writer skips empty fields; BENCH_MATRIX marks them).
     return float("nan")
 
 
@@ -977,8 +986,10 @@ def _flop_total(fit_once, reps=1):
 
 
 def run_flops(want):
-    """CPU lane: fill gflops_epoch/gtransc_epoch/gflops_total for each case
-    and recompute mfu_pct from the already-measured TPU timings."""
+    """Flop lane: fill gflops_epoch/gtransc_epoch/gflops_total for each case
+    and recompute mfu_pct from the already-measured TPU timings. Runs on the
+    SAME backend as the timing lane (TPU via axon) so backend-dependent code
+    paths (use_bsr / dense-regime dispatch) match the measured program."""
     import jax
     # Counts come from tracing (backend-independent), but the backend decides
     # which code path each fit takes (use_bsr / dense-regime dispatch): run
@@ -1030,7 +1041,8 @@ def main():
     ap.add_argument("--render", action="store_true")
     ap.add_argument("--list", action="store_true")
     ap.add_argument("--flops", action="store_true",
-                    help="CPU lane: count per-epoch FLOPs via XLA cost_analysis")
+                    help="flop lane: count per-epoch FLOPs by tracing on the "
+                         "same (TPU) backend the timing lane used")
     args = ap.parse_args()
     if args.render:
         render()

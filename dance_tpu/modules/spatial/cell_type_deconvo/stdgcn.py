@@ -396,11 +396,9 @@ class StdGCN(BaseRegressionMethod):
             adj_sp = bsr_from_scipy(adj_sp[perm][:, perm], block=bsr_block)
             x, y, train_mask = x[perm], y[perm], train_mask[perm]
         elif fmt == "dense":
-            from dance_tpu.ops.sparse import DenseAdj
-            adj_exp, adj_sp = (DenseAdj(jnp.asarray(a.toarray()),
-                                        jnp.asarray(np.asarray(
-                                            (a != 0).sum(1), np.float32).ravel()))
-                               for a in (adj_exp, adj_sp))
+            from dance_tpu.ops.sparse import dense_adj_from_scipy
+            adj_exp = dense_adj_from_scipy(adj_exp)
+            adj_sp = dense_adj_from_scipy(adj_sp)
         else:
             adj_exp = csr_from_scipy(adj_exp)
             adj_sp = csr_from_scipy(adj_sp)

@@ -242,6 +242,21 @@ def _run(script, extra_args, capture=False):
     return buf.getvalue()
 
 
+def _done_configs():
+    """(script, args) pairs already recorded — makes the full tier resumable.
+
+    A multi-hour full-tier run that dies mid-flight (session cutoff, relay
+    outage) can simply be relaunched: configs with a recorded row are skipped.
+    Delete results/full_matrix.csv (or individual rows) to force a re-run.
+    """
+    done = set()
+    if os.path.exists(RESULTS_CSV):
+        with open(RESULTS_CSV, newline="") as fh:
+            for row in csv.DictReader(fh):
+                done.add((row["script"], row["args"]))
+    return done
+
+
 def _record_full(script, extra_args, metric, value, floor, mode, seconds):
     os.makedirs(os.path.dirname(RESULTS_CSV), exist_ok=True)
     exists = os.path.exists(RESULTS_CSV)
@@ -272,6 +287,8 @@ def _full_id(entry):
 @pytest.mark.parametrize("entry", FULL_MATRIX, ids=[_full_id(e) for e in FULL_MATRIX])
 def test_full(entry):
     script, extra_args, metric, floor, mode = entry
+    if (script, " ".join(extra_args)) in _done_configs():
+        pytest.skip("already recorded in results/full_matrix.csv (resume)")
     t0 = time.time()
     out = _run(script, extra_args, capture=True)
     m = re.findall(rf"{re.escape(metric)}: ([-+0-9.eEna]+)", out)

@@ -125,6 +125,45 @@ def test_louvain():
     assert adjusted_rand_score(true, labels) > 0.95
 
 
+def test_louvain_native_matches_numpy_spec(monkeypatch):
+    """The C++ kernel and the numpy behavioral spec agree on a planted
+    partition (different RNGs — mt19937_64 vs PCG — so compare partition
+    quality: both must recover the planted blocks, and native modularity
+    must be >= the spec's minus tolerance)."""
+    import dance_tpu.native as native
+    from dance_tpu.ops.cluster import louvain
+    from sklearn.metrics import adjusted_rand_score
+    if native.louvain_labels(sp.csr_matrix(np.eye(2)), resolution=1.0,
+                             seed=0, max_passes=1) is None:
+        pytest.skip("native louvain unavailable")
+    # 3 planted blocks of 25, p_in=0.5, p_out=0.02
+    r = np.random.default_rng(7)
+    n, b = 75, 25
+    true = np.repeat([0, 1, 2], b)
+    A = (r.random((n, n)) < 0.02).astype(float)
+    for k in range(3):
+        A[k * b:(k + 1) * b, k * b:(k + 1) * b] = r.random((b, b)) < 0.5
+    A = np.triu(A, 1)
+    A = A + A.T
+    adj = sp.csr_matrix(A)
+
+    def modularity(labels):
+        m2 = adj.sum()
+        deg = np.asarray(adj.sum(1)).ravel()
+        q = 0.0
+        for c in np.unique(labels):
+            idx = labels == c
+            q += adj[idx][:, idx].sum() / m2 - (deg[idx].sum() / m2) ** 2
+        return q
+
+    lab_native = louvain(adj, seed=0)
+    monkeypatch.setattr(native, "louvain_labels", lambda *a, **k: None)
+    lab_numpy = louvain(adj, seed=0)  # force-exercises the numpy fallback
+    assert adjusted_rand_score(true, lab_native) > 0.95
+    assert adjusted_rand_score(true, lab_numpy) > 0.95
+    assert modularity(lab_native) >= modularity(lab_numpy) - 0.02
+
+
 def test_sparse_rsvd():
     """Sparse-native randomized SVD never densifies and matches dense SVD."""
     from dance_tpu.ops.linalg import randomized_svd
