@@ -148,7 +148,7 @@ def run_actinn():
                 mfu_pct=100 * flops / per / V5E_PEAK_FLOPS)
 
 
-@case("svm", "cta", f"{N_CELLS}x400pca", "host-side sklearn (reference uses the same stack)")
+@case("svm", "cta", f"{N_CELLS}x400pca", "device RFF-SVM, one-scan fit (host lane = sklearn SVC)")
 def run_svm():
     from dance_tpu.modules.single_modality.cell_type_annotation import SVM
     from dance_tpu.ops.linalg import pca
@@ -164,7 +164,7 @@ def run_svm():
     return dict(tpu_s_total=total_time(fit))
 
 
-@case("celltypist", "cta", f"{N_CELLS}x{N_GENES}", "host-side sklearn SGD")
+@case("celltypist", "cta", f"{N_CELLS}x{N_GENES}", "device OvR logistic, one-scan fit (host lane = sklearn)")
 def run_celltypist():
     from dance_tpu.modules.single_modality.cell_type_annotation import Celltypist
     x, y = _expr()

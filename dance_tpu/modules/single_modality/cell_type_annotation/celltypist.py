@@ -124,7 +124,8 @@ class Celltypist(BaseClassificationMethod):
             max_iter: int = 1000, n_jobs: Optional[int] = None, use_SGD: bool = False,
             alpha: float = 0.0001, mini_batch: bool = False, batch_number: int = 100,
             batch_size: int = 1000, epochs: int = 10, balance_cell_type: bool = False,
-            feature_selection: bool = False, top_genes: int = 300, **kwargs):
+            feature_selection: bool = False, top_genes: int = 300,
+            backend: str = "device", **kwargs):
         indata = as_numpy(indata)
         labels = as_numpy(labels)
         if labels.ndim == 2:
@@ -135,6 +136,18 @@ class Celltypist(BaseClassificationMethod):
         indata_s = np.clip(scaler.fit_transform(indata), None, 10)
 
         def train(x, y):
+            if backend == "device":
+                # TPU-native heads (SURVEY §2.8): one jitted scan per fit
+                from dance_tpu.ops.linear_model import (
+                    DeviceLogisticRegression, DeviceSGDLogistic)
+                if use_SGD or feature_selection:
+                    steps = (epochs * min(batch_number,
+                                          max(len(y) // batch_size, 1))
+                             if mini_batch else max_iter)
+                    return DeviceSGDLogistic(
+                        alpha=alpha, epochs=steps,
+                        batch_size=batch_size if mini_batch else 0).fit(x, y)
+                return DeviceLogisticRegression(C=C, epochs=max_iter).fit(x, y)
             if use_SGD or feature_selection:
                 return _sgd_classifier(x, y, alpha=alpha, max_iter=max_iter,
                                        n_jobs=n_jobs, mini_batch=mini_batch,
