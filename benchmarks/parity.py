@@ -601,11 +601,15 @@ def run_dcca():
     return dict(metric="nmi", ref=ref_nmi, ours=ours_nmi, tol=0.15)
 
 
-@case("scgnn2")
-def run_scgnn2():
-    truth, x_masked, mask = _imputation_data(seed=9)
-    x_log = np.log1p(x_masked).astype(np.float32)
+_SCGNN2_REF_MSE = {}
 
+
+def _scgnn2_ref_mse(x_log, truth, mask):
+    """Reference ScGNN2 masked-MSE lane, memoized per process so the
+    refproto case doesn't pay a second ~minutes-long torch EM run."""
+    key = x_log.tobytes()[:64]
+    if key in _SCGNN2_REF_MSE:
+        return _SCGNN2_REF_MSE[key]
     args = types.SimpleNamespace(
         seed=0, total_epoch=2, alpha=0.5, ari_threshold=0.95,
         graph_change_threshold=0.01, run_LTMG=False, use_CCC=False,
@@ -657,6 +661,15 @@ def run_scgnn2():
     ref = RefScGNN2(args, device="cpu")
     ref.fit(x_log)
     ref_mse = _masked_mse(np.expm1(np.maximum(ref.predict(), 0)), truth, mask)
+    _SCGNN2_REF_MSE[key] = ref_mse
+    return ref_mse
+
+
+@case("scgnn2")
+def run_scgnn2():
+    truth, x_masked, mask = _imputation_data(seed=9)
+    x_log = np.log1p(x_masked).astype(np.float32)
+    ref_mse = _scgnn2_ref_mse(x_log, truth, mask)
 
     from dance_tpu.modules.single_modality.imputation import ScGNN2
     ours = ScGNN2(total_epoch=2, feature_epoch=60, graph_epoch=60,
@@ -921,9 +934,13 @@ def run_scmm_match():
     # Reference gets its best probed setup: latent 16, 200 epochs at lr 3e-3,
     # and deterministic_warmup past the horizon (beta ~ 0, AE-like) — 0.095
     # match accuracy, 19x above the 0.005 chance level. It cannot go much
-    # higher: its encoder pins the posterior variance near 1 by construction
-    # (scmm.py:203 `F.softmax(lv) * latent_dim + eta`), so every training
-    # step injects unit-scale latent noise that erases per-sample geometry.
+    # higher: its fit swaps the split slices (scmm.py:516-518 assigns
+    # `idx[:int(n*val_ratio)]` — 15% of the data — to TRAIN and the remaining
+    # 85% to validation), so it only ever sees 75 of the 500 training pairs;
+    # its architecture-pinned posterior scale (scmm.py:203 softmax'd logvar)
+    # adds unit-scale latent noise on top. See scmm_match_refproto for ours
+    # run under the same inverted split + pinned scale, landing at the same
+    # near-chance level.
     params = types.SimpleNamespace(
         latent_dim=16, num_hidden_layers=2, r_hidden_dim=128, p_hidden_dim=20,
         learn_prior=True, llik_scaling=1.0, obj="m_elbo_naive_warmup",
@@ -957,9 +974,11 @@ def run_scmm_match():
     return dict(
         metric="match_acc", ref=ref_acc, ours=ours_acc, tol=0.1,
         budget_note="ref at its best probed budget (200ep lr3e-3 beta~0; "
-        "19x chance, non-degenerate) but its posterior variance is "
-        "architecture-pinned near 1 (scmm.py:203 softmax'd logvar), capping "
-        "1-NN latent matching; ours uses a standard learned logvar")
+        "19x chance, non-degenerate) but its fit trains on only 15% of the "
+        "data (inverted split slices, scmm.py:516-518) with an architecture-"
+        "pinned unit posterior scale (scmm.py:203); ours trains on the full "
+        "set with a learned logvar — scmm_match_refproto reproduces the "
+        "reference protocol on ours and lands at the same near-chance level")
 
 
 @case("scmvae")
@@ -1093,6 +1112,208 @@ def run_stlouvain():
     ours.fit(feats, adj=adj)
     ours_ari = ari(ours.predict(), y)
     return dict(metric="ari", ref=ref_ari, ours=ours_ari, tol=0.15)
+
+
+# --------------------------------------------------------------------------
+# reference-protocol match mode
+#
+# The five rows above that win by a DOCUMENTED protocol divergence each get a
+# second row here that re-runs ours under the reference's exact protocol
+# (reference_protocol=True model flags / the reference's own budget knobs) and
+# must land within plain tolerance of the reference WITHOUT a budget_note —
+# proving the implementations are equivalent separately from the protocol
+# superiority the primary rows demonstrate.
+# --------------------------------------------------------------------------
+
+@case("scdsc_refproto")
+def run_scdsc_refproto():
+    """ScDSC with the reference's xavier-random cluster centers
+    (scdsc.py:407-408) instead of the SDCN kmeans init."""
+    import tempfile
+
+    import torch
+    from sklearn.neighbors import kneighbors_graph
+
+    x_norm, raw, n_counts, y = _clustering_inputs(seed=11)
+    adj = kneighbors_graph(x_norm, 10, mode="connectivity", include_self=False)
+    adj = ((adj + adj.T) > 0).astype(np.float32)
+
+    RefScDSC = refshim.import_ref(
+        "dance.modules.single_modality.clustering.scdsc", "ScDSC")
+    torch.manual_seed(0)
+    np.random.seed(0)
+    with tempfile.TemporaryDirectory() as tmp:
+        ref = RefScDSC(pretrain_path=f"{tmp}/pre.pt", n_clusters=4,
+                       n_input=x_norm.shape[1], n_enc_1=64, n_enc_2=32,
+                       n_enc_3=32, n_dec_1=32, n_dec_2=32, n_dec_3=64,
+                       n_z1=32, n_z2=16, n_z3=8, device="cpu")
+        ref.fit((adj, x_norm, raw, n_counts), y, epochs=300, pt_epochs=200,
+                pt_batch_size=256)
+        ref_ari = ari(ref.predict(), y)
+
+    from dance_tpu.modules.single_modality.clustering import ScDSC
+    ours = ScDSC(n_clusters=4, n_input=x_norm.shape[1], n_enc_1=64, n_enc_2=32,
+                 n_enc_3=32, n_dec_1=32, n_dec_2=32, n_dec_3=64, n_z1=32,
+                 n_z2=16, n_z3=8, seed=0, reference_protocol=True)
+    ours.fit((adj, x_norm, raw, n_counts), y, epochs=300, pt_epochs=200)
+    ours_ari = ari(ours.predict(), y)
+    return dict(metric="ari", ref=ref_ari, ours=ours_ari, tol=0.15)
+
+
+@case("scgnn2_refproto")
+def run_scgnn2_refproto():
+    """ScGNN2 predicting through the sampled VGAE latent (training-mode
+    forward with std = exp(logvar), scgnn2.py:448-452) like the reference."""
+    truth, x_masked, mask = _imputation_data(seed=9)
+    x_log = np.log1p(x_masked).astype(np.float32)
+    ref_mse = _scgnn2_ref_mse(x_log, truth, mask)
+
+    from dance_tpu.modules.single_modality.imputation import ScGNN2
+    ours = ScGNN2(total_epoch=2, feature_epoch=60, graph_epoch=60,
+                  cluster_epoch=60, seed=0, reference_protocol=True)
+    ours.fit(x_log)
+    ours_imp = np.expm1(np.maximum(np.asarray(ours.predict()), 0))
+    ours_mse = _masked_mse(ours_imp, truth, mask)
+    return dict(metric="masked_mse", ref=ref_mse, ours=ours_mse, rel_tol=0.35)
+
+
+@case("scmm_match_refproto")
+def run_scmm_match_refproto():
+    """Matching scMM under the reference's exact protocol: the posterior
+    scale architecture-pinned near 1 (scmm.py:203 softmax(lv)*z_dim + eta)
+    AND the reference's inverted train/val split (scmm.py:516-518 trains on
+    `idx[:int(n*0.15)]` — 75 of the 500 pairs). Both sides land at the same
+    near-chance matching level, proving the primary row's 10x gap is pure
+    protocol, not implementation."""
+    import torch
+
+    x_tr, y_tr, x_te, y_te = make_modality_lowrank(seed=6)
+    params = types.SimpleNamespace(
+        latent_dim=16, num_hidden_layers=2, r_hidden_dim=128, p_hidden_dim=20,
+        learn_prior=True, llik_scaling=1.0, obj="m_elbo_naive_warmup",
+        batch_size=64, epochs=200, lr=3e-3, deterministic_warmup=10000,
+        print_freq=0, device="cpu", r_dim=x_tr.shape[1], p_dim=y_tr.shape[1],
+        seed=0,
+    )
+    RefMMVAE = refshim.import_ref(
+        "dance.modules.multi_modality.match_modality.scmm", "MMVAE")
+    torch.manual_seed(0)
+    np.random.seed(0)
+    ref = RefMMVAE("rna-protein", params)
+    import tempfile
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as tmp:
+        os.chdir(tmp)
+        try:
+            ref.fit(torch.from_numpy(x_tr), torch.from_numpy(y_tr))
+        finally:
+            os.chdir(cwd)
+    n = len(x_te)
+    pred = ref.predict(torch.from_numpy(x_te), torch.from_numpy(y_te),
+                       metric="minkowski").detach().cpu().numpy()
+    ref_acc = float((pred.argmax(1) == np.arange(n)).mean())
+
+    from dance_tpu.modules.multi_modality.match_modality import MMVAE as OurMMVAE
+    # the reference's inverted split: np.random at the same seed state picks
+    # the same 15% slice its fit() trains on (scmm.py:516-518)
+    np.random.seed(0)
+    sub = np.random.permutation(x_tr.shape[0])[:int(x_tr.shape[0] * 0.15)]
+    ours = OurMMVAE("rna-protein", z_dim=16, seed=0, reference_protocol=True)
+    ours.fit(x_tr[sub], y_tr[sub], epochs=200)
+    ours_acc = ours.score_matching(ours.predict_matching(x_te, y_te))
+    return dict(metric="match_acc", ref=ref_acc, ours=ours_acc, tol=0.1)
+
+
+@case("deepimpute_refproto")
+def run_deepimpute_refproto():
+    """DeepImpute under the reference's EXACT training protocol on both
+    sides: per-block early stopping with the never-resetting patience counter
+    (deepimpute.py:295-302), plain-MSE validation on a 90/10 split
+    (:246-248, :287-289), best-val checkpoint restore (:309-318), torch
+    gradient accumulation (no optimizer.zero_grad(), :275-279) and
+    torch-matching kaiming-uniform init. The protocol is chaotic (the
+    accumulated-gradient integral makes single runs swing ~+-25%), so both
+    lanes average 3 seeds."""
+    truth, x_masked, mask = _imputation_data()
+    x_log = np.log1p(x_masked)
+    n_genes = x_log.shape[1]
+    block = 40
+    targets = [list(range(i, min(i + block, n_genes)))
+               for i in range(0, n_genes, block)]
+    predictors = [sorted(set(range(n_genes)) - set(t))[:60] for t in targets]
+
+    import tempfile
+
+    import torch
+    RefDI = refshim.import_ref(
+        "dance.modules.single_modality.imputation.deepimpute", "DeepImpute")
+    cwd = os.getcwd()
+    ref_mses = []
+    with tempfile.TemporaryDirectory() as tmp:
+        os.chdir(tmp)
+        try:
+            for ts in (0, 7, 42):
+                torch.manual_seed(ts)
+                ref = RefDI(predictors, targets, f"parity_rp_{ts}",
+                            sub_outputdim=block, hidden_dim=64, seed=1, gpu=-1)
+                xt = torch.from_numpy(x_log)
+                ref.fit(xt, xt, batch_size=64, n_epochs=60, patience=10)
+                ref_imp = np.expm1(ref.predict(xt).cpu().numpy())
+                ref_mses.append(_masked_mse(ref_imp, truth, mask))
+        finally:
+            os.chdir(cwd)
+    ref_mse = float(np.mean(ref_mses))
+
+    from dance_tpu.modules.single_modality.imputation import DeepImpute
+    ours_mses = []
+    for seed in (1, 2, 3):
+        ours = DeepImpute(predictors, targets, "parity_rp", sub_outputdim=block,
+                          hidden_dim=64, seed=seed, reference_protocol=True)
+        ours.fit(x_log, x_log, batch_size=64, n_epochs=60, patience=10)
+        ours_imp = np.expm1(np.asarray(ours.predict(x_log)))
+        ours_mses.append(_masked_mse(ours_imp, truth, mask))
+    ours_mse = float(np.mean(ours_mses))
+    return dict(metric="masked_mse", ref=ref_mse, ours=ours_mse, rel_tol=0.35)
+
+
+@case("cmae_refproto")
+def run_cmae_refproto():
+    """CMAE with ours trained at the reference's exact optimizer protocol
+    (minibatch lr 1e-4, 150 epochs — the budget the primary row documents the
+    reference as being slow under)."""
+    import torch
+    x_tr, y_tr, x_te, y_te = make_modality(seed=4)
+    config = dict(
+        lr=1e-4, input_dim_a=x_tr.shape[1], input_dim_b=y_tr.shape[1],
+        num_of_classes=2, shared_layer=True, resume=False,
+        gen={"dim": 100, "latent": 50, "activ": "relu"},
+        dis={"dim": 100, "norm": None, "activ": "lrelu", "gan_type": "lsgan"},
+        beta1=0.5, beta2=0.999, weight_decay=1e-4, init="kaiming",
+        lr_policy="step", step_size=100000, gamma=0.5, gan_w=10,
+        recon_x_w=10, recon_h_w=0, recon_kl_w=0, supervise=1, super_w=0.1,
+        batch_size=64, max_epochs=150, device="cpu",
+    )
+    RefCMAE = refshim.import_ref(
+        "dance.modules.multi_modality.predict_modality.cmae", "CMAE")
+    torch.manual_seed(0)
+    ref = RefCMAE(config)
+    batch = torch.zeros(x_tr.shape[0], dtype=torch.long)
+    old_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        ref.fit(torch.from_numpy(x_tr), torch.from_numpy(y_tr), batch,
+                checkpoint_directory="/tmp/cmae_parity_rp")
+        ref_rmse = rmse(
+            ref.predict(torch.from_numpy(x_te)).detach().cpu().numpy(), y_te)
+    finally:
+        torch.Tensor.cuda = old_cuda
+
+    from dance_tpu.modules.multi_modality.predict_modality import CMAE as OurCMAE
+    ours = OurCMAE(dim1=x_tr.shape[1], dim2=y_tr.shape[1], z_dim=50,
+                   hidden=100, seed=0)
+    ours.fit(x_tr, y_tr, epochs=150, lr=1e-4, batch_size=64)
+    ours_rmse = rmse(ours.predict(x_te), y_te)
+    return dict(metric="rmse", ref=ref_rmse, ours=ours_rmse, rel_tol=0.35)
 
 
 # --------------------------------------------------------------------------

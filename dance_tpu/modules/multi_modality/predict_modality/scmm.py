@@ -31,6 +31,19 @@ class _MMVAENet(nn.Module):
     dim2: int
     z_dim: int = 16
     hidden: Tuple[int, ...] = (128,)
+    # reference_protocol: pin the posterior variance the way the reference
+    # architecture does (scmm.py:203: softmax(lv) * z_dim + eta — mean
+    # variance architecture-pinned to ~1) instead of a free learned logvar
+    ref_logvar: bool = False
+
+    def _pin(self, lv):
+        if not self.ref_logvar:
+            return lv
+        lv = jnp.clip(lv, -12, 12)
+        # posterior scale = softmax(lv) * z_dim + eta (mean ~1 by
+        # construction); expressed as a Gaussian logvar so the injected
+        # noise std equals the reference's pinned scale
+        return 2.0 * jnp.log(jax.nn.softmax(lv, axis=-1) * lv.shape[-1] + 1e-6)
 
     def setup(self):
         self.enc1 = GaussianEncoder(self.hidden, self.z_dim)
@@ -53,6 +66,7 @@ class _MMVAENet(nn.Module):
     def __call__(self, x1, x2, rng):
         mu1, lv1 = self.enc1(self.enc_in1(x1))
         mu2, lv2 = self.enc2(self.enc_in2(x2))
+        lv1, lv2 = self._pin(lv1), self._pin(lv2)
         r1, r2 = jax.random.split(rng)
         z1 = reparameterize(r1, mu1, lv1)
         z2 = reparameterize(r2, mu2, lv2)
@@ -72,11 +86,16 @@ class MMVAE(BaseRegressionMethod):
 
     _DISPLAY_ATTRS = ("z_dim",)
 
-    def __init__(self, subtask: str = "", params=None, z_dim: int = 16, seed: int = 0):
+    def __init__(self, subtask: str = "", params=None, z_dim: int = 16, seed: int = 0,
+                 reference_protocol: bool = False):
         self.subtask = subtask
         self.z_dim = z_dim
         self.seed = seed
         self.params = None
+        # True = softmax-pinned posterior variance exactly as the reference
+        # architecture builds it (scmm.py:203); parity match-mode rows use
+        # this to prove equivalence under the reference's own protocol
+        self.reference_protocol = reference_protocol
 
     @staticmethod
     def preprocessing_pipeline(log_level: LogLevel = "INFO"):
@@ -132,7 +151,8 @@ class MMVAE(BaseRegressionMethod):
             batch_size: int = 64):
         x1 = to_device(x_train, jnp.float32)
         x2 = to_device(y_train, jnp.float32)
-        self.net = _MMVAENet(dim1=x1.shape[1], dim2=x2.shape[1], z_dim=self.z_dim)
+        self.net = _MMVAENet(dim1=x1.shape[1], dim2=x2.shape[1], z_dim=self.z_dim,
+                             ref_logvar=self.reference_protocol)
         key = jax.random.key(self.seed)
         if self.params is None:
             self.params = self.net.init(key, x1[:1], x2[:1],

@@ -106,13 +106,20 @@ class ScDSC(NNPretrain, BaseClusteringMethod):
                  n_dec_1: int = 256, n_dec_2: int = 256, n_dec_3: int = 512,
                  n_z1: int = 256, n_z2: int = 128, n_z3: int = 32,
                  n_clusters: int = 10, n_input: int = 100, v: float = 1.0,
-                 device: str = "auto", seed: int = 0):
+                 device: str = "auto", seed: int = 0,
+                 reference_protocol: bool = False):
         super().__init__()
         self.pretrain_path = pretrain_path
         self.n_clusters = n_clusters
         self.sigma = sigma
         self.v = v
         self.seed = seed
+        # reference_protocol=True reproduces the reference's exact cluster-
+        # layer initialization: xavier-random centers (scdsc.py:407-408),
+        # which the SDCN recipe replaces with kmeans on the pretrained
+        # embedding. Used by the parity lane's match-mode rows to prove
+        # implementation equivalence separately from protocol superiority.
+        self.reference_protocol = reference_protocol
         self.model = ScDSCModel(n_input=n_input, n_clusters=n_clusters, sigma=sigma,
                                 dims=(n_enc_1, n_enc_2, n_enc_3, n_z1, n_z2, n_z3,
                                       n_dec_1, n_dec_2, n_dec_3), v=v)
@@ -250,13 +257,17 @@ class ScDSC(NNPretrain, BaseClusteringMethod):
                        force_pretrain=True)
 
         # initialize cluster centers from KMeans on the pretrained AE embedding
-        # (SDCN recipe; the reference leaves them at random init, which stalls)
-        from dance_tpu.ops.cluster import kmeans
-        z3 = self.model.apply({"params": self.params}, jnp.asarray(x),
-                              method=lambda m, xx: m.ae(xx))[4]
-        centers = kmeans(z3, self.n_clusters, n_init=10, seed=self.seed).centers
-        self.params = dict(self.params)
-        self.params["cluster_layer"] = jnp.asarray(centers)
+        # (SDCN recipe; the reference leaves them at random init, which stalls
+        # — reference_protocol=True keeps the model.init xavier-random
+        # centers to reproduce that behavior, scdsc.py:407-408)
+        if not self.reference_protocol:
+            from dance_tpu.ops.cluster import kmeans
+            z3 = self.model.apply({"params": self.params}, jnp.asarray(x),
+                                  method=lambda m, xx: m.ae(xx))[4]
+            centers = kmeans(z3, self.n_clusters, n_init=10,
+                             seed=self.seed).centers
+            self.params = dict(self.params)
+            self.params["cluster_layer"] = jnp.asarray(centers)
 
         xj = jnp.asarray(x)
         xr = jnp.asarray(x_raw, jnp.float32)

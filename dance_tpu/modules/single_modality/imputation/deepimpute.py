@@ -16,7 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from dance_tpu.utils.batch import epoch_batches
+from dance_tpu.nn.zinb_ae import TorchDense
+from dance_tpu.utils.batch import epoch_batches, epoch_batches_masked
 from dance_tpu.modules.base import BaseRegressionMethod
 from dance_tpu.settings import logger
 from dance_tpu.transforms import (AnnDataTransform, CellwiseMaskData, Compose,
@@ -31,13 +32,20 @@ class _SubNet(nn.Module):
     out_dim: int
     hidden_dim: int = 256
     dropout: float = 0.2
+    # torch-matching initializers (reference protocol): torch.nn.Linear draws
+    # kernels kaiming-uniform(a=sqrt 5) = U(+-sqrt(1/fan_in)) and biases
+    # U(+-sqrt(1/fan_in)); flax's default lecun_normal kernel is ~1.7x wider
+    # in std and zero-bias. Under the reference's accumulated-gradient
+    # dynamics the init scale shapes the whole trajectory.
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
-        x = nn.Dense(self.hidden_dim)(x)
+        dense = TorchDense if self.torch_init else nn.Dense
+        x = dense(self.hidden_dim)(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not training)(x)
-        return nn.softplus(nn.Dense(self.out_dim)(x))
+        return nn.softplus(dense(self.out_dim)(x))
 
 
 # reference inner-model name (deepimpute.py:41)
@@ -51,7 +59,7 @@ class DeepImpute(BaseRegressionMethod):
 
     def __init__(self, predictors, targets, dataset: str = "", sub_outputdim: int = 512,
                  hidden_dim: int = 256, dropout: float = 0.2, seed: int = 1,
-                 gpu: int = -1):
+                 gpu: int = -1, reference_protocol: bool = False):
         self.predictors = list(predictors)
         self.targets = list(targets)
         self.sub_outputdim = sub_outputdim
@@ -59,6 +67,15 @@ class DeepImpute(BaseRegressionMethod):
         self.dropout = dropout
         self.seed = seed
         self.params = None
+        # reference_protocol=True reproduces the reference's exact early-
+        # stopping protocol (deepimpute.py:267-302): 90/10 val split, plain
+        # (unweighted) val MSE, a patience counter that increments on every
+        # non-best epoch and NEVER resets on improvement, per-subnet stopping,
+        # and torch gradient accumulation (the reference training loop has no
+        # optimizer.zero_grad(), so each step applies the running SUM of all
+        # past batch gradients). The default protocol instead uses a 95/5
+        # split, wMSE val signal, and a consecutive-epoch patience counter.
+        self.reference_protocol = reference_protocol
 
     @staticmethod
     def preprocessing_pipeline(min_cells: float = 0.1, n_top: int = 5,
@@ -186,7 +203,8 @@ class DeepImpute(BaseRegressionMethod):
         pred_idx, targ_idx, targ_mask, p_max, t_max = self._pad_layout()
         self._idx = (pred_idx, targ_idx, targ_mask)
         self.net = _SubNet(out_dim=t_max, hidden_dim=self.hidden_dim,
-                           dropout=self.dropout)
+                           dropout=self.dropout,
+                           torch_init=self.reference_protocol)
         key = jax.random.key(self.seed)
 
         def init_one(r, p_idx):
@@ -200,12 +218,18 @@ class DeepImpute(BaseRegressionMethod):
 
         # 95/5 validation split for early stopping (parity: deepimpute.py:264,
         # :299 — the reference stops each subnet on its val loss with
-        # `patience`; the vmapped ensemble shares one val signal, the mean)
+        # `patience`; the vmapped ensemble shares one val signal, the mean).
+        # reference_protocol uses the reference's own 90/10 split instead
+        # (deepimpute.py:246-248).
         n = X.shape[0]
-        n_val = max(int(0.05 * n), 1) if n > 20 and patience else 0
         rng = np.random.default_rng(self.seed)
         perm = rng.permutation(n)
-        val_sel, tr_sel = perm[:n_val], perm[n_val:]
+        if self.reference_protocol:
+            n_val = n - int(n * 0.9) if patience else 0
+            tr_sel, val_sel = perm[:int(n * 0.9)], perm[int(n * 0.9):]
+        else:
+            n_val = max(int(0.05 * n), 1) if n > 20 and patience else 0
+            val_sel, tr_sel = perm[:n_val], perm[n_val:]
         Xj, Yj, Mj = self._pregather(to_device(X[tr_sel]), to_device(Y[tr_sel]),
                                      to_device(mask_arr[tr_sel]))
         if n_val:
@@ -222,6 +246,15 @@ class DeepImpute(BaseRegressionMethod):
             for epoch in range(0, n_epochs, 20):
                 logger.info("DeepImpute epoch %d, wMSE %.6f", epoch,
                             float(losses[epoch]))
+            return self
+        if self.reference_protocol:
+            self.params, best_val, losses, stopped = self._train_epochs_es_ref(
+                self.params, opt_state, Xj, Yj, Mj, Xv, Yv, Mv, epoch_keys,
+                jnp.int32(patience), bs)
+            logger.info("DeepImpute (reference protocol) %d/%d subnets early "
+                        "stopped; mean best val MSE %.6f",
+                        int(np.asarray(stopped).sum()), len(self.targets),
+                        float(np.asarray(best_val).mean()))
             return self
         self.params, opt_state, best_val, losses, vals, _ = self._train_epochs_es(
             self.params, opt_state, Xj, Yj, Mj, Xv, Yv, Mv, epoch_keys,
@@ -272,6 +305,101 @@ class DeepImpute(BaseRegressionMethod):
         carry, (losses, vals) = jax.lax.scan(epoch, init, keys)
         params, opt_state, best_val, best_params, counter, stopped = carry
         return best_params, opt_state, best_val, losses, vals, stopped
+
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def _train_epochs_es_ref(self, params, opt_state, X, Y, M, Xv, Yv, Mv,
+                             keys, patience, batch_size: int):
+        """The reference's exact early-stopping state machine, vmapped.
+
+        Reproduces deepimpute.py:267-302 per subnet: the model is saved
+        whenever the current val loss EQUALS the running minimum (best-val
+        restore at predict, :309-318); the patience counter increments on
+        every non-best epoch and never resets; training stops per subnet.
+        The optimizer step applies the running SUM of all past batch
+        gradients (the reference loop never calls optimizer.zero_grad(),
+        :275-279 — torch .grad buffers accumulate across batches AND epochs).
+        """
+        n_ens = jax.tree_util.tree_leaves(params)[0].shape[0]
+
+        def bc(flag, leaf):  # broadcast a (n_ens,) flag over a stacked leaf
+            return flag.reshape((-1,) + (1,) * (leaf.ndim - 1))
+
+        def epoch(carry, key):
+            params, opt_state, gsum, best_val, best_params, counter, stopped = carry
+            p2, o2, g2, loss = self._train_epoch_accum(params, opt_state, gsum,
+                                                       X, Y, M, key, batch_size)
+            # freeze subnets that already stopped (per-ens gating; their
+            # opt/gsum state is irrelevant once params stop changing)
+            p2 = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(bc(stopped, new), old, new), p2, params)
+            val = self._val_loss_ref(p2, Xv, Yv, Mv)  # (n_ens,)
+            active = ~stopped
+            improved = (val <= best_val) & active
+            nb = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(bc(improved, p), p, b), best_params, p2)
+            nbv = jnp.where(improved, val, best_val)
+            nc = jnp.where(active & ~improved, counter + 1, counter)
+            nstopped = stopped | (nc >= patience)
+            return (p2, o2, g2, nbv, nb, nc, nstopped), (loss, val)
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        init = (params, opt_state, zeros, jnp.full((n_ens,), jnp.inf, jnp.float32),
+                params, jnp.zeros((n_ens,), jnp.int32),
+                jnp.zeros((n_ens,), bool))
+        carry, (losses, vals) = jax.lax.scan(epoch, init, keys)
+        _, _, _, best_val, best_params, _, stopped = carry
+        return best_params, best_val, losses, stopped
+
+    @partial(jax.jit, static_argnames=("self", "batch_size"))
+    def _train_epoch_accum(self, params, opt_state, gsum, Xp, Yt, Mt, key,
+                           batch_size: int):
+        """One epoch with torch-style gradient ACCUMULATION (reference
+        protocol): each optimizer step applies the running sum of every batch
+        gradient seen so far, exactly like a torch loop that never zeroes
+        .grad (deepimpute.py:275-279). Batches follow the reference's exact
+        DataLoader shapes (drop_last=False: one short final batch, not the
+        wrap-padded stream the default protocol uses) — under integral-
+        control dynamics the per-epoch step count changes the trajectory."""
+        n = Xp.shape[1]
+        idx, bmask = epoch_batches_masked(key, n, batch_size)
+        nb = idx.shape[0]
+        Xb = jnp.moveaxis(jnp.take(Xp, idx, axis=1), 0, 1)
+        Yb = jnp.moveaxis(jnp.take(Yt, idx, axis=1), 0, 1)
+        Mb = jnp.moveaxis(jnp.take(Mt, idx, axis=1), 0, 1)
+        Mb = Mb * bmask[:, None, :, None]  # zero padded slots entirely
+        keys = jax.random.split(jax.random.fold_in(key, 7), nb)
+
+        def loss_fn(params, bx, by, bm, rng):
+            def one(sub_params, x_in, y_t, m_t, r):
+                y_hat = self.net.apply({"params": sub_params}, x_in, training=True,
+                                       rngs={"dropout": r})
+                w = y_t
+                return jnp.sum(w * m_t * (y_t - y_hat) ** 2) / jnp.maximum(
+                    jnp.sum(m_t), 1.0)
+
+            sub_rngs = jax.random.split(rng, bx.shape[0])
+            return jax.vmap(one)(params, bx, by, bm, sub_rngs).mean()
+
+        def step(carry, batch):
+            params, opt_state, gsum = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, *batch)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            updates, opt_state = self._tx.update(gsum, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state, gsum), loss
+
+        (params, opt_state, gsum), losses = jax.lax.scan(
+            step, (params, opt_state, gsum), (Xb, Yb, Mb, keys))
+        return params, opt_state, gsum, losses.mean()
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _val_loss_ref(self, params, Xp, Yt, Mt):
+        """Per-subnet PLAIN val MSE — the reference validates with unweighted
+        F.mse_loss (deepimpute.py:287-289), not the wMSE train loss."""
+        def one(sub_params, x_in, y, m):
+            pred = self.net.apply({"params": sub_params}, x_in)
+            return (m * (pred - y) ** 2).sum() / jnp.maximum(m.sum(), 1.0)
+
+        return jax.vmap(one)(params, Xp, Yt, Mt)
 
     @partial(jax.jit, static_argnames=("self",))
     def _val_loss(self, params, Xp, Yt, Mt):
