@@ -732,16 +732,27 @@ def resolve_use_bsr(use_bsr, adj: sp.spmatrix, block: int = BLOCK, *,
 def choose_adj_format(adj: sp.spmatrix, block: int = BLOCK, *,
                       max_expansion: float = 150.0, reorder: bool = True,
                       dense_threshold: float = 0.02,
+                      dense_occupancy: float = 0.25,
                       dense_max_bytes: int = 2 << 30) -> str:
     """Pick the device adjacency format: ``"dense"`` | ``"bsr"`` | ``"csr"``.
 
-    TPU-first dispatch by density: above ``dense_threshold`` (and when the
-    dense operand fits in ``dense_max_bytes``) a plain MXU matmul beats every
-    sparse format — the BSR grid is fully populated at that density and the
-    CSR gather/segment path materializes an nnz×d message tensor (OOM past
-    ~10M edges).  Below it, the BSR-vs-CSR rule is :func:`resolve_use_bsr`'s:
-    Pallas BSR when the (optionally RCM-banded) tiling stays under
-    ``max_expansion`` dense-slots-per-nnz, XLA segment ops otherwise.
+    TPU-first dispatch by cost, not just density:
+
+    - density ≥ ``dense_threshold`` (and the dense operand fits in
+      ``dense_max_bytes``): a plain MXU matmul beats every sparse format —
+      the BSR grid is fully populated at that density and the CSR
+      gather/segment path materializes an nnz×d message tensor (OOM past
+      ~10M edges).
+    - Otherwise compare the BSR tiling's actual work against dense: the
+      kernel streams ``tile_expansion·nnz`` dense slots, so when that covers
+      ≥ ``dense_occupancy`` of the full n·m matrix the Pallas grid is doing
+      near-dense FLOPs *plus* per-tile overhead — the plain matmul wins even
+      though the raw density looked sparse (e.g. stdGCN's MNN-coupled towers:
+      0.9% density but 102× expansion ⇒ 96% tile occupancy).
+    - Below that, BSR vs CSR is :func:`resolve_use_bsr`'s rule: Pallas when
+      the (optionally RCM-banded) tiling stays under ``max_expansion``
+      dense-slots-per-nnz, XLA segment ops otherwise.
+
     Off-TPU always resolves to ``"csr"``.
     """
     import jax
@@ -750,11 +761,15 @@ def choose_adj_format(adj: sp.spmatrix, block: int = BLOCK, *,
     adj = sp.csr_matrix(adj)
     n, m = adj.shape
     density = adj.nnz / max(n * m, 1)
-    if density >= dense_threshold and 4 * n * m <= dense_max_bytes:
+    dense_fits = 4 * n * m <= dense_max_bytes
+    if density >= dense_threshold and dense_fits:
         return "dense"
     if reorder:
         _, adj = rcm_reorder(adj)
-    return "bsr" if tile_expansion(adj, block) <= max_expansion else "csr"
+    expansion = tile_expansion(adj, block)
+    if dense_fits and expansion * density >= dense_occupancy:
+        return "dense"
+    return "bsr" if expansion <= max_expansion else "csr"
 
 
 def unpermute(perm, arr: np.ndarray) -> np.ndarray:
