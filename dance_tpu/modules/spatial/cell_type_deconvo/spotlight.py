@@ -7,6 +7,8 @@ profiles onto mix-topic profiles for proportions). torchnmf is replaced by the
 jitted multiplicative-update NMF/NNLS in :mod:`dance_tpu.ops.nmf`.
 """
 
+from functools import partial
+
 import numpy as np
 
 from dance_tpu.modules.base import BaseRegressionMethod
@@ -35,7 +37,13 @@ class SPOTlight(BaseRegressionMethod):
 
     def fit(self, x, lr: float = 1e-3, max_iter: int = 1000):
         """x: mixture expression (spots × genes)."""
+        import jax
         from dance_tpu.ops.nmf import nmf
+        # DEFAULT (single-bf16-pass) matmuls in the MU loops: the updates are
+        # self-correcting ratio iterations, and HIGHEST costs a 6-pass f32
+        # emulation on the MXU — ~6× the per-iteration work for no metric
+        # change at deconvolution scales (full-tier MSE floors unchanged)
+        nmf = partial(nmf, precision=jax.lax.Precision.DEFAULT)
         x = as_numpy(x).astype(np.float32)
         x_ref = self.ref_count.T.astype(np.float32)  # gene x cells
 

@@ -21,14 +21,16 @@ class NMFResult(NamedTuple):
     loss: jax.Array
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
-def _nmf_mu(V, W, H, n_iter: int):
+@partial(jax.jit, static_argnames=("n_iter", "precision"))
+def _nmf_mu(V, W, H, n_iter: int, precision=HI):
     def step(_, WH):
         W, H = WH
-        H = H * (jnp.dot(W.T, V, precision=HI)
-                 / (jnp.dot(jnp.dot(W.T, W, precision=HI), H, precision=HI) + EPS))
-        W = W * (jnp.dot(V, H.T, precision=HI)
-                 / (jnp.dot(W, jnp.dot(H, H.T, precision=HI), precision=HI) + EPS))
+        H = H * (jnp.dot(W.T, V, precision=precision)
+                 / (jnp.dot(jnp.dot(W.T, W, precision=precision), H,
+                            precision=precision) + EPS))
+        W = W * (jnp.dot(V, H.T, precision=precision)
+                 / (jnp.dot(W, jnp.dot(H, H.T, precision=precision),
+                            precision=precision) + EPS))
         return W, H
 
     W, H = jax.lax.fori_loop(0, n_iter, step, (W, H))
@@ -37,8 +39,16 @@ def _nmf_mu(V, W, H, n_iter: int):
 
 
 def nmf(V, n_components: int, *, n_iter: int = 200, seed: int = 0,
-        W_init=None, H_init=None, W_fixed: bool = False) -> NMFResult:
-    """NMF V ≈ W H with optional fixed W (NNLS-style regression mode)."""
+        W_init=None, H_init=None, W_fixed: bool = False,
+        precision=HI) -> NMFResult:
+    """NMF V ≈ W H with optional fixed W (NNLS-style regression mode).
+
+    ``precision`` sets the in-loop matmul precision. The HIGHEST default is
+    a 6-pass f32 emulation on the TPU MXU; multiplicative updates are
+    self-correcting ratio iterations, so callers on the hot path (SPOTlight)
+    pass ``jax.lax.Precision.DEFAULT`` (single bf16 pass, ~6× less MXU work)
+    — the final reported loss is always computed at HIGHEST.
+    """
     V = jnp.asarray(V, jnp.float32)
     n, m = V.shape
     scale = jnp.sqrt(V.mean() / n_components)
@@ -48,19 +58,19 @@ def nmf(V, n_components: int, *, n_iter: int = 200, seed: int = 0,
     H = (jnp.asarray(H_init, jnp.float32) if H_init is not None
          else scale * jnp.abs(jax.random.normal(k2, (n_components, m))))
     if W_fixed:
-        W, H, loss = _nmf_mu_fixed_w(V, W, H, n_iter)
+        W, H, loss = _nmf_mu_fixed_w(V, W, H, n_iter, precision=precision)
     else:
-        W, H, loss = _nmf_mu(V, W, H, n_iter)
+        W, H, loss = _nmf_mu(V, W, H, n_iter, precision=precision)
     return NMFResult(W, H, loss)
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
-def _nmf_mu_fixed_w(V, W, H, n_iter: int):
+@partial(jax.jit, static_argnames=("n_iter", "precision"))
+def _nmf_mu_fixed_w(V, W, H, n_iter: int, precision=HI):
     WtV = jnp.dot(W.T, V, precision=HI)
     WtW = jnp.dot(W.T, W, precision=HI)
 
     def step(_, H):
-        return H * (WtV / (jnp.dot(WtW, H, precision=HI) + EPS))
+        return H * (WtV / (jnp.dot(WtW, H, precision=precision) + EPS))
 
     H = jax.lax.fori_loop(0, n_iter, step, H)
     loss = jnp.linalg.norm(V - jnp.dot(W, H, precision=HI))
