@@ -39,30 +39,180 @@ from dance_tpu.utils.wrappers import as_numpy
 
 class _FeatureAE(nn.Module):
     """Feature AE (parity: Feature_AE, scgnn2.py:338); the Cluster AE shares
-    this architecture (Cluster_AE subclasses it verbatim, :429)."""
+    this architecture (Cluster_AE subclasses it verbatim, :429).
+
+    ``reference_protocol`` switches to the reference's exact parameterization:
+    torch.nn.Linear init (kaiming-uniform kernels, uniform biases) and a ReLU
+    output head (Feature_AE.decode, scgnn2.py:358) instead of softplus —
+    under the 60-full-batch-step budget the init scale dominates how far the
+    recon gets, so matching it is required for match-mode parity."""
 
     hidden: Tuple[int, ...] = (512, 128)
+    reference_protocol: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from dance_tpu.nn.zinb_ae import TorchDense
+        dense = TorchDense if self.reference_protocol else nn.Dense
+        out_act = nn.relu if self.reference_protocol else nn.softplus
         h = x
         for d in self.hidden:
-            h = nn.relu(nn.Dense(d)(h))
+            h = nn.relu(dense(d)(h))
         z = h
         for d in self.hidden[-2::-1]:
-            h = nn.relu(nn.Dense(d)(h))
-        x_hat = nn.softplus(nn.Dense(x.shape[-1])(h))
+            h = nn.relu(dense(d)(h))
+        x_hat = out_act(dense(x.shape[-1])(h))
         return z, x_hat
 
 
 class _GraphAE(nn.Module):
     z_dim: int = 128
 
+    variational: bool = False
+
     @nn.compact
-    def __call__(self, adj, z):
+    def __call__(self, adj, z, rng=None):
         h = nn.relu(spmm(adj, nn.Dense(self.z_dim)(z)))
-        h = spmm(adj, nn.Dense(self.z_dim)(h))
-        return h
+        mu = spmm(adj, nn.Dense(self.z_dim)(h))
+        if not self.variational:
+            return mu
+        lv = spmm(adj, nn.Dense(self.z_dim)(h))
+        if rng is None:
+            return mu
+        # reference_protocol: the reference's VGAE stays in training mode for
+        # the whole EM loop, so the embedding fed downstream is the SAMPLED
+        # latent — with its std = exp(logvar) quirk (scgnn2.py:448-452, no
+        # 0.5 factor), doubling the injected noise
+        return mu + jax.random.normal(rng, mu.shape) * jnp.exp(lv)
+
+
+# --- jitted stages ----------------------------------------------------------
+#
+# Module-level jits keyed on STRUCTURALLY-hashable statics (the flax module —
+# a frozen dataclass — plus lr/epoch counts) instead of methods static on
+# ``self``: a fresh ScGNN2 per fit (the norm in sweeps and benchmarks) then
+# reuses the compiled programs instead of recompiling three whole-stage scans.
+
+
+@partial(jax.jit, static_argnames=("ae", "lr", "n_epochs"))
+def _feature_stage_scan(ae, lr, params, x, mask, n_epochs: int):
+    """The whole feature-AE stage as ONE dispatched program: the per-step
+    compute (~130 GFLOP full-batch fwd+bwd) is microseconds-cheap next to a
+    relay dispatch, so a Python epoch loop was 88% of the EM wall clock
+    (benchmarks/profile_scgnn2.py)."""
+    tx = optax.adam(lr)
+
+    def step(carry, _):
+        params, opt_state = carry
+
+        def loss_fn(params):
+            _, x_hat = ae.apply({"params": params}, x)
+            # mask may be a scalar 1.0 (no-mask fit: saves uploading an
+            # all-ones matrix over the relay); the denominator is then the
+            # full element count, same as an explicit ones mask
+            denom = mask.sum() if jnp.ndim(mask) else mask * x.size
+            return jnp.sum(mask * (x - x_hat) ** 2) / jnp.maximum(denom, 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    (params, _), losses = jax.lax.scan(step, (params, tx.init(params)), None,
+                                       length=n_epochs)
+    z, x_hat = ae.apply({"params": params}, x)
+    return params, z, x_hat, losses[-1]
+
+
+@partial(jax.jit, static_argnames=("ae", "lr", "n_epochs", "sample"))
+def _graph_stage_scan(ae, lr, params, adj, z, gkey, n_epochs: int,
+                      sample: bool):
+    """Graph-AE stage as one scan, including the final embedding forward;
+    ``sample`` threads the reference-protocol per-epoch rng (sampled VGAE
+    latent) through as scan xs."""
+    tx = optax.adam(lr)
+    keys = jax.random.split(gkey, n_epochs) if sample else jnp.zeros(
+        (n_epochs, 0))
+
+    def step(carry, key):
+        params, opt_state = carry
+        rng = key if sample else None
+
+        def loss_fn(params):
+            z_g = ae.apply({"params": params}, adj, z, rng)
+            return jnp.mean((z_g - z) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    (params, _), losses = jax.lax.scan(step, (params, tx.init(params)), keys)
+    z_g = ae.apply({"params": params}, adj, z,
+                   jax.random.fold_in(gkey, n_epochs + 1) if sample else None)
+    return params, z_g, losses[-1]
+
+
+@partial(jax.jit, static_argnames=("ae", "lr", "n_epochs", "l1"))
+def _cluster_ae_train(ae, lr, stacked_params, xr_pad, xd_pad, row_mask,
+                      gw_pad, n_epochs: int, l1: bool):
+    """Train every cluster's AE simultaneously (vmapped over clusters).
+
+    Per-cluster objective follows loss_function_graph "Celltype"
+    (scgnn2.py:1314-1328): 0.3·sum MSE + frobenius of the nonzero
+    (x_dropout − recon) residual + 0.3·graph-weighted row MSE +
+    0.1·celltype-weighted row MSE (weights = column sums of the
+    within-cluster adjacency / all-ones matrices — the matmuls in the
+    reference reduce to exactly these row weights).
+    """
+    tx = optax.adam(lr)
+
+    def cluster_loss(params, xr, xd, m, gw):
+        _, recon = ae.apply({"params": params}, xr)
+        se = (recon - xr) ** 2 * m[:, None]
+        mse_rows = se.sum(1)
+        bce = mse_rows.sum()
+        nz = (xd - recon) * (xd != 0) * m[:, None]
+        nonzero_regu = jnp.sqrt(jnp.maximum(jnp.sum(nz ** 2), 1e-12))
+        csize = m.sum()
+        graph_regu = jnp.sum(gw * mse_rows)
+        celltype_regu = csize * mse_rows.sum()
+        loss = 0.3 * bce + nonzero_regu + 0.3 * graph_regu + 0.1 * celltype_regu
+        if l1:
+            # the reference's "Celltype" branch adds an UNSCALED L1 over
+            # every model parameter (train_handler, scgnn2.py:392-398:
+            # `loss = loss + 1 * l1 + 0 * l2`) — this term dominates the
+            # objective and shrinks the cluster AE toward zero output,
+            # which is the documented source of the reference's high
+            # imputation error; the default protocol drops it
+            loss = loss + sum(jnp.abs(leaf).sum()
+                              for leaf in jax.tree_util.tree_leaves(params))
+        return loss
+
+    def one_cluster(params, xr, xd, m, gw):
+        opt_state = tx.init(params)
+
+        def step(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(cluster_loss)(params, xr, xd, m, gw)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, _), losses = jax.lax.scan(step, (params, opt_state), None,
+                                           length=n_epochs)
+        _, recon = ae.apply({"params": params}, xr)
+        return recon, losses[-1]
+
+    return jax.vmap(one_cluster)(stacked_params, xr_pad, xd_pad, row_mask,
+                                 gw_pad)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _scatter_members(recon_pad, idx_mat, row_mask, n: int):
+    """Un-pad the per-cluster reconstructions back to cell order. Every
+    cell belongs to exactly one cluster, so a masked scatter-add writes
+    each row once (padding slots contribute zeros to row 0)."""
+    flat_idx = idx_mat.reshape(-1)
+    flat = (recon_pad * row_mask[:, :, None]).reshape(flat_idx.shape[0], -1)
+    return jnp.zeros((n, flat.shape[1]), flat.dtype).at[flat_idx].add(flat)
 
 
 class ScGNN2(BaseRegressionMethod):
@@ -74,7 +224,13 @@ class ScGNN2(BaseRegressionMethod):
                  graph_epoch: int = 50, cluster_epoch: int = 50, n_clusters: int = 10,
                  k: int = 10, hidden: Tuple[int, ...] = (512, 128), lr: float = 1e-3,
                  cluster_lr: float = 1e-3, regu_strength: float = 0.9,
-                 max_clusters: int = 30, seed: int = 0, **kwargs):
+                 max_clusters: int = 30, seed: int = 0,
+                 reference_protocol: bool = False, **kwargs):
+        # reference_protocol=True reproduces the reference's variational
+        # graph stage: the downstream embedding is sampled from the VGAE
+        # posterior (training mode, std = exp(logvar)) instead of the mean
+        # path — the documented source of the parity gap (parity.csv scgnn2)
+        self.reference_protocol = reference_protocol
         self.total_epoch = total_epoch
         self.feature_epoch = feature_epoch
         self.graph_epoch = graph_epoch
@@ -108,75 +264,6 @@ class ScGNN2(BaseRegressionMethod):
             "label_channel": [None, None],
             "label_channel_type": ["X", "raw_X"]}))
         return Compose(*transforms, log_level=log_level)
-
-    # --- jitted stages ------------------------------------------------------
-
-    @partial(jax.jit, static_argnames=("self",))
-    def _feature_step(self, params, opt_state, x, mask):
-        def loss_fn(params):
-            _, x_hat = self.feature_ae.apply({"params": params}, x)
-            # mask may be a scalar 1.0 (no-mask fit: saves uploading an
-            # all-ones matrix over the relay); the denominator is then the
-            # full element count, same as an explicit ones mask
-            denom = mask.sum() if jnp.ndim(mask) else mask * x.size
-            return jnp.sum(mask * (x - x_hat) ** 2) / jnp.maximum(denom, 1.0)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = self._f_tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    @partial(jax.jit, static_argnames=("self",))
-    def _graph_step(self, params, opt_state, adj, z):
-        def loss_fn(params):
-            z_g = self.graph_ae.apply({"params": params}, adj, z)
-            return jnp.mean((z_g - z) ** 2)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = self._g_tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    @partial(jax.jit, static_argnames=("self", "n_epochs"))
-    def _cluster_ae_train(self, stacked_params, xr_pad, xd_pad, row_mask, gw_pad,
-                          n_epochs: int):
-        """Train every cluster's AE simultaneously (vmapped over clusters).
-
-        Per-cluster objective follows loss_function_graph "Celltype"
-        (scgnn2.py:1314-1328): 0.3·sum MSE + frobenius of the nonzero
-        (x_dropout − recon) residual + 0.3·graph-weighted row MSE +
-        0.1·celltype-weighted row MSE (weights = column sums of the
-        within-cluster adjacency / all-ones matrices — the matmuls in the
-        reference reduce to exactly these row weights).
-        """
-        tx = optax.adam(self.cluster_lr)
-
-        def cluster_loss(params, xr, xd, m, gw):
-            _, recon = self.feature_ae.apply({"params": params}, xr)
-            se = (recon - xr) ** 2 * m[:, None]
-            mse_rows = se.sum(1)
-            bce = mse_rows.sum()
-            nz = (xd - recon) * (xd != 0) * m[:, None]
-            nonzero_regu = jnp.sqrt(jnp.maximum(jnp.sum(nz ** 2), 1e-12))
-            csize = m.sum()
-            graph_regu = jnp.sum(gw * mse_rows)
-            celltype_regu = csize * mse_rows.sum()
-            return 0.3 * bce + nonzero_regu + 0.3 * graph_regu + 0.1 * celltype_regu
-
-        def one_cluster(params, xr, xd, m, gw):
-            opt_state = tx.init(params)
-
-            def step(carry, _):
-                params, opt_state = carry
-                loss, grads = jax.value_and_grad(cluster_loss)(params, xr, xd, m, gw)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                return (optax.apply_updates(params, updates), opt_state), loss
-
-            (params, _), losses = jax.lax.scan(step, (params, opt_state), None,
-                                               length=n_epochs)
-            _, recon = self.feature_ae.apply({"params": params}, xr)
-            return recon, losses[-1]
-
-        return jax.vmap(one_cluster)(stacked_params, xr_pad, xd_pad, row_mask,
-                                     gw_pad)
 
     # --- cluster bookkeeping -------------------------------------------------
 
@@ -225,20 +312,11 @@ class ScGNN2(BaseRegressionMethod):
         idx_j = jnp.asarray(idx_mat)
         xr_pad = jnp.asarray(x_recon)[idx_j]
         xd_pad = jnp.asarray(x_dropout)[idx_j]
-        recon_pad, losses = self._cluster_ae_train(
-            stacked, xr_pad, xd_pad, jnp.asarray(row_mask), jnp.asarray(gw),
-            n_epochs=self.cluster_epoch)
-        return self._scatter_members(recon_pad, idx_j, jnp.asarray(row_mask),
-                                     n)
-
-    @partial(jax.jit, static_argnames=("self", "n"))
-    def _scatter_members(self, recon_pad, idx_mat, row_mask, n: int):
-        """Un-pad the per-cluster reconstructions back to cell order. Every
-        cell belongs to exactly one cluster, so a masked scatter-add writes
-        each row once (padding slots contribute zeros to row 0)."""
-        flat_idx = idx_mat.reshape(-1)
-        flat = (recon_pad * row_mask[:, :, None]).reshape(flat_idx.shape[0], -1)
-        return jnp.zeros((n, flat.shape[1]), flat.dtype).at[flat_idx].add(flat)
+        recon_pad, losses = _cluster_ae_train(
+            self.feature_ae, self.cluster_lr, stacked, xr_pad, xd_pad,
+            jnp.asarray(row_mask), jnp.asarray(gw),
+            n_epochs=self.cluster_epoch, l1=self.reference_protocol)
+        return _scatter_members(recon_pad, idx_j, jnp.asarray(row_mask), n)
 
     # --- EM loop --------------------------------------------------------------
 
@@ -261,21 +339,19 @@ class ScGNN2(BaseRegressionMethod):
             x_dropout = x
             mj = jnp.float32(1.0)  # scalar: no 80 MB all-ones upload
 
-        self.feature_ae = _FeatureAE(hidden=self.hidden)
-        self.graph_ae = _GraphAE(z_dim=self.hidden[-1])
+        self.feature_ae = _FeatureAE(hidden=self.hidden,
+                                     reference_protocol=self.reference_protocol)
+        self.graph_ae = _GraphAE(z_dim=self.hidden[-1],
+                                 variational=self.reference_protocol)
         key = jax.random.key(self.seed)
         f_params = self.feature_ae.init(key, jnp.asarray(x_dropout[:1]))["params"]
-        self._f_tx = optax.adam(self.lr)
         g_params = None
         xd_j = jnp.asarray(x_dropout)  # uploaded once; EM stages stay on device
 
         def feature_stage(x_in, params, train_mask):
-            state = self._f_tx.init(params)
-            xj = jnp.asarray(x_in)
-            for _ in range(self.feature_epoch):
-                params, state, loss = self._feature_step(params, state, xj,
-                                                         train_mask)
-            z, x_hat = self.feature_ae.apply({"params": params}, xj)
+            params, z, x_hat, loss = _feature_stage_scan(
+                self.feature_ae, self.lr, params, jnp.asarray(x_in),
+                train_mask, self.feature_epoch)
             return params, z, x_hat, float(loss)
 
         def graph_stage(z, g_params, em):
@@ -287,12 +363,10 @@ class ScGNN2(BaseRegressionMethod):
             if g_params is None:
                 g_params = self.graph_ae.init(jax.random.fold_in(key, em), adj_n,
                                               z)["params"]
-                self._g_tx = optax.adam(self.lr)
-            g_state = self._g_tx.init(g_params)
-            for _ in range(self.graph_epoch):
-                g_params, g_state, g_loss = self._graph_step(g_params, g_state,
-                                                             adj_n, z)
-            z_g = self.graph_ae.apply({"params": g_params}, adj_n, z)
+            gkey = jax.random.fold_in(key, 1000 + em)
+            g_params, z_g, g_loss = _graph_stage_scan(
+                self.graph_ae, self.lr, g_params, adj_n, z, gkey,
+                self.graph_epoch, self.reference_protocol)
             return g_params, z_g, adj, float(g_loss)
 
         # pre-EM: feature AE on the observed matrix, then the first graph
