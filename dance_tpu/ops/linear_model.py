@@ -24,15 +24,24 @@ HI = jax.lax.Precision.HIGHEST
 # jitted one-vs-rest trainer
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("epochs", "loss", "batch_size"))
+@partial(jax.jit, static_argnames=("epochs", "loss", "batch_size", "tol_chunk",
+                                   "precision"))
 def _fit_ovr(x, t, l2, lr, epochs: int, loss: str, batch_size: int = 0,
-             seed: int = 0):
+             seed: int = 0, tol: float = 0.0, tol_chunk: int = 0,
+             precision=HI):
     """Train OvR weights on targets ``t`` in {-1, +1} of shape (n, classes).
 
     loss: "squared_hinge" (SVM primal) or "logistic" (one-vs-rest LR).
     ``l2`` multiplies ``0.5 * ||W||^2`` (per-sample-mean data term), matching
     sklearn's ``C`` via ``l2 = 1 / (C * n)`` and SGD's ``alpha`` directly.
     ``batch_size > 0`` switches to mini-batch sampling per step (SGD parity).
+
+    ``tol_chunk > 0`` (full-batch only) adds sklearn-style convergence
+    stopping: steps run in chunks of ``tol_chunk`` inside one
+    ``lax.while_loop``, stopping once the relative objective improvement
+    over a chunk drops below ``tol`` (or at ``epochs``, the sklearn
+    ``max_iter`` cap) — the fixed-length scan pays for all 1000 steps even
+    when the problem converges in 100.
     """
     n, d = x.shape
     W = jnp.zeros((d, t.shape[1]), jnp.float32)
@@ -41,7 +50,7 @@ def _fit_ovr(x, t, l2, lr, epochs: int, loss: str, batch_size: int = 0,
 
     def objective(params, xb, tb):
         W, b = params
-        f = jnp.dot(xb, W, precision=HI) + b
+        f = jnp.dot(xb, W, precision=precision) + b
         m = tb * f
         if loss == "squared_hinge":
             data = jnp.mean(jnp.sum(jnp.maximum(0.0, 1.0 - m) ** 2, axis=1))
@@ -62,6 +71,27 @@ def _fit_ovr(x, t, l2, lr, epochs: int, loss: str, batch_size: int = 0,
         updates, opt_state = opt.update(g, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), None
+
+    if tol_chunk and not batch_size:
+        n_chunks = -(-epochs // tol_chunk)
+
+        def cond(state):
+            i, _, _, prev, cur = state
+            return (i < n_chunks) & ((i == 0) | (
+                prev - cur > tol * jnp.maximum(jnp.abs(prev), 1e-12)))
+
+        def body(state):
+            i, params, opt_state, _, cur = state
+            (params, opt_state), _ = jax.lax.scan(
+                step, (params, opt_state), None, length=tol_chunk)
+            return (i + 1, params, opt_state, cur,
+                    objective(params, x, t))
+
+        params0 = (W, b)
+        loss0 = objective(params0, x, t)
+        _, params, _, _, _ = jax.lax.while_loop(
+            cond, body, (0, params0, opt.init(params0), jnp.inf, loss0))
+        return params
 
     keys = jax.random.split(jax.random.key(seed), epochs)
     (params, _), _ = jax.lax.scan(step, ((W, b), opt.init((W, b))), keys)
@@ -127,16 +157,23 @@ class DeviceLinearClassifier:
     loss = "logistic"
 
     def __init__(self, C: float = 1.0, alpha: float = None, epochs: int = 300,
-                 lr: float = 0.05, batch_size: int = 0, seed: int = 0):
+                 lr: float = 0.05, batch_size: int = 0, seed: int = 0,
+                 tol: float = 0.0, tol_chunk: int = 25, precision=HI):
         self.C, self.alpha = C, alpha
         self.epochs, self.lr, self.batch_size, self.seed = (
             epochs, lr, batch_size, seed)
+        self.tol, self.tol_chunk = tol, tol_chunk
+        self.precision = precision
 
     # feature map hook (identity here; RFF in DeviceSVC)
     def _map(self, x):
         return jnp.asarray(x, jnp.float32)
 
     def _prepare(self, x):
+        # device arrays pass through untouched (np.asarray on a jax array
+        # would download it over the relay just to re-upload)
+        if isinstance(x, jax.Array):
+            return self._map(x)
         return self._map(np.asarray(x, np.float32))
 
     def fit(self, x, y):
@@ -149,7 +186,10 @@ class DeviceLinearClassifier:
         l2 = self.alpha if self.alpha is not None else 1.0 / (self.C * n)
         self._W, self._b = _fit_ovr(xd, jnp.asarray(t), float(l2),
                                     float(self.lr), self.epochs, self.loss,
-                                    self.batch_size, self.seed)
+                                    self.batch_size, self.seed,
+                                    tol=float(self.tol),
+                                    tol_chunk=self.tol_chunk if self.tol else 0,
+                                    precision=self.precision)
         return self
 
     @property
@@ -177,9 +217,23 @@ class DeviceLinearClassifier:
 
 
 class DeviceLogisticRegression(DeviceLinearClassifier):
-    """OvR logistic regression (reference: celltypist.py:755 sklearn LR)."""
+    """OvR logistic regression (reference: celltypist.py:755 sklearn LR).
+
+    Defaults to sklearn-style convergence stopping (``tol=1e-4`` relative
+    objective improvement per 25-step chunk, ``epochs`` = the ``max_iter``
+    cap) — lbfgs stops early on convergence, so a fixed-length 1000-step
+    scan would pay 5-10× the converged step count."""
 
     loss = "logistic"
+
+    def __init__(self, C: float = 1.0, epochs: int = 1000, lr: float = 0.05,
+                 seed: int = 0, tol: float = 1e-4,
+                 precision=jax.lax.Precision.DEFAULT, **kwargs):
+        # DEFAULT (single-bf16-pass, f32 accumulate) matmuls: logistic
+        # regression is a self-correcting optimization, and HIGHEST costs a
+        # 6-pass f32 emulation on the MXU (same rationale as SPOTlight's NMF)
+        super().__init__(C=C, epochs=epochs, lr=lr, seed=seed, tol=tol,
+                         precision=precision, **kwargs)
 
 
 class DeviceSGDLogistic(DeviceLinearClassifier):
@@ -189,12 +243,14 @@ class DeviceSGDLogistic(DeviceLinearClassifier):
     loss = "logistic"
 
     def __init__(self, alpha: float = 1e-4, epochs: int = 1000,
-                 batch_size: int = 1000, lr: float = 0.05, seed: int = 0):
+                 batch_size: int = 1000, lr: float = 0.05, seed: int = 0,
+                 precision=jax.lax.Precision.DEFAULT):
         super().__init__(alpha=alpha, epochs=epochs, lr=lr,
-                         batch_size=batch_size, seed=seed)
+                         batch_size=batch_size, seed=seed,
+                         precision=precision)
 
     def fit(self, x, y):
-        n = np.asarray(x).shape[0]
+        n = x.shape[0]
         if self.batch_size >= n:
             self.batch_size = 0  # full batch: skip the gather
         return super().fit(x, y)
@@ -242,7 +298,8 @@ class DeviceSVC(DeviceLinearClassifier):
                     self.seed)
 
     def fit(self, x, y):
-        x = np.asarray(x, np.float32)
+        if not isinstance(x, jax.Array):  # as_device passthrough
+            x = np.asarray(x, np.float32)
         if self.kernel != "rbf" or x.shape[0] > self.kernel_cap:
             return super().fit(x, y)
         y = np.asarray(y)
@@ -250,7 +307,7 @@ class DeviceSVC(DeviceLinearClassifier):
         n = len(y)
         t = -np.ones((n, len(self.classes_)), np.float32)
         t[np.arange(n), y_idx] = 1.0
-        self._x_fit = jnp.asarray(x)
+        self._x_fit = jnp.asarray(x, jnp.float32)
         K = _rbf_kernel(self._x_fit, self._x_fit, self._resolve_gamma(x))
         self._W, self._b = _fit_kernel_ovr(K, jnp.asarray(t),
                                            1.0 / (self.C * n),
