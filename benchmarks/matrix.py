@@ -932,9 +932,41 @@ def render():
             f"{f('tpu_s_total')} | {gflop} | {f('gtransc_epoch')} | "
             f"{f('mfu_pct')} | {f('host_ms_epoch')} | "
             f"{f('host_s_total')} | {speedup} | {r.get('notes', '')} |")
+    lines += _render_scale_section()
     with open(MD_OUT, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(f"wrote {MD_OUT} ({len(rows)} methods)")
+
+
+def _render_scale_section():
+    """100k-cell scale lane (results/scale_lane.csv, written from
+    benchmarks/run_scale_lane.sh runs): the 10k matrix shapes leave the MXU
+    idle — at toy scale most rows are latency-bound and MFU is noise. This
+    section records one representative per family at 100,000 cells, where
+    the reference documents OOM/hour-scale envelopes
+    (reference tests/test_bench.py:16-20)."""
+    path = os.path.join(os.path.dirname(RESULTS), "scale_lane.csv")
+    if not os.path.exists(path):
+        return []
+    lines = [
+        "",
+        "## 100k-cell scale lane",
+        "",
+        "One representative per family at 100,000 cells × 2,000 genes on the "
+        "single v5e chip (host-synced epoch deltas; first-fit column includes "
+        "compile + the ~850 MB dataset upload). The 10k matrix above is "
+        "latency-/dispatch-bound for most models; this is the regime that "
+        "feeds the MXU. Bound analysis per row in BENCH_NOTES.md (round 5).",
+        "",
+        "| model | family | first fit s | steady ms/epoch | cells/s | bound |",
+        "|---|---|---|---|---|---|",
+    ]
+    with open(path, newline="") as fh:
+        for r in csv.DictReader(fh):
+            lines.append(
+                f"| {r['model']} | {r['family']} | {r['first_fit_s']} | "
+                f"{r['ms_epoch']} | {r['cells_per_s']} | {r['bound']} |")
+    return lines
 
 
 _FLOP_LAST = {}

@@ -111,10 +111,90 @@ def run_mm_model(args):
           f"({args.cells / per:,.0f} cells/s); {_peak_hbm()}", flush=True)
 
 
+def run_family_model(args):
+    """Zoo-wide 100k lane: one representative per remaining family
+    (VERDICT r4 item 6) — clustering ZINB-AE (scDeepCluster), imputation
+    (DeepImpute), spatial GNN (STAGATE), deconvolution (SpatialDecon)."""
+    rng = np.random.default_rng(0)
+    n, g = args.cells, args.genes
+    z = rng.normal(0, 1, (n, 8)).astype(np.float32)
+    x = rng.poisson(np.exp(np.clip(z @ rng.normal(0, 0.4, (8, g)), -2, 2))
+                    ).astype(np.float32)
+    xl = np.log1p(x)
+    print(f"data: {n:,} x {g:,} (nnz frac {(x > 0).mean():.2f})", flush=True)
+
+    if args.model == "scdeepcluster":
+        from dance_tpu.modules.single_modality.clustering import ScDeepCluster
+        sf = x.sum(1) / np.median(x.sum(1))
+        m = ScDeepCluster(input_dim=g, z_dim=32, seed=0)
+
+        def make(e):
+            # DEC epochs measured; pretrain pinned at 2 (cancels in deltas)
+            m.fit((xl, x, sf), None, n_clusters=8, epochs=e, pt_epochs=2,
+                  batch_size=args.batch_size, pt_batch_size=args.batch_size)
+            return m
+    elif args.model == "deepimpute":
+        from dance_tpu.modules.single_modality.imputation import DeepImpute
+        var = xl.var(0)
+        targets = [np.arange(i, min(i + 512, g)) for i in range(0, g, 512)]
+        predictors = []
+        for t in targets:
+            rest = np.setdiff1d(np.arange(g), t)
+            predictors.append(rest[np.argsort(-var[rest])][:512])
+        m = DeepImpute(predictors, targets, sub_outputdim=512, hidden_dim=256,
+                       seed=0)
+
+        def make(e):
+            m.fit(xl, xl, n_epochs=e, batch_size=args.batch_size, patience=0)
+            return m
+    elif args.model == "stagate":
+        from dance_tpu.modules.spatial.spatial_domain import Stagate
+        from dance_tpu.ops.neighbors import knn_graph
+        coords = rng.random((n, 2)).astype(np.float32) * 100
+        t0 = time.perf_counter()
+        adj = knn_graph(coords, 8, include_self=False)
+        print(f"kNN graph: {adj.nnz:,} edges ({time.perf_counter() - t0:.1f}s)",
+              flush=True)
+        m = Stagate(hidden_dims=(g, 512, 30), seed=0)
+
+        def make(e):
+            m.fit((xl, adj), epochs=e, n_clusters=7, use_bsr=True)
+            return m
+    elif args.model == "spatialdecon":
+        from dance_tpu.modules.spatial.cell_type_deconvo import SpatialDecon
+        profiles = np.stack([x[(i * n) // 8:((i + 1) * n) // 8].mean(0)
+                             for i in range(8)])
+        m = SpatialDecon(ct_profile=profiles.T, ct_select=list(range(8)))
+
+        def make(e):
+            m.fit(x, lr=1e-2, max_iter=e)
+            return m
+    else:
+        raise SystemExit(f"unknown --model {args.model}")
+
+    def sync(m):
+        import jax
+        tree = next((getattr(m, a) for a in ("params", "weights")
+                     if getattr(m, a, None) is not None), None)
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        float(np.asarray(leaf).ravel()[0])
+        return m
+
+    t0 = time.perf_counter()
+    sync(make(2))
+    print(f"first fit (compile + upload + 2 epochs): "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+    per = _epoch_delta_fit(make, 2, args.steps + 2, sync)
+    print(f"steady state: {per * 1e3:.1f} ms/epoch "
+          f"({args.cells / per:,.0f} cells/s); {_peak_hbm()}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="scdeepsort",
-                    choices=["scdeepsort", "dcca", "jae", "scmogcn"])
+                    choices=["scdeepsort", "dcca", "jae", "scmogcn",
+                             "scdeepcluster", "deepimpute", "stagate",
+                             "spatialdecon"])
     ap.add_argument("--cells", type=int, default=100_000)
     ap.add_argument("--genes", type=int, default=2_000)
     ap.add_argument("--dim", type=int, default=256)
@@ -123,8 +203,11 @@ def main():
     ap.add_argument("--batch_size", type=int, default=4096)
     args = ap.parse_args()
 
-    if args.model != "scdeepsort":
+    if args.model in ("dcca", "jae", "scmogcn"):
         run_mm_model(args)
+        return
+    if args.model != "scdeepsort":
+        run_family_model(args)
         return
 
     import jax

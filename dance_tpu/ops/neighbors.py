@@ -43,10 +43,16 @@ def _knn_block(q, x, k: int):
     return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx
 
 
-def knn(x, k: int, *, include_self: bool = True, block_size: int = 4096
-        ) -> Tuple[np.ndarray, np.ndarray]:
-    """Exact kNN over rows of x. Returns (distances, indices), each (n, k)."""
-    x = jnp.asarray(x, jnp.float32)
+def knn(x, k: int, *, include_self: bool = True, block_size: int = 4096,
+        method: str = "auto") -> Tuple[np.ndarray, np.ndarray]:
+    """Exact kNN over rows of x. Returns (distances, indices), each (n, k).
+
+    method: 'device' tiles the distance matrix over the MXU (right for
+    high-dimensional features); 'kdtree' queries a host scipy cKDTree
+    (right for 2-3D spatial coordinates, where the O(n^2) distance matrix
+    is 40 GB of pointless traffic at 100k spots — measured 1141 s device
+    vs 0.74 s KD-tree); 'auto' picks kdtree iff dim <= 3.
+    """
     n = x.shape[0]
     kq = k if include_self else k + 1
     if kq > n:
@@ -54,15 +60,27 @@ def knn(x, k: int, *, include_self: bool = True, block_size: int = 4096
             f"knn: k={k} (include_self={include_self}) needs at least "
             f"{kq} points but only {n} are available; clamp k at the call "
             f"site (e.g. k=min(k, n-1)) to keep the (n, k) result contract")
-    dists, idxs = [], []
-    for start in range(0, n, block_size):
-        q = x[start:start + block_size]
-        d, i = _knn_block(q, x, kq)
-        dists.append(d)
-        idxs.append(i)
-    # concatenate on device, pull once (single host round trip)
-    d = np.asarray(jnp.concatenate(dists, 0))
-    i = np.asarray(jnp.concatenate(idxs, 0))
+    if method == "auto":
+        method = "kdtree" if x.shape[1] <= 3 else "device"
+    if method == "kdtree":
+        from scipy.spatial import cKDTree
+        xh = np.asarray(x, np.float32)
+        d, i = cKDTree(xh).query(xh, k=kq)
+        d = d.astype(np.float32)
+        i = i.astype(np.int64)
+        if kq == 1:
+            d, i = d[:, None], i[:, None]
+    else:
+        xd = jnp.asarray(x, jnp.float32)
+        dists, idxs = [], []
+        for start in range(0, n, block_size):
+            q = xd[start:start + block_size]
+            db, ib = _knn_block(q, xd, kq)
+            dists.append(db)
+            idxs.append(ib)
+        # concatenate on device, pull once (single host round trip)
+        d = np.asarray(jnp.concatenate(dists, 0))
+        i = np.asarray(jnp.concatenate(idxs, 0))
     if not include_self:
         # drop the self column (distance 0 at position of own index)
         self_col = i == np.arange(n)[:, None]
