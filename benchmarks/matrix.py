@@ -186,7 +186,8 @@ def run_celltypist():
     return dict(tpu_s_total=total_time(fit))
 
 
-@case("singlecellnet", "cta", f"{N_CELLS}x{N_GENES}", "host-side random forest")
+@case("singlecellnet", "cta", f"{N_CELLS}x{N_GENES}",
+      "device forest, one-dispatch lockstep tree growth (host lane = sklearn RF)")
 def run_singlecellnet():
     from dance_tpu.modules.single_modality.cell_type_annotation import SingleCellNet
     x, y = _expr()

@@ -1,11 +1,13 @@
 """SingleCellNet (parity: dance/modules/.../singlecellnet.py:10).
 
 Random forest over binary top-gene-pair features (SCNFeature), with an extra
-"unknown" class trained on feature-shuffled pseudo-cells.
+"unknown" class trained on feature-shuffled pseudo-cells. The forest itself
+is device-native by default (``ops.forest.RandomForest``: one jitted dispatch
+growing all trees in lockstep on the TPU); ``device="cpu"`` keeps the sklearn
+head as the parity oracle.
 """
 
 import numpy as np
-from sklearn.ensemble import RandomForestClassifier
 
 from dance_tpu.modules.base import BaseClassificationMethod
 from dance_tpu.transforms import AnnDataTransform, Compose, SCNFeature, SetConfig
@@ -15,8 +17,11 @@ from dance_tpu.utils.wrappers import as_numpy
 
 class SingleCellNet(BaseClassificationMethod):
 
-    def __init__(self, num_trees: int = 100):
+    def __init__(self, num_trees: int = 100, device: str = "auto",
+                 max_depth: int = 10):
         self.num_trees = num_trees
+        self.device = device
+        self.max_depth = max_depth
         self.model = None
 
     @staticmethod
@@ -49,9 +54,17 @@ class SingleCellNet(BaseClassificationMethod):
         x_rand = self.randomize(x, num=num_rand)
         x_comb = np.vstack((x, x_rand))
         y_comb = np.concatenate((y, np.full(x_rand.shape[0], y.max() + 1)))
-        self.model = RandomForestClassifier(
-            n_estimators=self.num_trees, random_state=random_state,
-            class_weight="balanced" if stratify else None)
+        if self.device == "cpu":
+            from sklearn.ensemble import RandomForestClassifier
+            self.model = RandomForestClassifier(
+                n_estimators=self.num_trees, random_state=random_state,
+                class_weight="balanced" if stratify else None)
+        else:
+            from dance_tpu.ops.forest import RandomForest
+            self.model = RandomForest(
+                n_estimators=self.num_trees, max_depth=self.max_depth,
+                random_state=random_state,
+                class_weight="balanced" if stratify else None)
         self.model.fit(x_comb, y_comb)
 
     def predict_proba(self, x):

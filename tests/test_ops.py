@@ -177,3 +177,35 @@ def test_sparse_rsvd():
     u, s, vt = randomized_svd(csr_from_scipy(A), 5)
     s_ref = np.linalg.svd(A.toarray(), compute_uv=False)[:5]
     np.testing.assert_allclose(np.asarray(s), s_ref, rtol=1e-2)
+
+
+def test_device_forest_matches_sklearn():
+    """Device forest (ops/forest.py) tracks the sklearn RF parity oracle."""
+    from sklearn.ensemble import RandomForestClassifier
+
+    from dance_tpu.ops.forest import RandomForest
+
+    r = np.random.default_rng(7)
+    centers = r.standard_normal((5, 40)) * 3
+    y = np.repeat(np.arange(5), 120)
+    x = (centers[y] + r.standard_normal((600, 40))).astype(np.float32)
+    tr = r.permutation(600)[:450]
+    te = np.setdiff1d(np.arange(600), tr)
+
+    ours = RandomForest(50, max_depth=8, random_state=0,
+                        class_weight="balanced").fit(x[tr], y[tr])
+    acc_ours = (ours.predict(x[te]) == y[te]).mean()
+    oracle = RandomForestClassifier(50, random_state=0,
+                                    class_weight="balanced").fit(x[tr], y[tr])
+    acc_skl = (oracle.predict(x[te]) == y[te]).mean()
+    assert acc_ours >= acc_skl - 0.05, (acc_ours, acc_skl)
+
+    # probabilities are a distribution over all classes
+    proba = ours.predict_proba(x[te])
+    assert proba.shape == (len(te), 5)
+    np.testing.assert_allclose(proba.sum(1), 1.0, atol=1e-5)
+
+    # deterministic under a fixed seed
+    again = RandomForest(50, max_depth=8, random_state=0,
+                         class_weight="balanced").fit(x[tr], y[tr])
+    np.testing.assert_array_equal(ours.predict(x[te]), again.predict(x[te]))
