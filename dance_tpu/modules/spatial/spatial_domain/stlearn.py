@@ -41,15 +41,19 @@ class StKmeans(BaseClusteringMethod):
         self.n_clusters = n_clusters
         self.n_init = n_init
         self.max_iter = max_iter
+        self.tol = tol
         self.random_state = random_state
 
     preprocessing_pipeline = staticmethod(_sme_pipeline)
 
     def fit(self, x, y=None):
+        import jax.numpy as jnp
+
         from dance_tpu.ops.cluster import kmeans
-        self.pred = np.asarray(kmeans(np.asarray(x, np.float32), self.n_clusters,
+        from dance_tpu.utils.wrappers import as_device
+        self.pred = np.asarray(kmeans(as_device(x, jnp.float32), self.n_clusters,
                                       n_init=self.n_init, n_iter=self.max_iter,
-                                      seed=self.random_state).labels)
+                                      seed=self.random_state, tol=self.tol).labels)
         return self
 
     def predict(self, x=None):

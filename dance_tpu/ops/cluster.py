@@ -52,50 +52,74 @@ def _sq_dists(x, centers):
     return jnp.maximum(xx + cc - 2 * xc, 0.0)
 
 
-@partial(jax.jit, static_argnames=("n_clusters", "n_iter"))
-def _lloyd(x, centers, n_clusters: int, n_iter: int):
-    def step(_, centers):
-        d2 = _sq_dists(x, centers)
-        labels = jnp.argmin(d2, axis=1)
-        onehot = jax.nn.one_hot(labels, n_clusters, dtype=x.dtype)
-        counts = onehot.sum(0)
-        sums = jnp.dot(onehot.T, x, precision=HI)
-        new = sums / jnp.maximum(counts[:, None], 1.0)
-        # keep old center for empty clusters
-        return jnp.where(counts[:, None] > 0, new, centers)
+def _lloyd_step(x, centers, n_clusters: int):
+    d2 = _sq_dists(x, centers)
+    labels = jnp.argmin(d2, axis=1)
+    onehot = jax.nn.one_hot(labels, n_clusters, dtype=x.dtype)
+    counts = onehot.sum(0)
+    sums = jnp.dot(onehot.T, x, precision=HI)
+    new = sums / jnp.maximum(counts[:, None], 1.0)
+    # keep old center for empty clusters
+    return jnp.where(counts[:, None] > 0, new, centers)
 
-    centers = jax.lax.fori_loop(0, n_iter, step, centers)
+
+@partial(jax.jit, static_argnames=("n_clusters", "n_iter", "tol"))
+def _lloyd(x, centers, n_clusters: int, n_iter: int, tol: float = 0.0):
+    if tol > 0.0:
+        # sklearn semantics: stop when the squared Frobenius norm of the
+        # center shift falls under tol * mean per-feature variance
+        # (sklearn _kmeans._tolerance); runs inside one while_loop so the
+        # whole fit stays a single dispatch with no fixed 300-iter burn.
+        tol_ = tol * jnp.var(x, axis=0).mean()
+
+        def cond(state):
+            i, _, shift2 = state
+            return (i < n_iter) & (shift2 > tol_)
+
+        def body(state):
+            i, centers, _ = state
+            new = _lloyd_step(x, centers, n_clusters)
+            return i + 1, new, ((new - centers) ** 2).sum()
+
+        _, centers, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), centers, jnp.inf))
+    else:
+        centers = jax.lax.fori_loop(
+            0, n_iter, lambda _, c: _lloyd_step(x, c, n_clusters), centers)
     d2 = _sq_dists(x, centers)
     labels = jnp.argmin(d2, axis=1)
     inertia = jnp.take_along_axis(d2, labels[:, None], axis=1).sum()
     return labels, centers, inertia
 
 
-@partial(jax.jit, static_argnames=("n_clusters", "n_iter", "n_init"))
-def _kmeans_multi(x, seed, n_clusters: int, n_iter: int, n_init: int):
+@partial(jax.jit, static_argnames=("n_clusters", "n_iter", "n_init", "tol"))
+def _kmeans_multi(x, seed, n_clusters: int, n_iter: int, n_init: int,
+                  tol: float = 0.0):
     # same stream as the historical loop: restart i uses key(seed + i)
     keys = jax.vmap(jax.random.key)(seed + jnp.arange(n_init))
 
     def one(key):
         centers = _kmeans_pp_init(x, key, n_clusters)
-        return _lloyd(x, centers, n_clusters, n_iter)
+        return _lloyd(x, centers, n_clusters, n_iter, tol)
 
     labels, centers, inertias = jax.vmap(one)(keys)
     b = jnp.argmin(inertias)
     return labels[b], centers[b], inertias[b]
 
 
-def kmeans(x, n_clusters: int, *, n_init: int = 5, n_iter: int = 100, seed: int = 0
-           ) -> KMeansResult:
+def kmeans(x, n_clusters: int, *, n_init: int = 5, n_iter: int = 100,
+           seed: int = 0, tol: float = 0.0) -> KMeansResult:
     """KMeans with kmeans++ init, best of ``n_init`` restarts, all on device.
 
     The restarts run vmapped in ONE dispatch with the argmin-by-inertia on
     device — the previous Python loop pulled an inertia scalar per restart
     (n_init relay round trips per call, and the DEC family calls this every
-    fit)."""
+    fit). ``tol > 0`` adds sklearn-style convergence stopping (center-shift
+    Frobenius norm vs tol × mean feature variance) so callers that mirror
+    sklearn's ``KMeans(tol=1e-4)`` don't burn the full ``n_iter`` budget."""
     x = jnp.asarray(x, jnp.float32)
     labels, centers, inertia = _kmeans_multi(x, seed, n_clusters, n_iter,
-                                             n_init)
+                                             n_init, float(tol))
     return KMeansResult(labels, centers, inertia)
 
 
