@@ -68,6 +68,13 @@ def test_kmeans():
     from sklearn.metrics import adjusted_rand_score
     assert adjusted_rand_score(true, labels) > 0.99
 
+    # sklearn-style tol stopping converges to the same solution without the
+    # fixed-iteration burn (stlearn's StKmeans passes tol=1e-4)
+    res_tol = kmeans(x, 3, n_init=3, seed=1, tol=1e-4)
+    assert adjusted_rand_score(true, np.asarray(res_tol.labels)) > 0.99
+    np.testing.assert_allclose(float(res_tol.inertia), float(res.inertia),
+                               rtol=1e-4)
+
 
 def test_knn_parity():
     from sklearn.neighbors import NearestNeighbors
