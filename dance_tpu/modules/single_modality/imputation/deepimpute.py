@@ -145,12 +145,7 @@ class DeepImpute(BaseRegressionMethod):
         n = Xp.shape[1]
         # full pass incl. partial batch (reference DataLoader drop_last=False)
         idx = epoch_batches(key, n, batch_size)
-        nb = idx.shape[0]
-        # (nb, n_ens, bs, ·) — row gathers over the pre-gathered views
-        Xb = jnp.moveaxis(jnp.take(Xp, idx, axis=1), 0, 1)
-        Yb = jnp.moveaxis(jnp.take(Yt, idx, axis=1), 0, 1)
-        Mb = jnp.moveaxis(jnp.take(Mt, idx, axis=1), 0, 1)
-        keys = jax.random.split(jax.random.fold_in(key, 7), nb)
+        keys = jax.random.split(jax.random.fold_in(key, 7), idx.shape[0])
 
         def loss_fn(params, bx, by, bm, rng):
             def one(sub_params, x_in, y_t, m_t, r):
@@ -164,14 +159,23 @@ class DeepImpute(BaseRegressionMethod):
             losses = jax.vmap(one)(params, bx, by, bm, sub_rngs)
             return losses.mean()
 
-        def step(carry, batch):
+        # the scan carries only the (nb, bs) permutation rows; each step
+        # gathers its own (n_ens, bs, ·) batch from the pre-gathered views.
+        # Materializing the whole epoch up front as (nb, n_ens, bs, ·)
+        # copies ~3 full-matrix transposes through HBM per epoch — measured
+        # 1.6x slower at 100k cells (benchmarks/profile_deepimpute2.py).
+        def step(carry, sl):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(params, *batch)
+            rows, r = sl
+            bx = jnp.take(Xp, rows, axis=1)
+            by = jnp.take(Yt, rows, axis=1)
+            bm = jnp.take(Mt, rows, axis=1)
+            loss, grads = jax.value_and_grad(loss_fn)(params, bx, by, bm, r)
             updates, opt_state = self._tx.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(step, (params, opt_state),
-                                                   (Xb, Yb, Mb, keys))
+                                                   (idx, keys))
         return params, opt_state, losses.mean()
 
     @partial(jax.jit, static_argnames=("self", "batch_size"))
@@ -362,12 +366,7 @@ class DeepImpute(BaseRegressionMethod):
         control dynamics the per-epoch step count changes the trajectory."""
         n = Xp.shape[1]
         idx, bmask = epoch_batches_masked(key, n, batch_size)
-        nb = idx.shape[0]
-        Xb = jnp.moveaxis(jnp.take(Xp, idx, axis=1), 0, 1)
-        Yb = jnp.moveaxis(jnp.take(Yt, idx, axis=1), 0, 1)
-        Mb = jnp.moveaxis(jnp.take(Mt, idx, axis=1), 0, 1)
-        Mb = Mb * bmask[:, None, :, None]  # zero padded slots entirely
-        keys = jax.random.split(jax.random.fold_in(key, 7), nb)
+        keys = jax.random.split(jax.random.fold_in(key, 7), idx.shape[0])
 
         def loss_fn(params, bx, by, bm, rng):
             def one(sub_params, x_in, y_t, m_t, r):
@@ -380,15 +379,21 @@ class DeepImpute(BaseRegressionMethod):
             sub_rngs = jax.random.split(rng, bx.shape[0])
             return jax.vmap(one)(params, bx, by, bm, sub_rngs).mean()
 
-        def step(carry, batch):
+        # per-step batch gathers (see _train_epoch); padded slots zeroed
+        # through the per-row mask
+        def step(carry, sl):
             params, opt_state, gsum = carry
-            loss, grads = jax.value_and_grad(loss_fn)(params, *batch)
+            rows, brow, r = sl
+            bx = jnp.take(Xp, rows, axis=1)
+            by = jnp.take(Yt, rows, axis=1)
+            bm = jnp.take(Mt, rows, axis=1) * brow[None, :, None]
+            loss, grads = jax.value_and_grad(loss_fn)(params, bx, by, bm, r)
             gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
             updates, opt_state = self._tx.update(gsum, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state, gsum), loss
 
         (params, opt_state, gsum), losses = jax.lax.scan(
-            step, (params, opt_state, gsum), (Xb, Yb, Mb, keys))
+            step, (params, opt_state, gsum), (idx, bmask, keys))
         return params, opt_state, gsum, losses.mean()
 
     @partial(jax.jit, static_argnames=("self",))

