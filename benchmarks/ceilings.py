@@ -79,6 +79,49 @@ def transc_rate(op, n_elem=1 << 26):
     return n_elem * n / s / 1e12
 
 
+def zinb_step_rate(batch=256, genes=2000):
+    """Floor for one ZINB-AE minibatch step's loss math: value_and_grad of
+    the full zinb_nll over a (batch, genes) block, as a dependent chain.
+
+    This is the irreducible per-step cost of the DEC clustering family's
+    loss (lgamma fwd + digamma bwd + exp/log/pow chains), measured with the
+    model matmuls stripped out — the epoch floor for scDeepCluster-like
+    models is n_steps x this.
+    """
+    from dance_tpu.utils.loss import zinb_nll
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.poisson(2.0, (batch, genes)), jnp.float32)
+    mean = jnp.asarray(rng.uniform(0.5, 4.0, (batch, genes)), jnp.float32)
+    disp = jnp.asarray(rng.uniform(0.5, 2.0, (batch, genes)), jnp.float32)
+    pi = jnp.asarray(rng.uniform(0.05, 0.5, (batch, genes)), jnp.float32)
+
+    @jax.jit
+    def f(theta):
+        m, d, p = theta
+        loss, (gm, gd, gp) = jax.value_and_grad(
+            lambda t: zinb_nll(x, t[0], t[1], t[2]))((m, d, p))
+        # dependent chain: fold the grads back into the operands at a scale
+        # XLA cannot fold away (0.0*g would be DCE-able), small enough to
+        # keep the operands in range across 256 links
+        s = 1e-12
+        return (m + s * gm + s * loss, d + s * gd, p + s * gp)
+
+    theta = (mean, disp, pi)
+    for _ in range(8):
+        theta = f(theta)
+    float(jnp.sum(theta[0][0, :1]))
+    n = 256
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        t = theta
+        for _ in range(n):
+            t = f(t)
+        float(jnp.sum(t[0][0, :1]))
+        best = min(best, time.perf_counter() - t0)
+    return best / n  # seconds per step
+
+
 def hbm_rate(n_elem=1 << 27):
     x = jnp.asarray(np.zeros((n_elem,)), jnp.float32)
 
@@ -98,6 +141,9 @@ def main():
     print(f"matmul f32 : {matmul_rate(jnp.float32):.1f} TFLOP/s", flush=True)
     print(f"exp        : {transc_rate(jnp.exp):.3f} Teval/s", flush=True)
     print(f"lgamma     : {transc_rate(jax.lax.lgamma):.3f} Teval/s", flush=True)
+    print(f"digamma    : {transc_rate(jax.lax.digamma):.3f} Teval/s", flush=True)
+    zs = zinb_step_rate()
+    print(f"zinb step  : {zs*1e3:.3f} ms per 256x2000 value_and_grad", flush=True)
     print(f"HBM stream : {hbm_rate():.0f} GB/s", flush=True)
 
 
